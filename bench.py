@@ -1,0 +1,83 @@
+"""Benchmark runner (driver contract, BASELINE.md).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed as Spark would in production — full plan,
+results drained via count on a cached-free plan (no collect of large
+results to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from waterdata_spark.queries import QUERIES  # noqa: E402
+from waterdata_spark.session import get_spark  # noqa: E402
+
+# Headline set: the operator families that dominate real workloads —
+# wide agg, broadcast join+agg, window dedup, fallback join, inverted-
+# index near-dup, LSH ANN (scale path, not the brute-force oracle twin).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_revenue_by_nation",
+    "q06_priority_dedup",
+    "q07_topk_orders_per_customer",
+    "q14_fallback_join",
+    "q17_hourly_rollup",
+    "x01_exact_dedup_docs",
+    "x06_ngram_jaccard_pairs",
+    "x07_lsh_topk_bench",
+]
+
+
+def _lsh_bench(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from waterdata_spark.operators.similarity import cosine_topk_lsh
+    from waterdata_spark.schemas import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(e, k=5, n_planes=10, n_tables=4)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("waterdata-bench")
+
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # engine, not first-touch JIT
+    QUERIES["q08_distinct_pairs"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = _lsh_bench if name == "x07_lsh_topk_bench" else QUERIES[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

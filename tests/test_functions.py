@@ -1,0 +1,128 @@
+"""Unit tests for the scalar cleaning + text function library
+(SURVEY.md §2.6 and §2.9/X4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from waterdata_spark.functions.cleaning import (
+    clean_sentinels,
+    coalesce_suffixed,
+    concat_address,
+    normalize_key,
+    parse_us_date,
+    prefix_tag,
+    strip_float_suffix,
+    strip_inner_spaces,
+    with_unit_column,
+)
+from waterdata_spark.functions.text import (
+    char_shingles,
+    doc_fingerprint,
+    lang_id_score,
+    punct_count,
+    quality_features,
+    token_count,
+    tokens,
+)
+
+
+def one(df, col):
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+class TestCleaning:
+    def test_clean_sentinels(self, spark):
+        df = spark.createDataFrame([(".",), ("nan",), (" NaN ",), ("",), ("0.46",)], "x string")
+        vals = [r["v"] for r in df.select(clean_sentinels("x").alias("v")).collect()]
+        assert vals == [None, None, None, None, "0.46"]
+
+    def test_parse_us_date_with_spaces(self, spark):
+        # embedded-space dates occur in the PDF extracts (compare.py:59)
+        df = spark.createDataFrame([("04/ 12/2019",), ("1/9/1999",), (".",)], "d string")
+        vals = [str(r["v"]) for r in df.select(parse_us_date("d").alias("v")).collect()]
+        assert vals == ["2019-04-12", "1999-01-09", "None"]
+
+    def test_parse_us_date_compat_default(self, spark):
+        # reference maps sentinel dates to 1/9/1999 (compare.py:63)
+        df = spark.createDataFrame([(".",)], "d string")
+        v = one(df, parse_us_date("d", compat_date_default=True))
+        assert str(v) == "1999-01-09"
+
+    def test_strip_inner_spaces(self, spark):
+        df = spark.createDataFrame([("a b\tc",)], "x string")
+        assert one(df, strip_inner_spaces("x")) == "abc"
+
+    def test_strip_float_suffix(self, spark):
+        df = spark.createDataFrame([("123.0",), ("123",)], "x string")
+        vals = [r["v"] for r in df.select(strip_float_suffix("x").alias("v")).collect()]
+        assert vals == ["123", "123"]
+
+    def test_prefix_tag(self, spark):
+        # 'n'+key hack (down/down_water_prep.py:470-471)
+        df = spark.createDataFrame([("6430001.0",)], "x string")
+        assert one(df, prefix_tag("x")) == "n6430001"
+
+    def test_coalesce_suffixed(self, spark):
+        df = spark.createDataFrame([(None, "filled"), ("kept", "ignored")], "a string, a_y string")
+        out = coalesce_suffixed(df, ["a"])
+        assert out.columns == ["a"]
+        assert sorted(r["a"] for r in out.collect()) == ["filled", "kept"]
+
+    def test_concat_address_skips_nulls(self, spark):
+        # replaces the ADDRESS2-null branch at down/down_water_prep.py:404-406
+        df = spark.createDataFrame(
+            [("1 Main St", None, "Mercer", "PA"), ("2 Elm", "Apt 3", "Butler", "PA")],
+            "a1 string, a2 string, city string, st string",
+        )
+        vals = [r["v"] for r in df.select(concat_address("a1", "a2", "city", "st").alias("v")).collect()]
+        assert vals == ["1 Main St, Mercer, PA", "2 Elm, Apt 3, Butler, PA"]
+
+    def test_unit_column(self, spark):
+        df = spark.createDataFrame(
+            [("LEAD",), ("PFOA (PERFLUOROOCTANOIC ACID)",), ("COMBINED RADIUM-226 & 228",)],
+            "contaminant string",
+        )
+        vals = [r["unit"] for r in with_unit_column(df, "contaminant").collect()]
+        assert vals == ["mg/L", "ng/L", "pCi/L"]
+
+    def test_normalize_key(self, spark):
+        df = spark.createDataFrame([("  GREENVILLE   WATER  Co ",)], "x string")
+        assert one(df, normalize_key("x")) == "greenville water co"
+
+
+class TestText:
+    def test_tokens_and_count(self, spark):
+        df = spark.createDataFrame([("  the quick  brown   fox ",), ("",)], "t string")
+        counts = [r["v"] for r in df.select(token_count("t").alias("v")).collect()]
+        assert counts == [4, 0]
+        toks = one(df.limit(1), tokens("t"))
+        assert toks == ["the", "quick", "brown", "fox"]
+
+    def test_punct_count(self, spark):
+        df = spark.createDataFrame([("a, b! c?",)], "t string")
+        assert one(df, punct_count("t")) == 3
+
+    def test_lang_id_score_whole_tokens(self, spark):
+        df = spark.createDataFrame([("the theory of the band",)], "t string")
+        assert one(df, lang_id_score("t", "en")) == 3  # 'theory'/'band' don't count
+
+    def test_char_shingles(self, spark):
+        df = spark.createDataFrame([("abcdefghij",), ("ab",)], "t string")
+        rows = df.select(char_shingles("t", 8).alias("v")).collect()
+        assert rows[0]["v"] == ["abcdefgh", "bcdefghi", "cdefghij"]
+        assert rows[1]["v"] == ["ab"]  # shorter than k → whole text
+
+    def test_fingerprint_deterministic_and_shift_invariant(self, spark):
+        df = spark.createDataFrame([("hello world, this is a doc",)], "t string")
+        a = one(df, doc_fingerprint("t"))
+        b = one(df, doc_fingerprint("t"))
+        assert a == b and len(a) == 32
+
+    def test_quality_features(self, spark):
+        df = spark.createDataFrame([("ab cd!",)], "t string")
+        feats = quality_features("t")
+        row = df.select(*[v.alias(k) for k, v in feats.items()]).collect()[0]
+        assert row["n_tokens"] == 2
+        assert row["n_chars"] == 6
+        assert row["mean_token_len"] == 2.5  # 'ab' + 'cd!'

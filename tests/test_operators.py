@@ -1,0 +1,173 @@
+"""Unit tests for the composite relational operators (SURVEY.md §2.3-2.7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from waterdata_spark.operators.dedup import dedup_any, exact_dedup, priority_dedup
+from waterdata_spark.operators.expand import expand_keys
+from waterdata_spark.operators.expectations import (
+    ExpectationError,
+    expect_column_consistency,
+    expect_range,
+    expect_row_count_preserved,
+    expect_schema,
+    profile,
+)
+from waterdata_spark.operators.fallback_join import fallback_join
+
+
+@pytest.fixture()
+def fact(spark):
+    return spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 99, "d")],
+        "id long, key long, val string",
+    )
+
+
+@pytest.fixture()
+def dim(spark):
+    # key collides on k2 for rows (20, 21) — tier-2 dedup must pick one
+    return spark.createDataFrame(
+        [(10, 0, "ten"), (20, 1, "twenty"), (21, 1, "twentyone")],
+        "k1 long, k2 long, payload string",
+    )
+
+
+class TestPriorityDedup:
+    def test_keeps_best_row(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 5.0), ("a", 2, 9.0), ("b", 3, 1.0)], "k string, id long, score double"
+        )
+        out = priority_dedup(df, ["k"], [F.col("score").desc(), F.col("id").asc()])
+        rows = {r["k"]: r["id"] for r in out.collect()}
+        assert rows == {"a": 2, "b": 3}
+
+    def test_deterministic_on_ties(self, spark):
+        df = spark.createDataFrame(
+            [("a", i, 1.0) for i in range(50)], "k string, id long, score double"
+        )
+        out1 = priority_dedup(df, ["k"], [F.col("score").desc(), F.col("id").asc()])
+        assert out1.collect()[0]["id"] == 0
+
+    def test_row_count(self, spark):
+        df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 1)], "k string, id long")
+        assert priority_dedup(df, ["k"], [F.col("id")]).count() == 2
+
+
+class TestDedup:
+    def test_dedup_any_one_per_key(self, spark):
+        df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 1)], "k string, id long")
+        assert dedup_any(df, ["k"]).count() == 2
+
+    def test_exact_dedup_keeps_lowest_id(self, spark):
+        df = spark.createDataFrame(
+            [(3, "same"), (1, "same"), (2, "other")], "doc_id long, text string"
+        )
+        out = exact_dedup(df, ["text"], "doc_id")
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+    def test_exact_dedup_idempotent(self, spark):
+        df = spark.createDataFrame(
+            [(3, "same"), (1, "same"), (2, "other")], "doc_id long, text string"
+        )
+        once = exact_dedup(df, ["text"], "doc_id")
+        twice = exact_dedup(once, ["text"], "doc_id")
+        assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+class TestFallbackJoin:
+    def test_tier_assignment(self, spark, fact, dim):
+        out = fallback_join(
+            fact.withColumn("k1", F.col("key")).withColumn("k2", F.col("key") % 10),
+            dim,
+            tiers=[["k1"], ["k2"]],
+            payload=["payload"],
+            dedup_order=[F.col("payload").asc()],
+            tier_col="tier",
+        )
+        rows = {r["id"]: (r["payload"], r["tier"]) for r in out.collect()}
+        assert rows[1] == ("ten", 1)  # key 10 matches tier 1
+        assert rows[2] == ("twenty", 1)  # key 20 matches tier 1
+        # key 30: no k1 match; k2 = 0 → 'ten' via tier 2
+        assert rows[3] == ("ten", 2)
+        # key 99: no k1; k2 = 9 → unmatched, NULL payload kept
+        assert rows[4] == (None, None)
+
+    def test_row_count_preserved(self, spark, fact, dim):
+        """C43 as a law: fallback join never fans out or drops rows."""
+        f = fact.withColumn("k1", F.col("key")).withColumn("k2", F.col("key") % 10)
+        out = fallback_join(
+            f, dim, tiers=[["k1"], ["k2"]], payload=["payload"],
+            dedup_order=[F.col("payload").asc()],
+        )
+        assert out.count() == fact.count()
+
+    def test_drop_unmatched_c20(self, spark, fact, dim):
+        f = fact.withColumn("k1", F.col("key")).withColumn("k2", F.col("key") % 10)
+        out = fallback_join(
+            f, dim, tiers=[["k1"], ["k2"]], payload=["payload"],
+            dedup_order=[F.col("payload").asc()], keep_unmatched=False,
+        )
+        assert out.count() == 3  # row with key 99 dropped
+
+    def test_duplicate_dim_keys_no_fanout(self, spark, fact, dim):
+        """Dim has two rows with k2=1; per-tier dedup must prevent fan-out."""
+        f = fact.withColumn("k1", F.lit(-1)).withColumn("k2", F.lit(1))
+        out = fallback_join(
+            f, dim, tiers=[["k1"], ["k2"]], payload=["payload"],
+            dedup_order=[F.col("payload").asc()],
+        )
+        assert out.count() == fact.count()
+        # 'twenty' < 'twentyone' → dedup keeps 'twenty'
+        assert {r["payload"] for r in out.collect()} == {"twenty"}
+
+
+class TestExpandKeys:
+    def test_two_keys(self, spark):
+        df = spark.createDataFrame([(1, 100, 700)], "id long, EPID long, SPID long")
+        out = expand_keys(df, ["EPID", "SPID"], "LOC_EPID", "src_key")
+        rows = sorted((r["LOC_EPID"], r["src_key"]) for r in out.collect())
+        assert rows == [("100", "EPID"), ("700", "SPID")]
+
+    def test_row_multiplication(self, spark):
+        df = spark.createDataFrame([(i, i * 2, i * 3) for i in range(10)], "id long, a long, b long")
+        assert expand_keys(df, ["a", "b"], "k").count() == 20
+
+
+class TestExpectations:
+    def test_range_gate_passes(self, spark):
+        df = spark.createDataFrame([(150,), (199,)], "EPID int")
+        expect_range(df, "EPID", 100, 199)
+
+    def test_range_gate_aborts(self, spark):
+        df = spark.createDataFrame([(150,), (999,)], "EPID int")
+        with pytest.raises(ExpectationError, match="1 rows"):
+            expect_range(df, "EPID", 100, 199)
+
+    def test_consistency_gate(self, spark):
+        ok = spark.createDataFrame([("x", "x"), ("y", None)], "a string, a_y string")
+        expect_column_consistency(ok, [("a", "a_y")])
+        bad = spark.createDataFrame([("x", "z")], "a string, a_y string")
+        with pytest.raises(ExpectationError):
+            expect_column_consistency(bad, [("a", "a_y")])
+
+    def test_row_count_preserved(self, spark):
+        a = spark.range(5)
+        with pytest.raises(ExpectationError):
+            expect_row_count_preserved(a, spark.range(6))
+        expect_row_count_preserved(a, spark.range(5))
+
+    def test_schema_gate(self, spark):
+        df = spark.createDataFrame([(1, "x")], "a long, b string")
+        expect_schema(df, ["b", "a"])
+        with pytest.raises(ExpectationError):
+            expect_schema(df, ["a", "b", "c"])
+
+    def test_profile(self, spark):
+        df = spark.createDataFrame([(1, "x"), (2, None), (2, "y")], "a long, b string")
+        p = {r["column"]: r for r in profile(df).collect()}
+        assert p["a"]["n_distinct"] == 2
+        assert p["b"]["n_nonnull"] == 2
+        assert p["a"]["n_rows"] == 3

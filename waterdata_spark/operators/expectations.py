@@ -1,0 +1,123 @@
+"""Declarative validation gates (SURVEY.md §2.7: C41-C45).
+
+The reference enforces correctness with inline counts + aborts and
+interactive ``input()`` halts (down/down_water_prep.py:623 etc.). The
+engine replaces those with expectation operators that raise
+``ExpectationError`` — same gates, batch-safe, and cheap: each gate is
+a single aggregate over the violating predicate, which Catalyst
+pushes into the scan where possible.
+
+One deliberate scale choice: gates that need multiple counts over the
+same DataFrame compute them in ONE pass via conditional aggregation
+(``sum(case when ...)``) instead of N ``count()`` actions — at 100 TB
+each extra action is a full re-scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class ExpectationError(AssertionError):
+    """A validation gate failed (replaces the reference's abort /
+    interactive-halt behavior, C45)."""
+
+
+def expect_range(
+    df: DataFrame,
+    col: str,
+    lo: int | float,
+    hi: int | float,
+    allow_null: bool = True,
+) -> DataFrame:
+    """C41: abort if any value falls outside [lo, hi]
+    (direct/direct_water_prep.py:84-101 — preserving the intent, not
+    the latent `EPID>999` bug noted there)."""
+    c = F.col(col)
+    violation = (c < lo) | (c > hi)
+    if not allow_null:
+        violation = violation | c.isNull()
+    n = df.filter(violation).count()
+    if n:
+        raise ExpectationError(f"expect_range: {n} rows with {col} outside [{lo}, {hi}]")
+    return df
+
+
+def expect_column_consistency(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """C42: after an outer join, assert X == X_y wherever X_y is not
+    null, for each (X, X_y) pair (down/down_water_prep.py:324-360).
+    All pairs checked in ONE aggregation pass."""
+    aggs = [
+        F.sum(
+            F.when(F.col(b).isNotNull() & (F.col(a) != F.col(b)), 1).otherwise(0)
+        ).alias(f"{a}!={b}")
+        for a, b in pairs
+    ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    bad = {k: v for k, v in row.items() if v}
+    if bad:
+        raise ExpectationError(f"expect_column_consistency: mismatches {bad}")
+    return df
+
+
+def expect_row_count_preserved(before: DataFrame, after: DataFrame) -> DataFrame:
+    """C43: a join/enrichment must not fan out or drop rows
+    (down/down_water_prep.py:540-543). Guards duplicate dim keys."""
+    n_before, n_after = before.count(), after.count()
+    if n_before != n_after:
+        raise ExpectationError(
+            f"expect_row_count_preserved: {n_before} rows in, {n_after} out"
+        )
+    return after
+
+
+def expect_schema(df: DataFrame, expected: T.StructType | list[str]) -> DataFrame:
+    """C44: schema-shape gate (down/down_water_prep.py:633-637,948-974).
+    With declared StructTypes this is a metadata-only check — no scan."""
+    if isinstance(expected, T.StructType):
+        if df.schema != expected:
+            raise ExpectationError(
+                f"expect_schema: got {df.schema.simpleString()}, want {expected.simpleString()}"
+            )
+    else:
+        if sorted(df.columns) != sorted(expected):
+            raise ExpectationError(
+                f"expect_schema: got columns {sorted(df.columns)}, want {sorted(expected)}"
+            )
+    return df
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """X6: one-pass profiling summary (generalizes the reference's
+    human-reviewed checkpoint CSVs, down/down_water_prep.py:372-373).
+    Returns one row per column: non-null count, distinct count, min,
+    max — all in a single aggregate (no per-column scans)."""
+    cols = cols or df.columns
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    spark = df.sparkSession
+    data = [
+        (c, int(row["__total"]), int(row[f"{c}__nn"]), int(row[f"{c}__nd"]),
+         row[f"{c}__min"], row[f"{c}__max"])
+        for c in cols
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_nonnull", T.LongType()),
+            T.StructField("n_distinct", T.LongType()),
+            T.StructField("min_str", T.StringType()),
+            T.StructField("max_str", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(data, schema)

@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (extension X3).
+
+Two paths:
+
+- ``cosine_topk_bruteforce``: exact top-k via self-join — the
+  correctness baseline (quadratic; fine up to ~10^4 probes).
+- ``cosine_topk_lsh``: random-hyperplane LSH bucketing — the scale
+  path. Vectors only pair within a bucket, so cost is
+  O(n * avg_bucket_size) instead of O(n^2). Deterministic: hyperplanes
+  come from a seeded ChaCha-free LCG expanded JVM-side, so the same
+  buckets appear on every run and every cluster size.
+
+All vector math is JVM-side (``zip_with`` + ``aggregate`` fold) — no
+Python/Arrow round-trip in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def with_unit_vector(df: DataFrame, vec_col: str, out: str = "__unit") -> DataFrame:
+    """Pre-normalize once so each pair costs one dot product, not a dot
+    plus two norms."""
+    v = F.col(vec_col)
+    n = _norm(v)
+    return df.withColumn(out, F.transform(v, lambda x: x.cast("double") / n))
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    sim_col: str | None = "similarity",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every row (self-join baseline).
+
+    Output: id_col, neighbor_id, rank (1..k), and optionally the
+    similarity. Rank ties broken by neighbor id, so the result is
+    fully deterministic.
+    """
+    a = with_unit_vector(df.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("__unit").alias("__ua")
+    )
+    b = a.select(F.col("vec_id").alias("neighbor_id"), F.col("__ua").alias("__ub"))
+    pairs = a.join(b, F.col("vec_id") != F.col("neighbor_id"))
+    sim = _dot(F.col("__ua"), F.col("__ub"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id").asc())
+    out = (
+        pairs.withColumn("__sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    cols = ["vec_id", "neighbor_id", "rank"]
+    if sim_col:
+        out = out.withColumn(sim_col, F.round(F.col("__sim"), 6))
+        cols.append(sim_col)
+    return out.select(*cols)
+
+
+def _lcg_floats(seed: int, n: int) -> list[float]:
+    """Deterministic pseudo-random floats in [-1, 1) from a 64-bit LCG
+    (Knuth MMIX constants). Pure-Python, reproducible everywhere."""
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    out = []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        out.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+    return out
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+    sim_col: str | None = "similarity",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    Each of ``n_tables`` hash tables assigns every vector an
+    ``n_planes``-bit signature (sign of projection onto seeded random
+    hyperplanes). Candidate pairs share a signature in at least one
+    table; exact cosine is computed only within buckets, then global
+    top-k per probe. Recall grows with n_tables; cost with bucket
+    collision rate — both tunable without touching the plan shape.
+
+    At 100 TB: buckets are the shuffle key (small, fixed-width), the
+    quadratic blow-up is bounded per-bucket, and AQE's skew-join
+    handles hot buckets.
+    """
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+
+    unit = with_unit_vector(df.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("__unit")
+    )
+
+    # signature per table: n_planes sign bits packed into a long
+    table_sigs = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            plane = _lcg_floats(seed + t * 1000003 + p * 7919, dim)
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("__unit"),
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        sig = bits[0]
+        for bcol in bits[1:]:
+            sig = sig + bcol
+        table_sigs.append(F.struct(F.lit(t).alias("table"), sig.cast("long").alias("sig")))
+
+    hashed = unit.withColumn("__tsig", F.explode(F.array(*table_sigs))).select(
+        "vec_id", "__unit", F.col("__tsig.table").alias("table"), F.col("__tsig.sig").alias("sig")
+    )
+
+    a = hashed.alias("a")
+    b = hashed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("__unit").alias("__ub"),
+        "table",
+        "sig",
+    ).alias("b")
+    cand = (
+        a.join(b, ["table", "sig"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", F.col("__unit").alias("__ua"), "__ub")
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id").asc())
+    out = (
+        cand.withColumn("__sim", _dot(F.col("__ua"), F.col("__ub")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    cols = ["vec_id", "neighbor_id", "rank"]
+    if sim_col:
+        out = out.withColumn(sim_col, F.round(F.col("__sim"), 6))
+        cols.append(sim_col)
+    return out.select(*cols)

@@ -1,0 +1,806 @@
+"""Oracle-checked query suite — one entry per implemented operator
+from SURVEY.md §2 (+ extension operators §2.9).
+
+Each query has a Spark implementation (DataFrame API, Catalyst-
+optimizable) and a matching ANSI-SQL oracle executed by DuckDB on the
+same parquet tables. Numeric policy, so value-hashes match bit-exact:
+
+- monetary sums: cast operands to DECIMAL before SUM (exact, order-
+  independent), cast the result back to DOUBLE;
+- averages: exact decimal SUM (as double) divided by COUNT — one IEEE
+  division, identical in both engines;
+- row-level arithmetic on doubles: IEEE ops are deterministic and
+  engine-independent — safe to compare raw;
+- every computed integer is cast to BIGINT/long on BOTH sides
+  (Spark's size/row_number return int32, DuckDB's len/EXTRACT return
+  int64 — don't let the engines disagree on width);
+- dates in output are formatted as 'yyyy-MM-dd' strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from waterdata_spark.functions.text import LANG_MARKERS, doc_fingerprint, token_count, tokens
+from waterdata_spark.operators.dedup import exact_dedup, priority_dedup
+from waterdata_spark.operators.expand import expand_keys
+from waterdata_spark.operators.fallback_join import fallback_join
+from waterdata_spark.schemas import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: QueryFn
+    sql: str | None  # None → non-SQL-expressible, driver does rows-only check
+    doc: str = ""
+    tags: list[str] = field(default_factory=list)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, sql: str | None, doc: str = "", tags: list[str] | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = QuerySpec(fn=fn, sql=sql, doc=doc, tags=tags or [])
+        return fn
+
+    return deco
+
+
+def _dec(c: str, scale: int = 2) -> F.Column:
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+def _sum_money(c, scale: int = 2, alias: str | None = None):
+    col = F.col(c) if isinstance(c, str) else c
+    out = F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+    return out.alias(alias) if alias else out
+
+
+# ---------------------------------------------------------------------------
+# Core relational operators (SURVEY.md §2.2-2.6) on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H-Q1-shaped aggregation: C28 counts + hash agg + scalar math. "
+    "Map-side partial aggregation (2 grouping values) makes the shuffle tiny at any scale.",
+    tags=["agg", "filter"],
+)
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _sum_money("l_quantity", 2, "sum_qty"),
+        _sum_money("l_extendedprice", 2, "sum_base_price"),
+        _sum_money(disc_price, 6, "sum_disc_price"),
+        _sum_money(charge, 6, "sum_charge"),
+        (_sum_money("l_quantity", 2) / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q02_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="C8 projection + C11/C12 compound predicate; filters and the 4-column "
+    "ReadSchema push down to the parquet scan.",
+    tags=["filter", "project"],
+)
+def q02_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q03_revenue_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="C16/C17 equi joins, dims broadcast (customer+nation ≪ fact): zero "
+    "shuffle for the joins, one small shuffle for the final agg.",
+    tags=["join", "agg", "broadcast"],
+)
+def q03_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _sum_money("o_totalprice", 2, "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q04_full_outer_order_counts",
+    """
+    WITH big AS (
+      SELECT o_custkey, COUNT(*) AS n_big
+      FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
+    )
+    SELECT COALESCE(c.c_custkey, b.o_custkey) AS custkey,
+           CAST(COALESCE(b.n_big, 0) AS BIGINT) AS n_big_orders,
+           CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS has_customer
+    FROM customer c
+    FULL OUTER JOIN big b ON c.c_custkey = b.o_custkey
+    """,
+    doc="C18 full outer join + C14 coalesce across sides.",
+    tags=["join", "outer"],
+)
+def q04_full_outer_order_counts(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    big = o.filter(F.col("o_totalprice") > 400000).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_big"))
+    j = c.join(big, c.c_custkey == big.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce(c.c_custkey, big.o_custkey).alias("custkey"),
+        F.coalesce(F.col("n_big"), F.lit(0)).cast("long").alias("n_big_orders"),
+        F.when(c.c_custkey.isNotNull(), 1).otherwise(0).alias("has_customer"),
+    )
+
+
+@query(
+    "q05_customers_without_big_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+    )
+    """,
+    doc="Left-anti join — the engine's replacement for the reference's "
+    "null-split emulation (down/down_water_prep.py:511-512).",
+    tags=["join", "anti"],
+)
+def q05_customers_without_big_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 450000)
+    c = load_table(spark, sf, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q06_priority_dedup",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY l_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber ASC
+    ) = 1
+    """,
+    doc="C22 priority dedup: keep the 'best' row per key via an explicit "
+    "row_number window — deterministic, unlike dropDuplicates "
+    "(reference recipe at down/down_water_prep.py:498-501).",
+    tags=["dedup", "window"],
+)
+def q06_priority_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    out = priority_dedup(
+        li,
+        ["l_orderkey"],
+        [F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()],
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@query(
+    "q07_topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS BIGINT) AS rank
+    FROM orders
+    QUALIFY rank <= 3
+    """,
+    doc="Top-K per group via rank window (§2.8 surface the reference lacks).",
+    tags=["window"],
+)
+def q07_topk_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+@query(
+    "q08_distinct_pairs",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    doc="C23 full-row distinct.",
+    tags=["dedup"],
+)
+def q08_distinct_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "q09_key_expansion",
+    """
+    SELECT p_partkey, 'p_brand' AS key_name, p_brand AS key_value
+    FROM part WHERE p_partkey < 100
+    UNION ALL
+    SELECT p_partkey, 'p_type' AS key_name, p_type AS key_value
+    FROM part WHERE p_partkey < 100
+    """,
+    doc="C21 key expansion: explode-of-struct replaces the reference's "
+    "copy+concat self-union (direct/direct_water_prep.py:107-119) — one "
+    "scan, no shuffle.",
+    tags=["expand"],
+)
+def q09_key_expansion(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part").filter(F.col("p_partkey") < 100)
+    out = expand_keys(p, ["p_brand", "p_type"], "key_value", "key_name")
+    return out.select("p_partkey", "key_name", "key_value")
+
+
+@query(
+    "q10_case_when_cleaning",
+    """
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+                ELSE 'partial' END AS status_desc,
+           substr(o_orderpriority, 1, 1) AS priority_class,
+           CASE WHEN trim(o_orderpriority) IN ('', '.', 'nan', 'NaN') THEN NULL
+                ELSE o_orderpriority END AS priority_clean
+    FROM orders
+    """,
+    doc="C13 conditional update (CASE) + C34 substring + C39 sentinel→NULL "
+    "cleaning, all JVM-side expressions.",
+    tags=["scalar"],
+)
+def q10_case_when_cleaning(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.functions.cleaning import clean_sentinels
+
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("partial")
+        .alias("status_desc"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_class"),
+        clean_sentinels("o_orderpriority").alias("priority_clean"),
+    )
+
+
+@query(
+    "q11_union_by_name",
+    """
+    SELECT l_orderkey, l_linenumber, 'returned' AS src
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'finished' AS src
+    FROM lineitem WHERE l_linestatus = 'F'
+    """,
+    doc="C27 bag-semantics union by column name — the column order of the "
+    "two inputs differs, exactly the hazard in §1.3 that makes positional "
+    "union corrupt data.",
+    tags=["union"],
+)
+def q11_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", F.lit("returned").alias("src")
+    )
+    # deliberately different column order; unionByName must align
+    b = li.filter(F.col("l_linestatus") == "F").select(
+        F.lit("finished").alias("src"), "l_linenumber", "l_orderkey"
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "q12_date_parts",
+    """
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+           CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS ship_month,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    doc="C38 date functions + agg by derived calendar keys.",
+    tags=["date", "agg"],
+)
+def q12_date_parts(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy(
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            F.month("l_shipdate").cast("long").alias("ship_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_money("l_extendedprice", 2, "total_price"),
+        )
+    )
+
+
+@query(
+    "q13_string_funcs",
+    """
+    SELECT c_custkey,
+           upper(trim(c_name)) AS name_upper,
+           regexp_replace(c_name, 'Customer#0*', '') AS name_id,
+           substr(c_mktsegment, 1, 3) AS seg3,
+           concat_ws(', ', c_name, c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS display,
+           concat('n', CAST(c_custkey AS VARCHAR)) AS tagged_key
+    FROM customer
+    """,
+    doc="C31-C36 string surface: trim/upper, regex replace, substring, "
+    "concat_ws, and the reference's 'n'-prefix key tagging "
+    "(down/down_water_prep.py:470-471).",
+    tags=["scalar", "string"],
+)
+def q13_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.trim(F.col("c_name"))).alias("name_upper"),
+        F.regexp_replace("c_name", "Customer#0*", "").alias("name_id"),
+        F.substring("c_mktsegment", 1, 3).alias("seg3"),
+        F.concat_ws(", ", "c_name", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("display"),
+        F.concat(F.lit("n"), F.col("c_custkey").cast("string")).alias("tagged_key"),
+    )
+
+
+@query(
+    "q14_fallback_join",
+    """
+    WITH fact AS (
+      SELECT event_id, user_id, user_id * 13 AS k1, user_id + 1370 AS k2 FROM events
+    ),
+    d1 AS (
+      SELECT * FROM (
+        SELECT c_custkey AS k1, c_name, c_mktsegment,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY c_name) AS rn
+        FROM customer
+      ) WHERE rn = 1
+    ),
+    d2 AS (
+      SELECT * FROM (
+        SELECT c_custkey AS k2, c_name, c_mktsegment,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY c_name) AS rn
+        FROM customer
+      ) WHERE rn = 1
+    )
+    SELECT f.event_id, f.user_id,
+           CASE WHEN d1.k1 IS NOT NULL THEN d1.c_name
+                WHEN d2.k2 IS NOT NULL THEN d2.c_name END AS c_name,
+           CASE WHEN d1.k1 IS NOT NULL THEN d1.c_mktsegment
+                WHEN d2.k2 IS NOT NULL THEN d2.c_mktsegment END AS c_mktsegment,
+           CASE WHEN d1.k1 IS NOT NULL THEN 1
+                WHEN d2.k2 IS NOT NULL THEN 2 END AS match_tier
+    FROM fact f
+    LEFT JOIN d1 ON f.k1 = d1.k1
+    LEFT JOIN d2 ON f.k2 = d2.k2
+    """,
+    doc="C19 hierarchical fallback join, the reference's signature composite "
+    "(down/down_water_prep.py:428-546): tier-1 key, retry weaker tier-2 key, "
+    "keep unmatched with NULL payload; per-tier dim dedup prevents fan-out. "
+    "Both dims broadcast — the fact table is never shuffled.",
+    tags=["join", "fallback", "composite"],
+)
+def q14_fallback_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    c = load_table(spark, sf, "customer")
+    fact = e.select(
+        "event_id",
+        "user_id",
+        (F.col("user_id") * 13).alias("k1"),
+        (F.col("user_id") + 1370).alias("k2"),
+    )
+    dim = c.select(
+        F.col("c_custkey").alias("k1"),
+        F.col("c_custkey").alias("k2"),
+        "c_name",
+        "c_mktsegment",
+    )
+    out = fallback_join(
+        fact,
+        dim,
+        tiers=[["k1"], ["k2"]],
+        payload=["c_name", "c_mktsegment"],
+        dedup_order=[F.col("c_name").asc()],
+        keep_unmatched=True,
+        tier_col="match_tier",
+    )
+    return out.select("event_id", "user_id", "c_name", "c_mktsegment", "match_tier")
+
+
+@query(
+    "q15_coalesce_enrich",
+    """
+    WITH dim AS (SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_size > 25)
+    SELECT l.l_orderkey, l.l_linenumber,
+           COALESCE(d.p_brand, 'UNKNOWN') AS brand_filled,
+           COALESCE(d.p_retailprice, 0.0) AS retail_filled
+    FROM lineitem l
+    LEFT JOIN dim d ON l.l_partkey = d.p_partkey
+    """,
+    doc="C17 left join + C14 null-coalesce of payload columns "
+    "(down/down_water_prep.py:307-313 pattern).",
+    tags=["join", "coalesce"],
+)
+def q15_coalesce_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    dim = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_size") > 25)
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+    j = li.join(F.broadcast(dim), li.l_partkey == dim.p_partkey, "left")
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.col("p_brand"), F.lit("UNKNOWN")).alias("brand_filled"),
+        F.coalesce(F.col("p_retailprice"), F.lit(0.0)).alias("retail_filled"),
+    )
+
+
+@query(
+    "q16_range_gate",
+    """
+    SELECT COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE value < 0 OR value > 30) AS n_violations,
+           COUNT(*) FILTER (WHERE value IS NULL) AS n_null
+    FROM events
+    """,
+    doc="C41 range-check gate expressed as a one-pass conditional "
+    "aggregation (direct/direct_water_prep.py:84-101 intent).",
+    tags=["expectations", "agg"],
+)
+def q16_range_gate(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    v = F.col("value")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when((v < 0) | (v > 30), 1)).alias("n_violations"),
+        F.count(F.when(v.isNull(), 1)).alias("n_null"),
+    )
+
+
+@query(
+    "q17_hourly_rollup",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS event_hour,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Batch twin of the streaming tumbling-window aggregation "
+    "(waterdata_spark.streaming): bucket by calendar hour, count + sum. "
+    "events.ts is epoch-ns (long); calendar fields derived with exact "
+    "integer arithmetic (functions/time.py), so the result is identical "
+    "under any session timezone.",
+    tags=["date", "agg", "streaming-twin"],
+)
+def q17_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.functions.time import ns_hour_of_day, ns_to_date
+
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(
+            ns_to_date("ts").cast("string").alias("event_date"),
+            ns_hour_of_day("ts").alias("event_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_money("value", 2, "total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extension operators (SURVEY.md §2.9) — LLM-data-pipeline surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x01_exact_dedup_docs",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+    doc="X1 exact dedup at scale: one row per distinct text, lowest doc_id "
+    "wins. Spark side groups on sha2(text) — a fixed-width shuffle key "
+    "instead of shuffling arbitrarily long documents.",
+    tags=["dedup", "llm"],
+)
+def x01_exact_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return exact_dedup(d, ["text"], "doc_id").select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "x02_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured
+    FROM documents
+    """,
+    doc="X4 token counting (whitespace tokenizer), JVM-side split/filter.",
+    tags=["text", "llm"],
+)
+def x02_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "x03_quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / greatest(len(toks), 1) AS mean_token_len
+    FROM t
+    """,
+    doc="X4 quality scoring: length, token count, mean token length — "
+    "building blocks of an LLM-data quality filter.",
+    tags=["text", "llm"],
+)
+def x03_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("long")
+    tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (tok_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")).alias("mean_token_len"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        "CAST(len(list_filter(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''), "
+        f"t -> lower(t) IN ({markers}))) AS BIGINT)"
+    )
+
+
+@query(
+    "x04_lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang AS lang_given,
+             {_lang_score_sql("en")} AS s_en,
+             {_lang_score_sql("es")} AS s_es,
+             {_lang_score_sql("fr")} AS s_fr,
+             {_lang_score_sql("de")} AS s_de,
+             {_lang_score_sql("zh")} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang_given, s_en, s_es, s_fr, s_de, s_zh,
+           CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh' END AS lang_pred
+    FROM s
+    """,
+    doc="X4 language-ID heuristic: whole-token stopword-marker counts per "
+    "language, argmax with fixed priority tie-break. Deterministic and "
+    "oracle-reproducible.",
+    tags=["text", "llm"],
+)
+def x04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.functions.text import lang_id_score
+
+    d = load_table(spark, sf, "documents")
+    scores = {lang: lang_id_score("text", lang).cast("long") for lang in ["en", "es", "fr", "de", "zh"]}
+    s = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_given"),
+        *[scores[lang].alias(f"s_{lang}") for lang in scores],
+    )
+    e, es, fr, de, zh = (F.col(f"s_{x}") for x in ["en", "es", "fr", "de", "zh"])
+    pred = (
+        F.when((e >= es) & (e >= fr) & (e >= de) & (e >= zh), "en")
+        .when((es >= fr) & (es >= de) & (es >= zh), "es")
+        .when((fr >= de) & (fr >= zh), "fr")
+        .when(de >= zh, "de")
+        .otherwise("zh")
+    )
+    return s.withColumn("lang_pred", pred)
+
+
+@query(
+    "x05_doc_fingerprint",
+    """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+      FROM documents
+    )
+    SELECT doc_id, min(md5(substr(text, CAST(i AS INT), 8))) AS fingerprint
+    FROM idx GROUP BY doc_id
+    """,
+    doc="X4/X2 document fingerprinting: min-hash over all 8-char shingles "
+    "(1-permutation MinHash). md5 is identical in Spark and DuckDB, so "
+    "the fingerprint is oracle-checkable.",
+    tags=["text", "dedup", "llm"],
+)
+def x05_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", doc_fingerprint("text", 8).alias("fingerprint"))
+
+
+@query(
+    "x06_ngram_jaccard_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(list_distinct(
+        list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')
+      )) AS tok
+      FROM documents WHERE doc_id < 120
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.inter_size,
+           sa.n + sb.n - p.inter_size AS union_size
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE p.inter_size >= 5
+    """,
+    doc="X2 n-gram Jaccard near-dup candidates. Scalable shape: explode "
+    "distinct tokens and self-join on token (an inverted index) instead of "
+    "a quadratic crossJoin — at 100 TB the token join only pairs documents "
+    "that actually share a token. Jaccard reported as exact integer "
+    "intersection/union sizes (floats would hash-differ).",
+    tags=["dedup", "similarity", "llm"],
+)
+def x06_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    tok = d.select("doc_id", "lang", F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(F.col("inter_size") >= 5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_size",
+            (F.col("sa.n") + F.col("sb.n") - F.col("inter_size")).alias("union_size"),
+        )
+    )
+
+
+@query(
+    "x07_cosine_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings WHERE vec_id < 200
+    ),
+    x AS (
+      SELECT vec_id, CAST(i AS INT) AS i,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+      FROM e
+    ),
+    norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+      FROM x a JOIN x b ON a.i = b.i AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT d.vec_id, d.neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.neighbor_id ASC
+           ) AS BIGINT) AS rank
+    FROM dots d
+    JOIN norms na ON d.vec_id = na.vec_id
+    JOIN norms nb ON d.neighbor_id = nb.vec_id
+    QUALIFY rank <= 5
+    """,
+    doc="X3 brute-force cosine top-k over the embedding column — the exact "
+    "baseline for ANN (the LSH-bucketed scale path lives in "
+    "operators/similarity.py and is benchmarked, not oracled). Output is "
+    "rank-only (ints): float sums differ in the last ulp across engines, "
+    "ranks don't.",
+    tags=["similarity", "llm"],
+)
+def x07_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.similarity import cosine_topk_bruteforce
+
+    e = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    return cosine_topk_bruteforce(e, id_col="vec_id", vec_col="embedding", k=5).select(
+        "vec_id", "neighbor_id", "rank"
+    )

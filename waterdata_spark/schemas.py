@@ -1,0 +1,143 @@
+"""Declared schemas for the engine.
+
+Two families:
+
+1. The water-domain entities from the reference pipeline
+   (SURVEY.md §1.1). The reference infers schemas at read time and
+   coerces imperatively (``astype`` at down/down_water_prep.py:281-288,
+   direct/direct_water_prep.py:81-82); the engine declares them once
+   so every cast is explicit at ingest and Catalyst can prune/push.
+
+2. The driver's synthetic TPC-H-ish tables (TESTDATA.md) used by the
+   correctness oracle and benchmarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# Water-domain entities (reference parity; SURVEY.md §1.1)
+# --------------------------------------------------------------------------
+
+# Fact table, "down" channel: one lab analysis per
+# (system, location, contaminant, date). Columns cited at
+# down/down_water_prep.py:173-192.
+SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("Sample Location", T.StringType()),
+        T.StructField("Contaminant ID", T.StringType()),
+        T.StructField("Analysis Result", T.StringType()),  # '.' sentinel → cleaned to double
+        T.StructField("MCL In Effect", T.StringType()),
+        T.StructField("Sample Date", T.StringType()),  # MM/DD/YYYY, cleaned to date
+        T.StructField("Sample Type", T.StringType()),
+        T.StructField("Laboratory ID", T.StringType()),
+        T.StructField("Analysis Method", T.StringType()),
+        T.StructField("Analysis Date", T.StringType()),
+        T.StructField("Sample Received Date", T.StringType()),
+        # provenance columns (down/down_water_prep.py:185-192)
+        T.StructField("SPLIT_PAGES", T.StringType()),
+        T.StructField("PWSID", T.LongType()),
+        T.StructField("SYSTEM NAME", T.StringType()),
+        T.StructField("MAIN_PAGE", T.StringType()),
+        T.StructField("TOP_MARGIN", T.StringType()),
+        T.StructField("SYSNAME_PAGE", T.StringType()),
+    ]
+)
+
+# Dim "SPI": one row per (PWSID, sample point)
+# (down/down_water_prep.py:67, down/csvdispSPIp1.csv:1).
+SAMPLE_POINTS_KEY_COLS = ["PWSID", "SAMPLE POINT ID"]
+
+# Dim "BI": one row per PWSID (down/down_water_prep.py:69).
+SYSTEMS_KEY_COLS = ["PWSID"]
+
+# Dim sites: one row per SITE_ID (down/down_water_prep.py:70-71).
+SITES_SCHEMA = T.StructType(
+    [
+        T.StructField("SITE_ID", T.LongType()),
+        T.StructField("SITE_NAME", T.StringType()),
+        T.StructField("SISSCD_ID", T.StringType()),
+        T.StructField("EPA_SITE_ID", T.StringType()),
+        T.StructField("ADDRESS1", T.StringType()),
+        T.StructField("ADDRESS2", T.StringType()),
+        T.StructField("CITY", T.StringType()),
+        T.StructField("STATE_CODE", T.StringType()),
+        T.StructField("ZIP_CODE", T.StringType()),
+    ]
+)
+
+# "direct" channel fact (direct/direct_water_prep.py:152, compare.py:36).
+DIRECT_DATA_COLS = [
+    "PWSID",
+    "CONTAMID",
+    "CONTNAM",
+    "RESULT",
+    "SAMPTYPE",
+    "SAMPDATE",
+    "SAMPTIME",
+    "ANALDATE",
+]
+
+# "direct" channel dim subset kept (direct/direct_water_prep.py:126).
+DIRECT_SYSINFO_COLS = [
+    "PWSID",
+    "SYSTYPE",
+    "LOC_EPID",
+    "SYSNAME",
+    "POPL",
+    "AREACITY",
+    "SYSOWNAM",
+    "MAIL_ADDR1",
+    "MAIL_ADDR2",
+    "SYSLOCCY",
+    "MAIL_ZIP",
+]
+
+# Domain ranges (direct/direct_water_prep.py:76-78,85-89).
+EPID_RANGE = (100, 199)
+SPID_RANGE = (700, 999)
+
+# --------------------------------------------------------------------------
+# Synthetic testdata tables (TESTDATA.md)
+# --------------------------------------------------------------------------
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Parquet scan → Catalyst gets pushdown
+    and column pruning for free; callers select/filter declaratively.
+
+    ``events.ts`` is a nanosecond-precision INT64 parquet timestamp,
+    which Spark cannot represent natively — it is read as a raw long
+    (ns since epoch, UTC) via the legacy nanosAsLong flag. Use the
+    helpers in functions/time.py to derive calendar columns from it;
+    they are pure integer arithmetic, so results never depend on the
+    session timezone (the driver's session may not be UTC).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register the testdata tables as temp views for the SQL surface."""
+    for n in names or TESTDATA_TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
