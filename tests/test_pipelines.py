@@ -1,0 +1,155 @@
+"""Pipeline integration tests (SURVEY.md §3/§5): the down conform+join
+path runs against the reference's real shipped data (144,595 fact
+rows); direct + compare run on reference-shaped fixtures; the 7-key
+reconciliation join reproduces matches across the two channels."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.xlsx_util import write_xlsx
+from waterdata_spark.pipelines.compare import compare_pipeline
+from waterdata_spark.pipelines.direct import direct_pipeline, read_direct_workbook
+from waterdata_spark.pipelines.down import down_csv_stage, down_join_stage
+
+REF_DOWN = "/root/reference/down"
+HAVE_REF = os.path.exists(f"{REF_DOWN}/csvdispSPIp1.csv")
+
+
+@pytest.fixture(scope="module")
+def down_outputs(spark):
+    if not HAVE_REF:
+        pytest.skip("reference data absent")
+    site_sub, data = down_csv_stage(
+        spark,
+        spi_paths=sorted(glob.glob(f"{REF_DOWN}/csvdispSPIp*.csv")),
+        bi_paths=sorted(glob.glob(f"{REF_DOWN}/csvdispBIp*.csv")),
+        sites_xlsx=f"{REF_DOWN}/ResultsSite.xlsx",
+        data_paths=sorted(glob.glob(f"{REF_DOWN}/rptinfo*.csv")),
+    )
+    return site_sub.cache(), data.cache()
+
+
+class TestDownPipeline:
+    def test_csv_stage_site_schema(self, down_outputs):
+        site_sub, _ = down_outputs
+        assert "Lat_Long_Address" in site_sub.columns
+        assert len(site_sub.columns) == 24  # 23 fields + Lat_Long_Address
+
+    def test_csv_stage_data_cleaned(self, down_outputs):
+        _, data = down_outputs
+        # PDF artifact repaired (down/down_water_prep.py:318)
+        assert data.filter(F.col("Sample Type") == "DISTRIBUTIO N").count() == 0
+        assert data.filter(F.col("Sample Type") == "DISTRIBUTION").count() > 0
+        # dates de-spaced (:321)
+        assert data.filter(F.col("Sample Date").contains(" ")).count() == 0
+
+    def test_join_stage_row_preservation(self, spark, down_outputs):
+        """C43: the hierarchical join must neither fan out nor drop
+        (down/down_water_prep.py:540-543)."""
+        site_sub, data = down_outputs
+        out = down_join_stage(spark, site_sub, data)
+        assert out.count() == data.count()
+
+    def test_join_stage_enrichment_coverage(self, spark, down_outputs):
+        site_sub, data = down_outputs
+        out = down_join_stage(spark, site_sub, data)
+        n = out.count()
+        enriched = out.filter(F.col("ZIP_CODE").isNotNull() & (F.col("ZIP_CODE") != "")).count()
+        # measured on the shipped reference data: 125,638/143,992 (87.3%)
+        # get an address — the rest belong to systems whose SPI/BI pages
+        # are not in the shipped subset
+        assert enriched / n > 0.85
+
+
+def _direct_fixture_sheets():
+    si_header = [
+        "PWSID", "SYSTYPE", "EPID", "SPID", "SYSNAME", "POPL", "AREACITY",
+        "SYSOWNAM", "MAIL_ADDR1", "MAIL_ADDR2", "SYSLOCCY", "MAIL_ZIP",
+    ]
+    system_info = [
+        si_header,
+        [6430001, "CWS", 101, 701, "SCENIC MHP", 50, "MERCER", "OWNER A", "1 Main", None, "MERCER", "16137"],
+        [6430002, "CWS", 102, 702, "OTHER SYS", 99, "BUTLER", "OWNER B", "2 Elm", "Apt 1", "BUTLER", "16001"],
+    ]
+    data_header = ["PWSID", "CONTAMID", "CONTNAM", "RESULT", "SAMPTYPE", "SAMPDATE", "SAMPTIME", "ANALDATE", "LOC_EPID"]
+    data = [
+        data_header,
+        [6430001, 1040, "NITRATE", 1.1, "E", "8/4/2017", "09:00", "8/6/2017", 101],   # strict match (EPID)
+        [6430001, 1040, "NITRATE", 1.2, "D", "8/5/2017", "09:00", "8/7/2017", 701],   # strict match (SPID)
+        [6430002, 2950, "TTHM", 0.05, "D", "9/1/2017", "10:00", "9/3/2017", 999],     # loose match (PWSID only)
+        [9999999, 1040, "NITRATE", 9.9, "E", "9/9/2017", "11:00", "9/9/2017", 101],   # no match → dropped
+    ]
+    violations = [["PWSID", "VIOLATION"], [6430001, "NONE"]]
+    return {"System Info": system_info, "Violations": violations, "Data": data}
+
+
+class TestDirectPipeline:
+    def test_strict_loose_drop(self, spark, tmp_path):
+        p = write_xlsx(str(tmp_path / "direct.xlsx"), _direct_fixture_sheets())
+        sheets = read_direct_workbook(spark, p)
+        out = direct_pipeline(spark, sheets["System Info"], sheets["Data"])
+        rows = {(r["PWSID"], r["LOC_EPID"]): r for r in out.collect()}
+        assert len(rows) == 3  # unmatched PWSID 9999999 dropped (C20)
+        assert rows[(6430001, "101")]["MAIL_ZIP"] == "16137"
+        assert rows[(6430001, "701")]["MAIL_ZIP"] == "16137"
+        assert rows[(6430002, "999")]["MAIL_ZIP"] == "16001"  # loose tier
+
+    def test_range_gate_fires(self, spark, tmp_path):
+        from waterdata_spark.operators.expectations import ExpectationError
+
+        sheets = _direct_fixture_sheets()
+        sheets["System Info"][1][2] = 999  # EPID out of [100,199]
+        p = write_xlsx(str(tmp_path / "bad.xlsx"), sheets)
+        loaded = read_direct_workbook(spark, p)
+        with pytest.raises(ExpectationError):
+            direct_pipeline(spark, loaded["System Info"], loaded["Data"])
+
+
+class TestComparePipeline:
+    def test_seven_key_reconciliation(self, spark):
+        down = spark.createDataFrame(
+            [
+                # matches direct row 1 on all 7 keys
+                ("n101", "NITRATE", "1.1", ".", "08/04/2017", "ENTRY POINT", "8/6/2017", 6430001, "SCENIC MHP "),
+                # differs on Sample Date → no match
+                ("n101", "NITRATE", "1.3", ".", "08/05/2017", "ENTRY POINT", "8/6/2017", 6430001, "SCENIC MHP"),
+            ],
+            "`Sample Location` string, `Contaminant ID` string, `Analysis Result` string, "
+            "`MCL In Effect` string, `Sample Date` string, `Sample Type` string, "
+            "`Analysis Date` string, PWSID long, `SYSTEM NAME` string",
+        )
+        direct = spark.createDataFrame(
+            [(6430001, 1040, "NITRATE", 1.1, "E", "8/4/2017", "09:00", "8/6/2017", "SCENIC MHP", "101", "16137", "x")],
+            "PWSID long, CONTAMID long, CONTNAM string, RESULT double, SAMPTYPE string, "
+            "SAMPDATE string, SAMPTIME string, ANALDATE string, SYSNAME string, LOC_EPID string, "
+            "MAIL_ZIP string, MAIL_ADDR2 string",
+        )
+        out = compare_pipeline(spark, down, direct)
+        rows = out.collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["RESULT"] == 1.1 and r["Analysis Result"] == 1.1
+        assert r["row_num_down"] is not None and r["row_num_direct"] is not None
+
+    def test_compat_sentinel_date(self, spark):
+        """Sentinel analysis dates join via the 1/9/1999 default
+        (compare.py:63) when compat is on."""
+        down = spark.createDataFrame(
+            [("n101", "LEAD", "0.01", ".", "08/04/2017", "DISTRIBUTION", ".", 1, "S")],
+            "`Sample Location` string, `Contaminant ID` string, `Analysis Result` string, "
+            "`MCL In Effect` string, `Sample Date` string, `Sample Type` string, "
+            "`Analysis Date` string, PWSID long, `SYSTEM NAME` string",
+        )
+        direct = spark.createDataFrame(
+            [(1, 1, "LEAD", 0.01, "D", "8/4/2017", "09:00", "1/9/1999", "S", "101", "16137", None)],
+            "PWSID long, CONTAMID long, CONTNAM string, RESULT double, SAMPTYPE string, "
+            "SAMPDATE string, SAMPTIME string, ANALDATE string, SYSNAME string, LOC_EPID string, "
+            "MAIL_ZIP string, MAIL_ADDR2 string",
+        )
+        assert compare_pipeline(spark, down, direct, compat_date_default=True).count() == 1
+        assert compare_pipeline(spark, down, direct, compat_date_default=False).count() == 0

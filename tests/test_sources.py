@@ -1,0 +1,136 @@
+"""Source adapter tests (SURVEY.md C1-C5): multi-CSV unionByName,
+stdlib xlsx reader (against both a generated fixture and the
+reference's real ResultsSite.xlsx), and the PDF-table plumbing with
+the deterministic fake extractor."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from tests.xlsx_util import write_xlsx
+from waterdata_spark.sources.csv import read_csv_multi
+from waterdata_spark.sources.excel import read_excel_sheet, read_excel_sheets
+from waterdata_spark.sources.pdf_table import (
+    fake_pdf_text_extractor,
+    parse_banner,
+    read_pdf_tables,
+    stitch_pages,
+)
+from waterdata_spark.sources.sink import checkpoint_parquet, write_csv
+
+REF_DOWN = "/root/reference/down"
+
+
+class TestCsv:
+    def test_union_by_name_different_orders(self, spark, tmp_path):
+        # the §1.3 hazard: same columns, different order across files
+        (tmp_path / "a.csv").write_text("x,y\n1,2\n")
+        (tmp_path / "b.csv").write_text("y,x\n20,10\n")
+        df = read_csv_multi(spark, [str(tmp_path / "a.csv"), str(tmp_path / "b.csv")])
+        rows = sorted((r["x"], r["y"]) for r in df.collect())
+        assert rows == [("1", "2"), ("10", "20")]
+
+    @pytest.mark.skipif(not os.path.exists(REF_DOWN), reason="reference data absent")
+    def test_reference_yearly_files(self, spark):
+        """The shipped rptinfo CSVs: 2014-2016 vs 2017+ column orders
+        must union to 144,595 rows with one schema."""
+        paths = sorted(glob.glob(f"{REF_DOWN}/rptinfo*.csv"))
+        df = read_csv_multi(spark, paths)
+        assert df.count() == 144595
+        assert len(df.columns) == 16
+
+
+class TestExcel:
+    def test_generated_roundtrip(self, spark, tmp_path):
+        p = write_xlsx(
+            str(tmp_path / "t.xlsx"),
+            {"S1": [["A", "B"], ["x", 1], [None, 2.5]], "S2": [["C"], ["only"]]},
+        )
+        df = read_excel_sheet(spark, p, "S1")
+        assert df.columns == ["A", "B"]
+        rows = df.collect()
+        assert (rows[0]["A"], rows[0]["B"]) == ("x", "1")
+        assert rows[1]["A"] is None and rows[1]["B"] == "2.5"
+        both = read_excel_sheets(spark, p, ["S1", "S2"])
+        assert both["S2"].collect()[0]["C"] == "only"
+
+    @pytest.mark.skipif(not os.path.exists(f"{REF_DOWN}/ResultsSite.xlsx"), reason="reference data absent")
+    def test_reference_results_site(self, spark):
+        """The real sites dim: 5,564 data rows, 9 declared columns
+        (SURVEY.md §1.1 'sites')."""
+        df = read_excel_sheet(spark, f"{REF_DOWN}/ResultsSite.xlsx")
+        assert df.count() == 5564
+        assert df.columns == [
+            "SITE_ID", "SITE_NAME", "SISSCD_ID", "EPA_SITE_ID",
+            "ADDRESS1", "ADDRESS2", "CITY", "STATE_CODE", "ZIP_CODE",
+        ]
+
+
+FAKE_PDF = (
+    "*** PWSID = 6430001 | SYSTEM NAME = SCENIC MHP ***\n"
+    "#HEADER\tSample Location\tContaminant ID\tAnalysis Result\tMCL In Effect\tSample Date\tSample Type\tLaboratory ID\tAnalysis Method\tAnalysis Date\tSample Received Date\n"
+    "101\tCHLORINE\t0.72\t.\t01/01/2014\tENTRY POINT\tLAB1\tM1\t01/01/2014\t02/07/2014\n"
+    "\f"
+    "continuation page without header\n"
+    "102\tLEAD\t0.01\t0.015\t02/01/2014\tDISTRIBUTION\tLAB2\tM2\t02/02/2014\t02/09/2014\n"
+    "\f"
+    "*** PWSID = 6430002 | SYSTEM NAME = OTHER SYSTEM ***\n"
+    "#HEADER\tSample Location\tContaminant ID\tAnalysis Result\tMCL In Effect\tSample Date\n"
+    "201\tNITRATE\t1.1\t10\t03/01/2014\n"
+    "\f"
+    "right half of split page\n"
+    "#HEADER\tSample Type\tLaboratory ID\tAnalysis Method\tAnalysis Date\tSample Received Date\n"
+    "RAW WATER\tLAB3\tM3\t03/02/2014\t03/05/2014\n"
+)
+
+
+class TestPdfTable:
+    def test_parse_banner(self):
+        assert parse_banner("*** PWSID = 123 | SYSTEM NAME = FOO BAR ***") == ("123", "FOO BAR")
+        assert parse_banner("no banner here") is None
+
+    def test_stitch_pages_semantics(self):
+        pages = fake_pdf_text_extractor(FAKE_PDF.encode())
+        rows = stitch_pages(pages)
+        assert len(rows) == 3
+        # page 1: full header
+        assert rows[0]["PWSID"] == "6430001" and rows[0]["Contaminant ID"] == "CHLORINE"
+        # page 2: headerless continuation carries header AND banner group (C5d)
+        assert rows[1]["PWSID"] == "6430001" and rows[1]["Contaminant ID"] == "LEAD"
+        assert rows[1]["SYSNAME_PAGE"] == "1" and rows[1]["MAIN_PAGE"] == "2"
+        # pages 3+4: split column-pages recombined (C5c)
+        assert rows[2]["PWSID"] == "6430002"
+        assert rows[2]["Contaminant ID"] == "NITRATE" and rows[2]["Laboratory ID"] == "LAB3"
+        assert rows[2]["SPLIT_PAGES"] == "1"
+
+    def test_distributed_read(self, spark, tmp_path):
+        """C5 plumbing: binaryFile scan → mapInPandas, parallel across files."""
+        for i in range(3):
+            (tmp_path / f"y{i}.pdf").write_bytes(FAKE_PDF.encode())
+        df = read_pdf_tables(spark, str(tmp_path / "*.pdf"), extractor=fake_pdf_text_extractor)
+        assert df.count() == 9
+        assert df.select("source_file").distinct().count() == 3
+        assert "PWSID" in df.columns and "TOP_MARGIN" in df.columns
+
+    def test_real_extractor_is_gated(self, spark, tmp_path):
+        (tmp_path / "x.pdf").write_bytes(b"%PDF-fake")
+        df = read_pdf_tables(spark, str(tmp_path / "x.pdf"))
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="No PDF library|NotImplemented"):
+            df.count()
+
+
+class TestSinks:
+    def test_checkpoint_roundtrip(self, spark, tmp_path):
+        df = spark.range(10).withColumnRenamed("id", "n")
+        back = checkpoint_parquet(df, str(tmp_path / "ckpt"))
+        assert back.count() == 10 and back.columns == ["n"]
+
+    def test_write_csv(self, spark, tmp_path):
+        write_csv(spark.range(3), str(tmp_path / "out"), single_file=True)
+        files = glob.glob(str(tmp_path / "out" / "*.csv"))
+        assert len(files) == 1

@@ -1,0 +1,13 @@
+from waterdata_spark.sources.csv import read_csv, read_csv_multi
+from waterdata_spark.sources.excel import read_excel_sheet, read_excel_sheets
+from waterdata_spark.sources.sink import checkpoint_parquet, write_csv, write_parquet
+
+__all__ = [
+    "read_csv",
+    "read_csv_multi",
+    "read_excel_sheet",
+    "read_excel_sheets",
+    "checkpoint_parquet",
+    "write_csv",
+    "write_parquet",
+]
