@@ -33,18 +33,22 @@ HEADLINE = [
     "q17_hourly_rollup",
     "x01_exact_dedup_docs",
     "x06_ngram_jaccard_pairs",
-    "x07_lsh_topk_bench",
+    "q18_asof_join",
+    "q19_sessionize",
+    "x08_minhash_bands",
+    "x07_ivf_topk_bench",
 ]
 
 
-def _lsh_bench(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from waterdata_spark.operators.similarity import cosine_topk_lsh
+def _ivf_bench(spark, sf_dir):
+    from waterdata_spark.operators.similarity import cosine_topk_ivf_blocked
     from waterdata_spark.schemas import load_table
 
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_lsh(e, k=5, n_planes=10, n_tables=4)
+    # cells scale with data so cell population stays bounded
+    n = e.count()
+    cells = max(16, n // 256)
+    return cosine_topk_ivf_blocked(e, k=5, n_cells=cells, n_probe=max(4, cells // 4))
 
 
 def main() -> None:
@@ -58,7 +62,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = _lsh_bench if name == "x07_lsh_topk_bench" else QUERIES[name].fn
+        fn = _ivf_bench if name == "x07_ivf_topk_bench" else QUERIES[name].fn
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()

@@ -1,0 +1,181 @@
+"""Tests for the extension surface: as-of join, approximate dedup
+(MinHash LSH / SimHash), multimodal plumbing, streaming ops
+(SURVEY.md §2.8-2.9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from waterdata_spark.operators.asof import asof_join
+from waterdata_spark.operators.dedup_approx import (
+    hamming_distance,
+    jaccard_verify_pairs,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    simhash_signature,
+)
+from waterdata_spark.operators.multimodal import (
+    dedup_media_exact,
+    extract_media_features,
+    fake_image_codec,
+)
+
+
+class TestAsofJoin:
+    def test_backward_basic(self, spark):
+        left = spark.createDataFrame([(1, 100, 10), (1, 200, 20), (2, 150, 30)], "k long, t long, lv long")
+        right = spark.createDataFrame([(1, 90, "a"), (1, 150, "b"), (2, 200, "c")], "k long, t long, p string")
+        out = asof_join(left, right, on=["k"], ts="t", payload=["p"])
+        rows = {(r["k"], r["t"]): r["p_right"] for r in out.collect()}
+        assert rows[(1, 100)] == "a"  # 90 <= 100
+        assert rows[(1, 200)] == "b"  # 150 is latest <= 200
+        assert rows[(2, 150)] is None  # no right row <= 150
+
+    def test_exact_match_toggle(self, spark):
+        left = spark.createDataFrame([(1, 100)], "k long, t long")
+        right = spark.createDataFrame([(1, 100, "same")], "k long, t long, p string")
+        inc = asof_join(left, right, on=["k"], ts="t", payload=["p"], allow_exact_match=True)
+        exc = asof_join(left, right, on=["k"], ts="t", payload=["p"], allow_exact_match=False)
+        assert inc.collect()[0]["p_right"] == "same"
+        assert exc.collect()[0]["p_right"] is None
+
+    def test_forward_direction(self, spark):
+        left = spark.createDataFrame([(1, 100)], "k long, t long")
+        right = spark.createDataFrame([(1, 90, "past"), (1, 120, "future")], "k long, t long, p string")
+        out = asof_join(left, right, on=["k"], ts="t", payload=["p"], direction="forward")
+        assert out.collect()[0]["p_right"] == "future"
+
+    def test_row_count_preserved(self, spark):
+        left = spark.range(100).select(F.lit(1).alias("k"), F.col("id").alias("t"))
+        right = spark.createDataFrame([(1, 5, "x")], "k long, t long, p string")
+        assert asof_join(left, right, on=["k"], ts="t", payload=["p"]).count() == 100
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs through the green field every single morning"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("green", "blue")),  # near dup of 0
+        (3, "completely different text about spark query engines and distributed columnar execution plans"),
+        (4, "another unrelated document mentioning water quality sampling in mercer county pennsylvania"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestMinHash:
+    def test_candidates_include_planted_dups(self, spark, near_dup_docs):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_candidate_pairs(near_dup_docs, "doc_id", "text", n_hashes=8, n_bands=4).collect()
+        }
+        assert (0, 1) in pairs  # exact dup always collides
+
+    def test_jaccard_verify(self, spark, near_dup_docs):
+        pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "id_a long, id_b long")
+        verified = jaccard_verify_pairs(near_dup_docs, pairs, "doc_id", "text", threshold=0.5)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+        assert got[(0, 1)] == 1.0
+        assert (0, 2) in got and got[(0, 2)] > 0.5
+        assert (0, 3) not in got
+
+    def test_dedup_removes_cluster(self, spark, near_dup_docs):
+        kept = minhash_dedup(near_dup_docs, "doc_id", "text", n_hashes=8, n_bands=4, threshold=0.5)
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        assert 0 in ids and 1 not in ids  # lowest id of the dup cluster survives
+        assert 3 in ids and 4 in ids
+
+    def test_dedup_idempotent(self, spark, near_dup_docs):
+        once = minhash_dedup(near_dup_docs, "doc_id", "text", n_hashes=8, n_bands=4, threshold=0.5)
+        twice = minhash_dedup(once, "doc_id", "text", n_hashes=8, n_bands=4, threshold=0.5)
+        assert sorted(r["doc_id"] for r in once.collect()) == sorted(r["doc_id"] for r in twice.collect())
+
+
+class TestSimHash:
+    def test_identical_texts_same_signature(self, spark, near_dup_docs):
+        sigs = {r["doc_id"]: r["s"] for r in near_dup_docs.select("doc_id", simhash_signature("text").alias("s")).collect()}
+        assert sigs[0] == sigs[1]
+
+    def test_near_dups_closer_than_unrelated(self, spark, near_dup_docs):
+        sigs = near_dup_docs.select("doc_id", simhash_signature("text").alias("s"))
+        a = sigs.alias("a")
+        b = sigs.alias("b")
+        d = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("ia"),
+                F.col("b.doc_id").alias("ib"),
+                hamming_distance(F.col("a.s"), F.col("b.s")).alias("h"),
+            )
+        )
+        dist = {(r["ia"], r["ib"]): r["h"] for r in d.collect()}
+        assert dist[(0, 2)] < dist[(0, 3)]
+        assert dist[(0, 2)] < dist[(0, 4)]
+
+
+class TestMultimodal:
+    @pytest.fixture()
+    def media(self, spark):
+        rows = [
+            (1, "image", b"\x89PNG-fake-one", len(b"\x89PNG-fake-one"), "image/png", {"src": "a"}),
+            (2, "image", b"\x89PNG-fake-two", 13, "image/png", {"src": "b"}),
+            (3, "image", b"\x89PNG-fake-one", 13, "image/png", {"src": "c"}),  # dup content of 1
+        ]
+        from waterdata_spark.operators.multimodal import MEDIA_SCHEMA
+
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def test_feature_extraction_deterministic(self, spark, media):
+        f1 = extract_media_features(media, codec=fake_image_codec).collect()
+        f2 = extract_media_features(media, codec=fake_image_codec).collect()
+        by_id1 = {r["media_id"]: r for r in f1}
+        by_id2 = {r["media_id"]: r for r in f2}
+        assert by_id1[1]["feature"] == by_id2[1]["feature"]
+        assert by_id1[1]["content_sha"] == by_id1[3]["content_sha"]
+        assert len(by_id1[1]["feature"]) == 8
+
+    def test_exact_media_dedup(self, spark, media):
+        kept = dedup_media_exact(media)
+        assert sorted(r["media_id"] for r in kept.collect()) == [1, 2]
+
+    def test_real_codec_gated(self, spark, media):
+        with pytest.raises(Exception, match="No image library|NotImplemented"):
+            extract_media_features(media).collect()
+
+
+@pytest.fixture()
+def events_stream_dir(tmp_path):
+    """File streams read DIRECTORIES; stage the events table alone."""
+    import shutil
+
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+class TestStreaming:
+    def test_hourly_rollup_matches_batch_twin(self, spark, events_stream_dir):
+        """availableNow file stream over the events parquet must produce
+        the same buckets as the batch query (q17's logic)."""
+        from waterdata_spark.queries import QUERIES
+        from waterdata_spark.streaming.ops import hourly_rollup_stream, read_events_stream, run_stream_to_memory
+
+        stream = read_events_stream(spark, events_stream_dir)
+        # complete mode: append would hold back windows still inside the
+        # watermark at end-of-input (by design — late data could arrive)
+        out = run_stream_to_memory(hourly_rollup_stream(stream), "t_hourly", output_mode="complete")
+        got = out.groupBy().agg(F.sum("n").alias("total")).collect()[0]["total"]
+        batch_total = QUERIES["q17_hourly_rollup"].fn(spark, SF_SMOKE).agg(F.sum("n")).collect()[0][0]
+        assert got == batch_total
+
+    def test_sessionize_stream_runs(self, spark, events_stream_dir):
+        from waterdata_spark.streaming.ops import read_events_stream, run_stream_to_memory, sessionize_stream
+
+        stream = read_events_stream(spark, events_stream_dir)
+        out = run_stream_to_memory(sessionize_stream(stream, gap="30 minutes"), "t_sessions")
+        assert out.count() > 0
+        assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0

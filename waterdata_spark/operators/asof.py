@@ -1,0 +1,79 @@
+"""As-of join (SURVEY.md §2.8 extension; guide 'Common OLAP patterns').
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do). The scalable
+implementation is NOT a pairwise range join (quadratic per key) but
+the union+window trick:
+
+1. tag right rows, union both sides on (key, ts),
+2. one window per key ordered by ts carries the most recent right
+   payload forward (``last(ignorenulls)`` over unbounded-preceding),
+3. keep only left rows.
+
+Cost: ONE shuffle on the key — the same as a plain equi-join — and
+state linear in rows. This is the standard point-in-time-join shape
+used by feature stores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts: str,
+    payload: list[str],
+    direction: str = "backward",
+    allow_exact_match: bool = True,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach ``payload`` from the right row with
+    the greatest right.ts <= left.ts (direction='backward'; 'forward'
+    = least right.ts >= left.ts) within the same ``on`` key group.
+
+    Left rows with no qualifying right row keep NULL payload (left
+    semantics). ``ts`` must be a totally ordered column (numeric or
+    timestamp) present in both sides under the same name.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    pay_cols = [f"{c}{suffix}" for c in payload]
+    l_tagged = left.withColumn("__is_left", F.lit(1))
+    for c in pay_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None))
+    r_tagged = right.select(
+        *on,
+        F.col(ts),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+    ).withColumn("__is_left", F.lit(0))
+
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    # within equal ts: exact match allowed → right rows sort BEFORE left
+    # rows so the window already sees them; disallowed → after.
+    tie = F.col("__is_left").asc() if allow_exact_match else F.col("__is_left").desc()
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(ts).asc(), tie)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in pay_cols]
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(ts).desc(), tie)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in pay_cols]
+
+    out_cols = [c for c in unioned.columns if c not in pay_cols and c != "__is_left"]
+    return (
+        unioned.select(*out_cols, F.col("__is_left"), *carried)
+        .filter(F.col("__is_left") == 1)
+        .drop("__is_left")
+    )

@@ -1,0 +1,210 @@
+"""Approximate / fuzzy deduplication at scale (SURVEY.md §2.9 X2;
+BASELINE.json "dedup" north star).
+
+Three families, all deterministic and all built JVM-side:
+
+- **MinHash + LSH banding**: k independent min-hashes over character
+  shingles; hashes grouped into bands; documents sharing any band
+  bucket are near-dup candidates. Candidate generation is a groupBy
+  on (band_id, band_hash) — a fixed-width shuffle key, never the
+  document text. Classic Broder MinHash, public-domain algorithm.
+- **SimHash**: 64-bit weighted-projection signature via xxhash64 of
+  tokens; near-dups differ in few bits. Signature is one long —
+  cheap to store, bucketable by prefix.
+- **n-gram Jaccard verification**: exact set overlap on shingles for
+  candidate pairs (the verify step after LSH recall).
+
+Determinism note: min-hash permutations are md5(seed_i || shingle) —
+stable across engines (md5 exists in DuckDB too, so the banding is
+oracle-checkable, see x08 in queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from waterdata_spark.functions.text import char_shingles, tokens
+
+
+def _seeded_md5(seed: int):
+    # NB: a plain `lambda s, i=i:` would be seen by PySpark as a
+    # TWO-parameter (element, index) lambda — the seed would silently
+    # become the array index Column. Factory closures avoid that.
+    prefix = F.lit(f"{seed}:")
+    return lambda s: F.md5(F.concat(prefix, s))
+
+
+def minhash_signature(text_col: Column | str, n_hashes: int = 16, k: int = 8) -> Column:
+    """Array of n_hashes min-hash values (hex strings) over k-char
+    shingles. Permutation i = md5(i:shingle); min over the shingle set."""
+    sh = char_shingles(text_col, k)
+    return F.array(*[F.array_min(F.transform(sh, _seeded_md5(i))) for i in range(n_hashes)])
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 8,
+) -> DataFrame:
+    """One row per (doc, band): (id, band_id, band_hash). Documents
+    sharing (band_id, band_hash) are near-dup candidates."""
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signature(F.col(text_col), n_hashes, k)
+    d = df.withColumn("__sig", sig)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col("__sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        d.withColumn("__band", F.explode(bands))
+        .select(
+            F.col(id_col),
+            F.col("__band.band_id").alias("band_id"),
+            F.col("__band.band_hash").alias("band_hash"),
+        )
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 8,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) from LSH band collisions.
+
+    Scale shape: self-join on (band_id, band_hash) — the quadratic
+    blow-up is bounded per bucket; hot buckets (boilerplate docs) are
+    exactly what AQE skew-join splits.
+    """
+    bands = minhash_bands(df, id_col, text_col, n_hashes, n_bands, k)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keep pairs ≥
+    threshold. Joins the (small) candidate set back to the docs —
+    two broadcast-able hash joins, no full-table crossJoin."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(char_shingles(F.col(text_col), k)).alias("__sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    return (
+        joined.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup removal: LSH candidates → Jaccard verify →
+    connected components via iterative label propagation (min-id) →
+    keep the lowest id per component.
+
+    Label propagation iterates a broadcast-join of the (tiny) edge
+    set; near-dup clusters are shallow in practice so 3-5 rounds
+    converge. At trillion-doc scale this becomes the standard
+    large-star/small-star algorithm — same plan shape, more rounds.
+    """
+    cand = minhash_candidate_pairs(df, id_col, text_col, n_hashes, n_bands, k)
+    edges = jaccard_verify_pairs(df, cand, id_col, text_col, k, threshold).select("id_a", "id_b")
+
+    # min-id label propagation over the undirected edge set.
+    # localCheckpoint per round truncates the lineage — without it the
+    # plan doubles every iteration and the optimizer re-plans the whole
+    # history each round (at scale: persist to a checkpoint table).
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))).localCheckpoint(
+        eager=True
+    )
+    for _ in range(5):
+        neighbor_min = (
+            sym.join(labels, sym.id_a == labels.node)
+            .groupBy(F.col("id_b").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    keep = labels.filter(F.col("node") == F.col("label")).select(F.col("node").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def simhash_signature(text_col: Column | str, bits: int = 64) -> Column:
+    """SimHash over whitespace tokens: per-bit majority vote of token
+    hashes (xxhash64), packed into a long.
+
+    Built with transform/aggregate over the token array — no UDF. Two
+    texts within small Hamming distance are near-dups. Bit masks are
+    literals (bit 63 = Long.MIN_VALUE, since 1<<63 overflows).
+    """
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def mask(b: int) -> int:
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    def vote_fn(m: Column):
+        return lambda acc, h: acc + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        m = F.lit(mask(b)).cast("long")
+        vote = F.aggregate(hashes, F.lit(0), vote_fn(m))
+        sig = sig + F.when(vote > 0, m).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two long signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

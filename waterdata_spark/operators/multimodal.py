@@ -1,0 +1,119 @@
+"""Multimodal columns (SURVEY.md §2.9 X5; BASELINE.json north star).
+
+Media (image/audio/video/PDF pages) are opaque ``binary`` columns
+with a typed metadata struct alongside. The Spark-side plumbing —
+schema, Arrow batch shape, partition sizing, UDF signatures — is real
+and tested; the actual codec work (JPEG decode, resampling, frame
+sampling) requires media libraries absent from this container, so
+each codec is pluggable: production passes a PIL/ffmpeg-backed
+callable, tests use the deterministic fake codec.
+
+Scale shape: ``mapInPandas`` over batches of binary rows keeps the
+pipeline streaming (never materializes a partition of decoded media
+in memory at once — Arrow batches bound the working set). Media
+tables partition by content size so a few giant videos don't skew
+tasks: ``repartitionByRange("n_bytes")`` before heavy decode stages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video | pdf_page
+        T.StructField("content", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content_sha", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def fake_image_codec(content: bytes) -> dict:
+    """Deterministic stand-in for an image decoder: 'dimensions' and an
+    8-dim 'embedding' derived from the content hash. Real deployments
+    pass a PIL/torchvision-backed callable with the same contract."""
+    h = hashlib.sha256(content).digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "feature": [((b / 255.0) * 2 - 1) for b in h[2:10]],
+    }
+
+
+def real_image_codec(content: bytes) -> dict:
+    raise NotImplementedError(
+        "No image library in this environment; pass codec=fake_image_codec "
+        "or a PIL-backed callable returning {'width','height','feature'}."
+    )
+
+
+def extract_media_features(
+    media: DataFrame,
+    codec: Callable[[bytes], dict] | None = None,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Decode/feature-extract media via an Arrow-batched pandas UDF.
+
+    One output row per media row: content hash, dimensions, embedding.
+    The codec runs once per row inside the batch loop — no Python
+    round-trip per column.
+    """
+    decode = codec or real_image_codec
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for _, row in batch.iterrows():
+                content = bytes(row["content"])
+                d = decode(content)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "content_sha": hashlib.sha256(content).hexdigest(),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "feature": d["feature"],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    cols = media.select("media_id", "kind", "content")
+    return cols.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+def dedup_media_exact(media: DataFrame) -> DataFrame:
+    """Exact media dedup by content hash — JVM-side sha2 over the
+    binary column, then one-per-hash (lowest media_id). The binary
+    never leaves the JVM."""
+    from waterdata_spark.operators.dedup import priority_dedup
+
+    with_hash = media.withColumn("__sha", F.sha2(F.col("content"), 256))
+    return priority_dedup(with_hash, ["__sha"], [F.col("media_id").asc()]).drop("__sha")
+
+
+def skew_balanced(media: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Range-partition by payload size before a heavy decode stage so a
+    handful of giant blobs don't serialize one task."""
+    n = partitions or media.sparkSession.sparkContext.defaultParallelism
+    return media.repartitionByRange(n, F.col("n_bytes"))

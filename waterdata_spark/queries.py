@@ -804,3 +804,237 @@ def x07_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk_bruteforce(e, id_col="vec_id", vec_col="embedding", k=5).select(
         "vec_id", "neighbor_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 1 widening: as-of / sessionization / rollup / pivot / LSH operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_asof_join",
+    """
+    WITH errors AS (
+      SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, value
+      FROM events WHERE event_type = 'click'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts_us ORDER BY event_id DESC) = 1
+    )
+    SELECT e.event_id, e.user_id, c.event_id AS click_id, c.value AS click_value
+    FROM errors e
+    ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts_us >= c.ts_us
+    """,
+    doc="As-of join (point-in-time): each error event gets the most recent "
+    "preceding click by the same user. Spark lacks a native ASOF JOIN; the "
+    "engine's union+window implementation (operators/asof.py) costs one "
+    "shuffle — same as an equi-join — vs DuckDB's native ASOF as oracle.",
+    tags=["asof", "window", "composite"],
+)
+def q18_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts_us")
+    clicks = priority_dedup(
+        e.filter(F.col("event_type") == "click").select("user_id", "ts_us", "event_id", "value"),
+        ["user_id", "ts_us"],
+        [F.col("event_id").desc()],
+    )
+    out = asof_join(errors, clicks, on=["user_id"], ts="ts_us", payload=["event_id", "value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_right").alias("click_id"),
+        F.col("value_right").alias("click_value"),
+    )
+
+
+@query(
+    "q19_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
+    ),
+    g AS (
+      SELECT user_id, ts_us, event_id,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n_events,
+           min(ts_us) AS session_start_us,
+           max(ts_us) AS session_end_us
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Gap-based sessionization (30-min inactivity): lag + cumulative-sum "
+    "windows — the batch twin of streaming/ops.sessionize_stream "
+    "(session_window does the same merge with managed state).",
+    tags=["window", "sessionize", "streaming-twin"],
+)
+def q19_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    # µs resolution on BOTH sides: DuckDB truncates TIMESTAMP_NS to µs at
+    # read, so gap/boundary arithmetic must see identical values.
+    e = load_table(spark, sf, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+    gap_us = 30 * 60 * 1_000_000
+    prev = F.lag("ts_us").over(w)
+    new_s = F.when(prev.isNull() | ((F.col("ts_us") - prev) > gap_us), 1).otherwise(0)
+    s = e.withColumn("__new", new_s).withColumn(
+        "session_id",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
+@query(
+    "q20_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets with grouping_id disambiguation (§2.4 'not "
+    "present' in the reference; free from Spark's cube/rollup surface).",
+    tags=["agg", "rollup"],
+)
+def q20_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        _sum_money("l_quantity", 2, "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+
+
+@query(
+    "q21_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot (wide aggregation) with explicit value list — Catalyst "
+    "rewrites to one-pass conditional aggregation, no extra shuffle.",
+    tags=["agg", "pivot"],
+)
+def q21_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+    return out.withColumnRenamed("O", "qty_O").withColumnRenamed("F", "qty_F")
+
+
+@query(
+    "x08_minhash_bands",
+    """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+      FROM documents
+    ),
+    sh AS (SELECT doc_id, substr(text, CAST(i AS INT), 8) AS s FROM idx),
+    mh AS (
+      SELECT doc_id,
+             min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_hash FROM mh
+    UNION ALL
+    SELECT doc_id, 1 AS band_id, md5(h2 || '|' || h3) AS band_hash FROM mh
+    """,
+    doc="X2 MinHash+LSH banding (Broder): 4 md5-seeded min-hashes over "
+    "8-char shingles, 2 bands of 2. Docs sharing (band_id, band_hash) are "
+    "near-dup candidates; the shuffle key is a fixed-width hash, never the "
+    "text. Fully oracle-checkable because the permutations are md5-based.",
+    tags=["dedup", "similarity", "llm"],
+)
+def x08_minhash_bands(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.dedup_approx import minhash_bands
+
+    d = load_table(spark, sf, "documents")
+    return minhash_bands(d, "doc_id", "text", n_hashes=4, n_bands=2, k=8)
+
+
+@query(
+    "x09_simhash",
+    None,  # xxhash64 has no DuckDB twin → rows-only check
+    doc="X2 SimHash: 64-bit near-dup signature per document via per-bit "
+    "majority vote of token xxhash64 — one long per doc, Hamming-distance "
+    "comparable. JVM-side aggregate, no UDF.",
+    tags=["dedup", "llm", "rows-only"],
+)
+def x09_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.dedup_approx import simhash_signature
+
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", simhash_signature("text").alias("simhash"))
+
+
+@query(
+    "x10_minhash_dedup",
+    None,  # connected components — iterative, not SQL-expressible
+    doc="X2 end-to-end near-dup removal: LSH candidates → exact Jaccard "
+    "verify → min-id label propagation → keep one doc per duplicate "
+    "cluster. Verified by property tests (idempotence, planted dups).",
+    tags=["dedup", "llm", "rows-only"],
+)
+def x10_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.dedup_approx import minhash_dedup
+
+    d = load_table(spark, sf, "documents")
+    return minhash_dedup(d, "doc_id", "text", n_hashes=8, n_bands=4, k=8, threshold=0.6)
+
+
+@query(
+    "x11_quality_filter",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tok,
+             CAST(list_sum(list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''), x -> length(x))) AS DOUBLE)
+               / greatest(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')), 1) AS mtl
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens
+    FROM t
+    WHERE n_tok >= 30 AND mtl BETWEEN 3.0 AND 8.0
+    """,
+    doc="X4 LLM-data quality filter: token count + mean-token-length "
+    "thresholds — the canonical pre-training heuristic filter, one scan, "
+    "fully pushed into JVM expressions.",
+    tags=["text", "llm", "filter"],
+)
+def x11_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("long")
+    tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    mtl = tok_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    return (
+        d.withColumn("n_tokens", n_tok)
+        .withColumn("__mtl", mtl)
+        .filter((F.col("n_tokens") >= 30) & (F.col("__mtl") >= 3.0) & (F.col("__mtl") <= 8.0))
+        .select("doc_id", "lang", "n_tokens")
+    )

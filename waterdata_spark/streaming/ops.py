@@ -1,0 +1,98 @@
+"""Structured Streaming surface (SURVEY.md §2.8).
+
+The reference has no streaming (§2.8: "not present"); this is
+north-star surface built on public Structured Streaming APIs. Every
+streaming operator here has a batch twin in the oracle suite
+(q17_hourly_rollup ↔ hourly_rollup_stream; q19_sessionize ↔
+sessionize_stream), so the semantics are cross-checked even though a
+stream itself can't be oracle-diffed row-for-row.
+
+Design for scale: watermarks bound state; tumbling windows keyed by
+(window, event_type) shuffle once; session windows use Spark's
+built-in session_window (state store managed, mergeable sessions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch-ns (schemas.load_table contract)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 4) -> DataFrame:
+    """File-based stream over events parquet (one file = one
+    micro-batch unit). In production this is a Kafka source; the
+    transformation DAG downstream is identical either way."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of q17_hourly_rollup: tumbling 1-hour windows,
+    late data bounded by the watermark."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Per-user sessions with a built-in session window (gap-merge
+    semantics handled by the state store — the scalable form of the
+    batch lag/cumsum recipe in q19_sessionize)."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drive a bounded file stream to completion synchronously and
+    return the materialized result (test/verification harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
