@@ -171,3 +171,40 @@ class TestExpectations:
         assert p["a"]["n_distinct"] == 2
         assert p["b"]["n_nonnull"] == 2
         assert p["a"]["n_rows"] == 3
+
+
+class TestFallbackJoinStrategies:
+    """single_pass (scale plan: one fact scan) and iterative (literal
+    reference recipe) must agree row-for-row on every configuration."""
+
+    def _data(self, spark):
+        fact = spark.createDataFrame(
+            [(i, i % 7, i % 3, f"v{i}") for i in range(50)],
+            "id long, k1 long, k2 long, val string",
+        )
+        dim = spark.createDataFrame(
+            [(0, 0, "p0", "z0"), (1, 1, "p1", None), (2, 2, "p2", "z2"),
+             (3, 0, "p3", "z3"), (9, 1, "p9", "z9")],
+            "k1 long, k2 long, pay string, zip string",
+        )
+        return fact, dim
+
+    @pytest.mark.parametrize("keep_unmatched", [True, False])
+    @pytest.mark.parametrize("match_col", [None, "zip"])
+    @pytest.mark.parametrize("final_tier_left", [False, True])
+    def test_strategies_agree(self, spark, keep_unmatched, match_col, final_tier_left):
+        fact, dim = self._data(spark)
+        kwargs = dict(
+            tiers=[["k1", "k2"], ["k2"]],
+            payload=["pay", "zip"],
+            dedup_order=[F.col("pay").asc()],
+            keep_unmatched=keep_unmatched,
+            tier_col="tier",
+            match_col=match_col,
+            final_tier_left=final_tier_left,
+        )
+        a = fallback_join(fact, dim, strategy="single_pass", **kwargs)
+        b = fallback_join(fact, dim, strategy="iterative", **kwargs)
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb

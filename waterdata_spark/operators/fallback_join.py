@@ -14,12 +14,21 @@ direct/direct_water_prep.py:134-166).
 sentinel (ZIP_CODE non-null/non-empty, down/down_water_prep.py:
 511-512; MAIL_ZIP notnull, direct/direct_water_prep.py:149-150), not
 by join success — a dim row with a null zip falls through to the next
-tier. ``match_when`` reproduces that; default is plain join success.
+tier. ``match_col``/``match_pred`` reproduce that; default is plain
+join success.
 
-Physical shape at scale: each tier's dim is small after dedup →
-broadcast-hash join (no fact shuffle at any tier); the unmatched
-remainder shrinks monotonically, so tier N+1 scans strictly fewer
-rows. The fact table is never shuffled and never collected.
+Physical strategies:
+
+- ``single_pass`` (default): ONE chain of broadcast left joins — the
+  fact is scanned exactly once and each tier's dim-dedup window runs
+  exactly once; per-row tier selection is a CASE over the tier
+  indicators. This is the scale-correct plan: the iterative
+  translation of the reference (split matched/unmatched, rejoin the
+  remainder) re-scans the fact T+1 times and recomputes every prior
+  stratum — visible as 3× fact scans and 6 duplicated window subtrees
+  in `.explain` before this rewrite.
+- ``iterative``: the literal reference recipe, kept for differential
+  testing (both strategies must agree row-for-row).
 """
 
 from __future__ import annotations
@@ -34,6 +43,18 @@ from waterdata_spark.operators.dedup import priority_dedup
 _TIER_COL = "__fallback_tier"
 
 
+def _normalize_orders(
+    dedup_order, tiers, payload
+) -> list[list[Column | str]]:
+    if dedup_order is None:
+        dedup_order = [F.col(c).desc_nulls_last() for c in payload]
+    if dedup_order and isinstance(dedup_order[0], list):
+        if len(dedup_order) != len(tiers):
+            raise ValueError("per-tier dedup_order must have one entry per tier")
+        return dedup_order
+    return [list(dedup_order)] * len(tiers)
+
+
 def fallback_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -43,8 +64,10 @@ def fallback_join(
     keep_unmatched: bool = True,
     tier_col: str | None = None,
     broadcast_dim: bool = True,
-    match_when: Callable[[], Column] | None = None,
+    match_col: str | None = None,
+    match_pred: Callable[[Column], Column] | None = None,
     final_tier_left: bool = False,
+    strategy: str = "single_pass",
 ) -> DataFrame:
     """Join ``fact`` to ``dim`` with tiered key fallback.
 
@@ -59,70 +82,131 @@ def fallback_join(
         payload: dim columns to carry onto the fact (must not collide
             with fact columns).
         dedup_order: ordering that picks the winning dim row per tier
-            key (C22) — either one ordering for all tiers or one per
-            tier (the reference sorts tier-1/2 by 'Sample Location'
-            desc but tier-3 by 'SYSTEM NAME' desc). Defaults to the
-            payload columns descending.
+            key (C22) — one ordering for all tiers or one per tier
+            (the reference sorts tier-1/2 by 'Sample Location' desc
+            but tier-3 by 'SYSTEM NAME' desc). Defaults to payload
+            columns descending.
         keep_unmatched: True = C19 (left semantics, unmatched rows
             kept with NULL payload); False = C20's final drop
             (direct/direct_water_prep.py:165).
         tier_col: if set, add an int column recording which tier
             matched (NULL = unmatched).
-        match_when: optional zero-arg callable returning the Column
-            predicate that decides "this row found its enrichment"
-            (evaluated on the joined frame). Default: tier indicator
-            non-null (join success).
+        match_col: payload column whose state decides "this row found
+            its enrichment" (ZIP_CODE / MAIL_ZIP in the reference).
+            None → join success decides.
+        match_pred: predicate applied to the tier's ``match_col``
+            value (default ``isNotNull``).
         final_tier_left: True reproduces the down-join's last stratum
-            (down/down_water_prep.py:528-532): the final tier is a
-            plain left join appended WITHOUT a match split, so rows
-            whose dim match fails ``match_when`` still keep that
-            tier's payload.
+            (down/down_water_prep.py:528-532): rows failing
+            ``match_pred`` at the final tier still keep that tier's
+            payload.
+        strategy: 'single_pass' (default) or 'iterative' (see module
+            docstring).
     """
-    if dedup_order is None:
-        dedup_order = [F.col(c).desc_nulls_last() for c in payload]
-    per_tier_order: list[list[Column | str]]
-    if dedup_order and isinstance(dedup_order[0], list):
-        per_tier_order = dedup_order  # type: ignore[assignment]
-        if len(per_tier_order) != len(tiers):
-            raise ValueError("per-tier dedup_order must have one entry per tier")
-    else:
-        per_tier_order = [list(dedup_order)] * len(tiers)  # type: ignore[arg-type]
+    per_tier_order = _normalize_orders(dedup_order, tiers, payload)
+    if match_col is not None and match_col not in payload:
+        raise ValueError("match_col must be a payload column")
+    pred = match_pred or (lambda c: c.isNotNull())
 
+    if strategy == "single_pass":
+        return _single_pass(
+            fact, dim, tiers, payload, per_tier_order, keep_unmatched,
+            tier_col, broadcast_dim, match_col, pred, final_tier_left,
+        )
+    if strategy == "iterative":
+        return _iterative(
+            fact, dim, tiers, payload, per_tier_order, keep_unmatched,
+            tier_col, broadcast_dim, match_col, pred, final_tier_left,
+        )
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _tier_dim(dim, keys, payload, order, broadcast_dim):
+    d = priority_dedup(dim, keys, list(order)).select(*keys, *payload)
+    return F.broadcast(d) if broadcast_dim else d
+
+
+def _single_pass(
+    fact, dim, tiers, payload, per_tier_order, keep_unmatched,
+    tier_col, broadcast_dim, match_col, pred, final_tier_left,
+):
+    n = len(tiers)
+    joined = fact
+    for i, (keys, order) in enumerate(zip(tiers, per_tier_order), start=1):
+        d = _tier_dim(dim, keys, payload, order, broadcast_dim)
+        renamed = d.select(
+            *keys, *[F.col(c).alias(f"__t{i}_{c}") for c in payload]
+        ).withColumn(f"__ind{i}", F.lit(i))
+        if broadcast_dim:
+            renamed = F.broadcast(renamed)
+        joined = joined.join(renamed, on=keys, how="left")
+
+    def tier_matched(i: int) -> Column:
+        ok = F.col(f"__ind{i}").isNotNull()
+        if match_col is not None:
+            ok = ok & pred(F.col(f"__t{i}_{match_col}"))
+        return ok
+
+    winner = F.lit(None).cast("int")
+    for i in range(n, 0, -1):
+        winner = F.when(tier_matched(i), F.lit(i)).otherwise(winner)
+
+    out_payload = []
+    for c in payload:
+        expr = F.lit(None)
+        for i in range(n, 0, -1):
+            expr = F.when(winner == i, F.col(f"__t{i}_{c}")).otherwise(expr)
+        if final_tier_left:
+            # unmatched rows keep the FINAL tier's (possibly failing)
+            # payload, like the reference's last plain left join
+            expr = F.when(winner.isNotNull(), expr).otherwise(F.col(f"__t{n}_{c}"))
+        out_payload.append(expr.alias(c))
+
+    tier_expr = winner
+    if final_tier_left:
+        tier_expr = F.when(winner.isNotNull(), winner).otherwise(
+            F.when(F.col(f"__ind{n}").isNotNull(), F.lit(n)).otherwise(F.lit(None).cast("int"))
+        )
+
+    out = joined.select(*fact.columns, *out_payload, tier_expr.alias(_TIER_COL))
+    if not keep_unmatched and not final_tier_left:
+        out = out.filter(F.col(_TIER_COL).isNotNull())
+    if tier_col:
+        out = out.withColumnRenamed(_TIER_COL, tier_col)
+    else:
+        out = out.drop(_TIER_COL)
+    return out
+
+
+def _iterative(
+    fact, dim, tiers, payload, per_tier_order, keep_unmatched,
+    tier_col, broadcast_dim, match_col, pred, final_tier_left,
+):
     fact_cols = fact.columns
     strata: list[DataFrame] = []
     remaining = fact
 
     for tier_idx, (keys, order) in enumerate(zip(tiers, per_tier_order), start=1):
-        # dedup on the FULL dim (the winner ordering may reference columns
-        # that are not carried as payload), then project keys+payload
-        dim_tier = (
-            priority_dedup(dim, keys, list(order))
-            .select(*keys, *payload)
-            .withColumn(_TIER_COL, F.lit(tier_idx))
+        dim_tier = _tier_dim(dim, keys, payload, order, broadcast_dim).withColumn(
+            _TIER_COL, F.lit(tier_idx)
         )
-        if broadcast_dim:
-            dim_tier = F.broadcast(dim_tier)
-
         joined = remaining.join(dim_tier, on=keys, how="left")
         if final_tier_left and tier_idx == len(tiers):
             strata.append(joined)
             remaining = remaining.limit(0)
             break
-        matched_pred = match_when() if match_when else F.col(_TIER_COL).isNotNull()
-        matched = joined.filter(matched_pred)
-        strata.append(matched)
-        # Unmatched rows continue to the next tier with payload pruned
-        # (the reference prunes carried columns between tiers,
-        # down/down_water_prep.py:515,525) — equivalent to a left-anti
-        # join against the tier dim.
-        remaining = joined.filter(~matched_pred | matched_pred.isNull()).select(*fact_cols)
+        matched_pred = F.col(_TIER_COL).isNotNull()
+        if match_col is not None:
+            matched_pred = matched_pred & pred(F.col(match_col))
+        strata.append(joined.filter(matched_pred))
+        remaining = joined.filter(~F.coalesce(matched_pred, F.lit(False))).select(*fact_cols)
 
     out_cols = fact_cols + payload + [_TIER_COL]
     result = strata[0].select(*out_cols)
     for s in strata[1:]:
         result = result.unionByName(s.select(*out_cols))
 
-    if keep_unmatched:
+    if keep_unmatched and not final_tier_left:
         tail = remaining
         for c in payload:
             tail = tail.withColumn(c, F.lit(None))

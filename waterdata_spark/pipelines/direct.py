@@ -83,7 +83,7 @@ def direct_pipeline(
         payload=PAYLOAD_COLS,
         dedup_order=det_order,
         # matched = got a mailing address (:149-150)
-        match_when=lambda: F.col("MAIL_ZIP").isNotNull(),
+        match_col="MAIL_ZIP",
         # C20: still-unmatched rows are dropped (:165) — "they will
         # not display on the map"
         keep_unmatched=False,

@@ -221,7 +221,8 @@ def down_join_stage(spark: SparkSession, site_sub: DataFrame, data: DataFrame) -
         tiers=tiers,
         payload=payload,
         dedup_order=dedup_orders,
-        match_when=lambda: F.col("ZIP_CODE").isNotNull() & (F.col("ZIP_CODE") != ""),
+        match_col="ZIP_CODE",
+        match_pred=lambda c: c.isNotNull() & (c != ""),
         final_tier_left=True,
     )
     expect_row_count_preserved(data, out)
