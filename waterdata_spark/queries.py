@@ -1038,3 +1038,58 @@ def x11_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
         .filter((F.col("n_tokens") >= 30) & (F.col("__mtl") >= 3.0) & (F.col("__mtl") <= 8.0))
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+@query(
+    "q22_orderby_limit",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="C25 sort + C26 limit as a deterministic top-N (total order via "
+    "the orderkey tiebreak). Spark plans this as TakeOrderedAndProject — "
+    "no global sort, each partition keeps N rows then the driver merges.",
+    tags=["sort", "limit"],
+)
+def q22_orderby_limit(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "x12_profile_stats",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(l_orderkey) AS nn_orderkey,
+           COUNT(DISTINCT l_orderkey) AS nd_orderkey,
+           COUNT(DISTINCT l_returnflag) AS nd_returnflag,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem
+    """,
+    doc="C30/X6 profiling summary: one-pass column statistics (the "
+    "engine's replacement for the reference's human-reviewed checkpoint "
+    "CSVs, down/down_water_prep.py:372-373). operators/expectations.profile "
+    "generalizes this to every column.",
+    tags=["profile", "agg"],
+)
+def x12_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_orderkey").alias("nn_orderkey"),
+        F.count_distinct(F.col("l_orderkey")).alias("nd_orderkey"),
+        F.count_distinct(F.col("l_returnflag")).alias("nd_returnflag"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
