@@ -1,0 +1,71 @@
+"""Plan-shape regression tests (SURVEY.md §4): pin the physical plans
+we audited — pushdown reaches scans, dims broadcast, the fallback
+join scans the fact exactly once, no sort-merge joins sneak in."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from waterdata_spark.plans.explain import assert_plan, plan_summary
+from waterdata_spark.queries import QUERIES
+
+
+def test_filter_pushdown_q02(spark):
+    df = QUERIES["q02_filter_project"].fn(spark, SF_ORACLE)
+    s = assert_plan(df, require_pushed=["l_shipdate", "l_discount", "l_quantity"])
+    # projection pruned to exactly the needed columns
+    assert any("l_orderkey" in rs and "l_tax" not in rs for rs in s.read_schemas)
+
+
+def test_broadcast_joins_q03(spark):
+    df = QUERIES["q03_revenue_by_nation"].fn(spark, SF_ORACLE)
+    assert_plan(df, min_broadcast_joins=2, max_sort_merge_joins=0, max_exchanges=1)
+
+
+def test_fallback_join_scans_fact_once(spark):
+    """The single-pass rewrite's contract: one fact scan, broadcast-only
+    joins, no shuffle of the fact."""
+    df = QUERIES["q14_fallback_join"].fn(spark, SF_ORACLE)
+    assert_plan(
+        df,
+        min_broadcast_joins=2,
+        max_sort_merge_joins=0,
+        max_scans_of={"events.parquet": 1},
+    )
+
+
+def test_priority_dedup_single_shuffle(spark):
+    df = QUERIES["q06_priority_dedup"].fn(spark, SF_ORACLE)
+    s = assert_plan(df, max_exchanges=1)
+    # WindowGroupLimit = rank-limit pushdown (partial top-1 before shuffle)
+    assert "WindowGroupLimit" in s.text
+
+
+def test_pricing_summary_partial_agg(spark):
+    df = QUERIES["q01_pricing_summary"].fn(spark, SF_ORACLE)
+    s = assert_plan(df, max_exchanges=1)
+    assert s.text.count("HashAggregate") >= 2  # partial + final
+
+
+class TestSaltedJoin:
+    def test_matches_unsalted(self, spark):
+        from waterdata_spark.operators.skew import salted_join
+
+        skewed = spark.createDataFrame(
+            [(1, i) for i in range(500)] + [(2, 0), (3, 1)], "k long, v long"
+        )
+        dim = spark.createDataFrame([(1, "hot"), (2, "a"), (3, "b"), (4, "unused")], "k long, p string")
+        plain = skewed.join(dim, "k").select("k", "v", "p")
+        salted = salted_join(skewed, dim, on=["k"], n_salts=4).select("k", "v", "p")
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    def test_left_join_semantics(self, spark):
+        from waterdata_spark.operators.skew import salted_join
+
+        skewed = spark.createDataFrame([(1, 1), (9, 2)], "k long, v long")
+        dim = spark.createDataFrame([(1, "x")], "k long, p string")
+        out = salted_join(skewed, dim, on=["k"], n_salts=3, how="left")
+        rows = {r["k"]: r["p"] for r in out.collect()}
+        assert rows == {1: "x", 9: None}

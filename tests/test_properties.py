@@ -1,0 +1,90 @@
+"""Hypothesis property tests (SURVEY.md §5 engine test plan: "property
+tests for X-operators — idempotent dedup, fallback-join row
+preservation = C43 as a law")."""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from pyspark.sql import functions as F
+
+from waterdata_spark.operators.dedup import exact_dedup, priority_dedup
+from waterdata_spark.operators.fallback_join import fallback_join
+
+SLOW = settings(
+    max_examples=8,  # each example spins Spark jobs — keep the budget sane
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # k1
+        st.integers(min_value=0, max_value=5),  # k2
+        st.text(alphabet="abcdef", min_size=0, max_size=6),  # val
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+dim_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=5),
+        st.text(alphabet="xyz", min_size=1, max_size=4),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+class TestLaws:
+    @SLOW
+    @given(fact_rows=rows_strategy, dim_rows=dim_strategy)
+    def test_fallback_join_preserves_row_count(self, spark, fact_rows, dim_rows):
+        """C43 as a law: for ANY fact/dim, keep_unmatched fallback join
+        emits exactly one output row per fact row."""
+        fact = spark.createDataFrame(
+            [(i, *r) for i, r in enumerate(fact_rows)], "id long, k1 long, k2 long, val string"
+        )
+        dim = spark.createDataFrame(dim_rows, "k1 long, k2 long, pay string")
+        out = fallback_join(
+            fact,
+            dim,
+            tiers=[["k1", "k2"], ["k2"]],
+            payload=["pay"],
+            dedup_order=[F.col("pay").asc()],
+        )
+        assert out.count() == len(fact_rows)
+
+    @SLOW
+    @given(rows=rows_strategy)
+    def test_priority_dedup_idempotent_and_one_per_key(self, spark, rows):
+        df = spark.createDataFrame(
+            [(i, *r) for i, r in enumerate(rows)], "id long, k1 long, k2 long, val string"
+        )
+        order = [F.col("val").desc(), F.col("id").asc()]
+        once = priority_dedup(df, ["k1"], order)
+        assert once.count() == df.select("k1").distinct().count()
+        twice = priority_dedup(once, ["k1"], order)
+        assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+    @SLOW
+    @given(rows=rows_strategy)
+    def test_exact_dedup_keeps_min_id_per_content(self, spark, rows):
+        df = spark.createDataFrame(
+            [(i, r[2]) for i, r in enumerate(rows)], "doc_id long, text string"
+        )
+        out = exact_dedup(df, ["text"], "doc_id")
+        expected = (
+            df.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id", "text")
+        )
+        assert sorted(map(tuple, out.select("doc_id", "text").collect())) == sorted(
+            map(tuple, expected.collect())
+        )
