@@ -179,3 +179,34 @@ class TestStreaming:
         out = run_stream_to_memory(sessionize_stream(stream, gap="30 minutes"), "t_sessions")
         assert out.count() > 0
         assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+class TestStatefulStreaming:
+    def test_running_totals_accumulate_across_batches(self, spark, tmp_path):
+        """Two files × maxFilesPerTrigger=1 → two micro-batches; the
+        custom stateful operator must carry totals across them."""
+        import shutil
+
+        from waterdata_spark.streaming.ops import (
+            read_events_stream,
+            run_stream_to_memory,
+            running_user_totals_stream,
+        )
+
+        d = tmp_path / "stream2"
+        d.mkdir()
+        shutil.copy(f"{SF_SMOKE}/events.parquet", d / "a.parquet")
+        shutil.copy(f"{SF_SMOKE}/events.parquet", d / "b.parquet")
+        stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+        out = run_stream_to_memory(running_user_totals_stream(stream), "t_totals")
+        rows = out.collect()
+        assert len(rows) > 0
+        per_user = {}
+        for r in rows:
+            per_user.setdefault(r["user_id"], []).append(r)
+        # at least one user saw two batches with accumulating totals
+        multi = [v for v in per_user.values() if len(v) == 2]
+        assert multi, "expected users emitted in both micro-batches"
+        for emissions in multi:
+            a, b = sorted(emissions, key=lambda r: r["total_events"])
+            assert b["total_events"] == a["total_events"] + b["batch_events"]

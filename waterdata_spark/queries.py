@@ -1093,3 +1093,104 @@ def x12_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
     )
+
+
+@query(
+    "q23_string_agg",
+    """
+    SELECT c_mktsegment,
+           string_agg(DISTINCT c_name, ';' ORDER BY c_name) AS names
+    FROM customer
+    WHERE c_custkey < 40
+    GROUP BY c_mktsegment
+    """,
+    doc="Ordered string aggregation (listagg): Spark side is "
+    "concat_ws over sort_array(collect_set) — deterministic multiset "
+    "semantics on both engines.",
+    tags=["agg", "string"],
+)
+def q23_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") < 40)
+    return c.groupBy("c_mktsegment").agg(
+        F.concat_ws(";", F.sort_array(F.collect_set("c_name"))).alias("names")
+    )
+
+
+@query(
+    "q24_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING
+           ) AS DOUBLE) AS running_revenue
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    doc="Running total window (§2.8 surface): decimal-exact cumulative "
+    "sum under a total order, cast to double per row.",
+    tags=["window", "agg"],
+)
+def q24_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_revenue"),
+    )
+
+
+@query(
+    "q25_semi_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+    )
+    """,
+    doc="Left-semi join (EXISTS) — the matched half of the reference's "
+    "null-split idiom; dual of q05's anti join.",
+    tags=["join", "semi"],
+)
+def q25_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 450000)
+    c = load_table(spark, sf, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q26_above_customer_avg",
+    """
+    WITH stats AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM stats
+    WHERE o_totalprice > cust_avg
+    """,
+    doc="Correlated-subquery pattern (orders above their customer's "
+    "average) via a partition window — one shuffle instead of the "
+    "self-join a naive correlated subquery would plan.",
+    tags=["window", "filter"],
+)
+def q26_above_customer_avg(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
+    return (
+        o.withColumn("__avg", avg)
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )

@@ -96,3 +96,55 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "ap
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    cumulative event count + value across micro-batches — state the
+    built-in windowed aggregations can't express (it never closes; it
+    emits a delta row per user per batch with lifetime totals).
+
+    State is one (count, total) pair per user — bytes per key, safely
+    bounded even at billions of users (state store is RocksDB-backed in
+    production). The same pattern generalizes to sessionizers, anomaly
+    counters, and CDC accumulators.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("batch_events", T.LongType()),
+            T.StructField("total_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n_batch = 0
+        v_batch = 0.0
+        for pdf in pdf_iter:
+            n_batch += len(pdf)
+            v_batch += float(pdf["value"].fillna(0.0).sum())
+        n_prev, v_prev = state.get if state.exists else (0, 0.0)
+        state.update((n_prev + n_batch, v_prev + v_batch))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "batch_events": [n_batch],
+                "total_events": [n_prev + n_batch],
+                "total_value": [round(v_prev + v_batch, 2)],
+            }
+        )
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
