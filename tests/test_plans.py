@@ -69,3 +69,42 @@ class TestSaltedJoin:
         out = salted_join(skewed, dim, on=["k"], n_salts=3, how="left")
         rows = {r["k"]: r["p"] for r in out.collect()}
         assert rows == {1: "x", 9: None}
+
+
+class TestRangeJoinPlan:
+    def test_no_nested_loop(self, spark):
+        """The bucketized range join must plan as a broadcast HASH join,
+        not BroadcastNestedLoopJoin."""
+        from waterdata_spark.queries import QUERIES
+
+        df = QUERIES["q27_range_join"].fn(spark, SF_ORACLE)
+        s = plan_summary(df)
+        assert "BroadcastNestedLoopJoin" not in s.text
+        assert s.n_broadcast_joins >= 1
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Two tables bucketed on the join key must join with ZERO
+        Exchange operators (the 100 TB fact-join win)."""
+        from waterdata_spark.schemas import load_table
+        from waterdata_spark.sources.bucketed import read_table, write_bucketed
+
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{tmp_path}/wh'")
+        try:
+            li = load_table(spark, SF_ORACLE, "lineitem").select("l_orderkey", "l_quantity")
+            o = load_table(spark, SF_ORACLE, "orders").select("o_orderkey", "o_totalprice")
+            write_bucketed(li, "bktest.li_b", ["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"])
+            write_bucketed(o, "bktest.o_b", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
+            a = read_table(spark, "bktest.li_b")
+            b = read_table(spark, "bktest.o_b")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                j = a.join(b, a.l_orderkey == b.o_orderkey)
+                s = plan_summary(j)
+                assert s.n_exchanges == 0, s.text
+                assert j.count() > 0
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")

@@ -1,0 +1,69 @@
+"""Range join (guide 'Common OLAP patterns': Spark lacks a native
+range join; naive inequality joins plan as BroadcastNestedLoopJoin —
+O(n·m) compares).
+
+``range_join`` implements the standard bucketization trick: chop the
+value domain into fixed-width buckets; an interval [lo, hi) is
+replicated into every bucket it overlaps; points equi-join on their
+bucket, then a residual filter applies the exact predicate. The
+nested-loop becomes a hash join whose per-key fan-out is bounded by
+intervals-per-bucket — pick ``bucket_width`` near the median interval
+width so replication stays small.
+
+At scale the point side (large) is hashed once on an int bucket id;
+the interval side is usually small → broadcast, making the whole
+thing shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``lo <= point < hi``.
+
+    ``how='inner'`` drops points in no interval; ``'left'`` keeps them
+    with NULL interval payload.
+    """
+    pb = F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    p = points.withColumn("__bucket", pb)
+
+    lo_b = F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long")
+    # hi is exclusive: the last overlapped bucket is floor((hi - ulp)/w);
+    # using floor(hi/w) only over-replicates by ≤1 bucket and the
+    # residual filter removes false pairs, so keep it simple.
+    hi_b = F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long")
+    iv = intervals.withColumn("__bucket", F.explode(F.sequence(lo_b, hi_b)))
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
+
+    joined = p.join(iv, "__bucket", how)
+    residual = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    if how == "inner":
+        return joined.filter(residual).drop("__bucket")
+    # left: null out interval payload where the residual fails
+    iv_cols = [c for c in intervals.columns]
+    out = joined
+    keep = F.coalesce(residual, F.lit(False))
+    for c in iv_cols:
+        out = out.withColumn(c, F.when(keep, F.col(c)))
+    # a point may now have both real matches and nulled rows → prune
+    # nulled rows for points that matched somewhere else
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in points.columns])
+    out = out.withColumn("__any", F.max(keep.cast("int")).over(w))
+    out = out.filter(keep | (F.col("__any") == 0)).dropDuplicates(points.columns + iv_cols)
+    return out.drop("__bucket", "__any")

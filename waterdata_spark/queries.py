@@ -1194,3 +1194,34 @@ def q26_above_customer_avg(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("__avg"))
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "q27_range_join",
+    """
+    WITH bins AS (
+      SELECT 0.0 AS lo, 5.0 AS hi, 'low' AS bin UNION ALL
+      SELECT 5.0, 15.0, 'mid' UNION ALL
+      SELECT 15.0, 40.0, 'high'
+    )
+    SELECT e.event_id, e.value, b.bin,
+           COUNT(*) OVER (PARTITION BY b.bin) AS bin_n
+    FROM events e
+    JOIN bins b ON e.value >= b.lo AND e.value < b.hi
+    """,
+    doc="Range join (point-in-interval): bucketize + equi-join + residual "
+    "filter instead of the BroadcastNestedLoopJoin a naive inequality "
+    "join plans. DuckDB oracle uses the plain inequality join.",
+    tags=["join", "range", "composite"],
+)
+def q27_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.range_join import range_join
+
+    e = load_table(spark, sf, "events").select("event_id", "value")
+    bins = spark.createDataFrame(
+        [(0.0, 5.0, "low"), (5.0, 15.0, "mid"), (15.0, 40.0, "high")],
+        "lo double, hi double, bin string",
+    )
+    out = range_join(e, bins, point_col="value", lo_col="lo", hi_col="hi", bucket_width=5.0)
+    w = Window.partitionBy("bin")
+    return out.select("event_id", "value", "bin", F.count(F.lit(1)).over(w).alias("bin_n"))
