@@ -210,3 +210,31 @@ class TestStatefulStreaming:
         for emissions in multi:
             a, b = sorted(emissions, key=lambda r: r["total_events"])
             assert b["total_events"] == a["total_events"] + b["batch_events"]
+
+
+class TestEmbeddingDedup:
+    def test_planted_near_identical_vectors(self, spark):
+        from waterdata_spark.operators.dedup_approx import embedding_dedup
+
+        import random
+
+        rnd = random.Random(7)
+        base = [rnd.uniform(-1, 1) for _ in range(16)]
+        near = [x + 0.001 for x in base]
+        rows = [(0, base), (1, near)] + [
+            (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(2, 12)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kept = embedding_dedup(df, "vec_id", "embedding", threshold=0.99, n_cells=4, n_probe=4)
+        ids = sorted(r["vec_id"] for r in kept.collect())
+        assert 0 in ids and 1 not in ids  # near-identical pair collapsed
+        assert len(ids) == 11
+
+    def test_idempotent_on_real_embeddings(self, spark):
+        from waterdata_spark.operators.dedup_approx import embedding_dedup
+        from waterdata_spark.schemas import load_table
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        once = embedding_dedup(emb, "vec_id", "embedding", threshold=0.98)
+        twice = embedding_dedup(once, "vec_id", "embedding", threshold=0.98)
+        assert sorted(r["vec_id"] for r in once.collect()) == sorted(r["vec_id"] for r in twice.collect())

@@ -208,3 +208,57 @@ def simhash_signature(text_col: Column | str, bits: int = 64) -> Column:
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two long signatures (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def embedding_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal (BASELINE north-star dedup
+    family): IVF candidate pairs → cosine ≥ threshold edges → min-id
+    label propagation → keep one row per duplicate cluster.
+
+    Reuses the similarity module's IVF index for candidates (cost
+    bounded by cells probed, not n²) and the same connected-components
+    recipe as minhash_dedup. High thresholds (≥0.9) are exactly the
+    regime where coarse-quantized candidates have high recall — near-
+    identical vectors land in the same cell.
+    """
+    from waterdata_spark.operators.similarity import cosine_topk_ivf_blocked
+
+    pairs = cosine_topk_ivf_blocked(
+        df, id_col=id_col, vec_col=vec_col, k=10, n_cells=n_cells,
+        n_probe=n_probe, seed=seed, sim_col="similarity",
+    )
+    edges = (
+        pairs.filter(F.col("similarity") >= threshold)
+        .filter(F.col("vec_id") < F.col("neighbor_id"))
+        .select(F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+        .distinct()
+    )
+
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    sym = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint(eager=True)
+    for _ in range(5):
+        neighbor_min = (
+            sym.join(labels, sym.id_a == labels.node)
+            .groupBy(F.col("id_b").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    keep = labels.filter(F.col("node") == F.col("label")).select(F.col("node").alias(id_col))
+    return df.join(keep, id_col, "left_semi")

@@ -294,16 +294,19 @@ def cosine_topk_ivf_blocked(
     )
     indexed = unit.withColumn("__cells", F.reverse(F.array_sort(sims)))
 
+    # distinct column names on the two cogroup sides — both derive from
+    # `indexed`, and Spark's ambiguous-self-join check rejects a cogroup
+    # whose sides share same-origin column references
     data_side = indexed.select(
-        F.col("vec_id"),
-        F.col("__unit"),
+        F.col("vec_id").alias("d_id"),
+        F.col("__unit").alias("d_unit"),
         F.col("__cells").getItem(0).getField("cell").alias("cell"),
     )
     query_side = indexed.select(
-        "vec_id",
-        "__unit",
+        F.col("vec_id").alias("q_id"),
+        F.col("__unit").alias("q_unit"),
         F.explode(F.slice(F.col("__cells"), 1, n_probe)).alias("__probe"),
-    ).select("vec_id", "__unit", F.col("__probe.cell").alias("cell"))
+    ).select("q_id", "q_unit", F.col("__probe.cell").alias("cell"))
 
     out_schema = T.StructType(
         [
@@ -316,8 +319,8 @@ def cosine_topk_ivf_blocked(
     def rerank(queries: pd.DataFrame, data: pd.DataFrame) -> pd.DataFrame:
         if queries.empty or data.empty:
             return pd.DataFrame(columns=["vec_id", "neighbor_id", "__sim"])
-        q = np.vstack(queries["__unit"].values)
-        d = np.vstack(data["__unit"].values)
+        q = np.vstack(queries["q_unit"].values)
+        d = np.vstack(data["d_unit"].values)
         s = q @ d.T  # block matmul: all pairs in this cell at once
         kk = min(k + 1, s.shape[1])  # +1: a query may meet itself here
         top = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
@@ -325,8 +328,8 @@ def cosine_topk_ivf_blocked(
         di = top.ravel()
         out = pd.DataFrame(
             {
-                "vec_id": queries["vec_id"].values[qi],
-                "neighbor_id": data["vec_id"].values[di],
+                "vec_id": queries["q_id"].values[qi],
+                "neighbor_id": data["d_id"].values[di],
                 "__sim": s[qi, di],
             }
         )

@@ -580,17 +580,23 @@ def x01_exact_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT doc_id,
            CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS BIGINT) AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_measured
     FROM documents
     """,
-    doc="X4 token counting (whitespace tokenizer), JVM-side split/filter.",
+    doc="X4 token counting: whitespace tokenizer + BPE-ish regex "
+    "pre-tokenizer (letter runs / digit runs / single symbols), both "
+    "JVM-side.",
     tags=["text", "llm"],
 )
 def x02_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.functions.text import bpe_tokens
+
     d = load_table(spark, sf, "documents")
     return d.select(
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),
+        F.size(bpe_tokens("text")).cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars_measured"),
     )
 
@@ -1225,3 +1231,31 @@ def q27_range_join(spark: SparkSession, sf: str) -> DataFrame:
     out = range_join(e, bins, point_col="value", lo_col="lo", hi_col="hi", bucket_width=5.0)
     w = Window.partitionBy("bin")
     return out.select("event_id", "value", "bin", F.count(F.lit(1)).over(w).alias("bin_n"))
+
+
+@query(
+    "q28_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON field extraction from the semi-structured props column + "
+    "aggregation — get_json_object is JVM-side; at scale prefer "
+    "from_json with a declared schema once the shape is known (single "
+    "parse, columnar after).",
+    tags=["json", "agg"],
+)
+def q28_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
