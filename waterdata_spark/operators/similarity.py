@@ -292,7 +292,11 @@ def cosine_topk_ivf_blocked(
             for i in range(len(cent_arrays))
         ]
     )
-    indexed = unit.withColumn("__cells", F.reverse(F.array_sort(sims)))
+    # materialize the index once: both cogroup sides read it, and the
+    # assignment expression (n_cells dot products per row) is the
+    # expensive part — recomputing it per side doubles the work. At
+    # real scale this is a persisted index table.
+    indexed = unit.withColumn("__cells", F.reverse(F.array_sort(sims))).localCheckpoint(eager=False)
 
     # distinct column names on the two cogroup sides — both derive from
     # `indexed`, and Spark's ambiguous-self-join check rejects a cogroup
