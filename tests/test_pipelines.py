@@ -153,3 +153,25 @@ class TestComparePipeline:
         )
         assert compare_pipeline(spark, down, direct, compat_date_default=True).count() == 1
         assert compare_pipeline(spark, down, direct, compat_date_default=False).count() == 0
+
+
+class TestDownPublish:
+    def test_partitioned_publish_and_pruning(self, spark, tmp_path, down_outputs):
+        import glob as _glob
+
+        from waterdata_spark.pipelines.down import down_publish, down_join_stage
+        from waterdata_spark.plans.explain import plan_summary
+
+        site_sub, data = down_outputs
+        final = down_join_stage(spark, site_sub, data)
+        published = down_publish(final, str(tmp_path / "gold"))
+        # one directory per sample year on disk
+        years = sorted(
+            p.split("=")[-1] for p in _glob.glob(str(tmp_path / "gold" / "sample_year=*"))
+        )
+        assert len(years) >= 7
+        # partition pruning: a single-year query reads one partition
+        one_year = published.filter(F.col("sample_year") == int(years[0]))
+        s = plan_summary(one_year)
+        assert any("sample_year" in p for p in [s.text]) and one_year.count() > 0
+        assert published.count() == final.count()

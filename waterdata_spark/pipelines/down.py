@@ -227,3 +227,20 @@ def down_join_stage(spark: SparkSession, site_sub: DataFrame, data: DataFrame) -
     )
     expect_row_count_preserved(data, out)
     return out
+
+
+def down_publish(final_df: DataFrame, path: str) -> DataFrame:
+    """Gold-zone publish (SURVEY.md §1.4): the reference's manual
+    per-year files (down/down_water_prep.py:204-215) become a
+    year-partitioned Parquet table — partition pruning replaces
+    filename-based year selection, and the layout is append-friendly
+    for the next year's extract.
+
+    Returns the published table re-read from disk (so downstream
+    queries get pruning against the real layout).
+    """
+    from waterdata_spark.functions.cleaning import parse_us_date
+
+    out = final_df.withColumn("sample_year", F.year(parse_us_date("Sample Date")))
+    out.write.mode("overwrite").partitionBy("sample_year").parquet(path)
+    return final_df.sparkSession.read.parquet(path)

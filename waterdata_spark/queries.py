@@ -1302,3 +1302,41 @@ def q29_correlation(spark: SparkSession, sf: str) -> DataFrame:
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select("l_returnflag", corr.alias("qty_price_corr"))
+
+
+@query(
+    "w01_down_pipeline",
+    None,  # inputs are the reference's shipped CSV/xlsx fixtures — no DuckDB twin (xlsx)
+    doc="The reference's flagship pipeline end-to-end on its own shipped "
+    "data (144,595 fact rows): multi-file unionByName ingest, SPI⟗BI "
+    "outer join + coalesce + consistency gate, fact cleaning, 3-tier "
+    "hierarchical fallback join with row-count preservation. Returns "
+    "per-tier match counts (stable 4-row summary). Runs identically at "
+    "any sf_dir — the inputs are the reference fixtures.",
+    tags=["pipeline", "water", "rows-only", "composite"],
+)
+def w01_down_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    import glob
+    import os
+
+    from waterdata_spark.pipelines.down import down_csv_stage, down_join_stage
+
+    ref = "/root/reference/down"
+    if not os.path.exists(f"{ref}/csvdispSPIp1.csv"):
+        return spark.createDataFrame([], "match_tier int, n long")
+    site_sub, data = down_csv_stage(
+        spark,
+        spi_paths=sorted(glob.glob(f"{ref}/csvdispSPIp*.csv")),
+        bi_paths=sorted(glob.glob(f"{ref}/csvdispBIp*.csv")),
+        sites_xlsx=f"{ref}/ResultsSite.xlsx",
+        data_paths=sorted(glob.glob(f"{ref}/rptinfo*.csv")),
+    )
+    out = down_join_stage(spark, site_sub, data)
+    return (
+        out.withColumn(
+            "matched",
+            (F.col("ZIP_CODE").isNotNull() & (F.col("ZIP_CODE") != "")).cast("int"),
+        )
+        .groupBy("matched")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
