@@ -121,3 +121,33 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         ]
     )
     return spark.createDataFrame(data, schema)
+
+
+def expect_row_count_preserved_observed(fact: DataFrame):
+    """C43, single-pass form: attach an observation to the input fact
+    so the 'rows in' count materializes DURING the output's own action
+    instead of via a separate re-scan (two full passes → one).
+
+    Usage::
+
+        fact_obs, check = expect_row_count_preserved_observed(fact)
+        out = build(fact_obs)        # any 1:1 enrichment
+        n_out = out.count()          # triggers the observation too
+        check(n_out)                 # raises ExpectationError on mismatch
+
+    At 100 TB the saved pass is the difference between the gate being
+    free and the gate doubling the job.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = fact.observe(obs, F.count(F.lit(1)).alias("n_in"))
+
+    def check(n_out: int) -> None:
+        n_in = obs.get["n_in"]
+        if n_in != n_out:
+            raise ExpectationError(
+                f"expect_row_count_preserved: {n_in} rows in, {n_out} out"
+            )
+
+    return observed, check

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from waterdata_spark.functions.cleaning import coalesce_suffixed, strip_float_suffix
 from waterdata_spark.operators.expectations import (
     expect_column_consistency,
-    expect_row_count_preserved,
+    expect_row_count_preserved_observed,
 )
 from waterdata_spark.operators.fallback_join import fallback_join
 from waterdata_spark.operators.joins import suffixed_join
@@ -179,6 +179,14 @@ def down_join_stage(spark: SparkSession, site_sub: DataFrame, data: DataFrame) -
     (:511-512,521-522); the final tier is a plain left join (:528-532);
     row count must be preserved (:540-543).
     """
+    # Materialize the (tiny) site dim once at the stage boundary. The
+    # reference does the same via its intermediate CSV (SITE_PREP,
+    # :408,454): without it the site DAG (xlsx parse + outer join +
+    # consistency gate) re-executes for every tier's dim dedup. The fact
+    # stays lazy — callers wanting a durable boundary use
+    # checkpoint_parquet (C7), exactly like the reference's DATA_PREP.
+    site_sub = site_sub.localCheckpoint(eager=True)
+
     site = _normalize_sample_location(site_sub, "X")
     fact = _normalize_sample_location(data, "Y")
 
@@ -215,6 +223,9 @@ def down_join_stage(spark: SparkSession, site_sub: DataFrame, data: DataFrame) -
         [F.col("SYSTEM NAME").desc(), *tiebreak],
     ]
 
+    # C43 as a one-pass observation: the input count materializes
+    # during the same action that evaluates the join output.
+    fact, check_rows = expect_row_count_preserved_observed(fact)
     out = fallback_join(
         fact,
         site,
@@ -225,7 +236,7 @@ def down_join_stage(spark: SparkSession, site_sub: DataFrame, data: DataFrame) -
         match_pred=lambda c: c.isNotNull() & (c != ""),
         final_tier_left=True,
     )
-    expect_row_count_preserved(data, out)
+    check_rows(out.count())
     return out
 
 

@@ -1340,3 +1340,43 @@ def w01_down_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("matched")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "x13_hash_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE md5('sample42:' || CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'
+    """,
+    doc="Deterministic hash sampling (~25%): md5 of a salted key compared "
+    "against a hex threshold — reproducible on any engine/cluster size, "
+    "unlike rand()-based sampling; the standard trick for carving "
+    "stable train/eval splits from a 100 TB corpus.",
+    tags=["sampling", "llm"],
+)
+def x13_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    h = F.md5(F.concat(F.lit("sample42:"), F.col("doc_id").cast("string")))
+    return d.filter(h < "40000000000000000000000000000000").select("doc_id", "lang")
+
+
+@query(
+    "q30_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (all 4 combinations) with grouping-id "
+    "disambiguation — completes the rollup/cube/pivot family.",
+    tags=["agg", "cube"],
+)
+def q30_cube(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n")
