@@ -1380,3 +1380,52 @@ def q30_cube(spark: SparkSession, sf: str) -> DataFrame:
         F.grouping_id().cast("long").alias("gid"),
         F.count(F.lit(1)).alias("n"),
     ).select("l_returnflag", "l_linestatus", "gid", "n")
+
+
+@query(
+    "q31_set_ops",
+    """
+    SELECT c_nationkey AS nationkey, 'both' AS src FROM customer
+    INTERSECT
+    SELECT s_nationkey, 'both' FROM supplier
+    UNION ALL
+    (SELECT c_nationkey, 'customer_only' FROM customer
+     EXCEPT
+     SELECT s_nationkey, 'customer_only' FROM supplier)
+    """,
+    doc="Set operations (INTERSECT / EXCEPT, set semantics) — §2.4 notes "
+    "them absent from the reference; free from Spark's intersect/"
+    "exceptAll surface.",
+    tags=["setops"],
+)
+def q31_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    only_c = c.distinct().exceptAll(s.distinct()).withColumn("src", F.lit("customer_only"))
+    return both.unionByName(only_c)
+
+
+@query(
+    "q32_quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS q75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated quantiles (percentile in Spark, quantile_cont "
+    "in DuckDB — same linear-interpolation definition; rounded to 4dp, "
+    "exact for 2dp inputs). approx_percentile is the 100 TB variant — "
+    "sketch-based, not oracle-comparable.",
+    tags=["agg", "stats"],
+)
+def q32_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q75"),
+    )
