@@ -45,10 +45,10 @@ def _ivf_bench(spark, sf_dir):
     from waterdata_spark.schemas import load_table
 
     e = load_table(spark, sf_dir, "embeddings")
-    # cells scale with data so cell population stays bounded
-    n = e.count()
-    cells = max(16, n // 256)
-    return cosine_topk_ivf_blocked(e, k=5, n_cells=cells, n_probe=max(4, cells // 4))
+    # fixed index geometry: avoids a count() job; 16 cells keeps blocks
+    # ≤ ~1/16 of the table, fine through sf1 (callers at larger scale
+    # size n_cells ≈ sqrt(n) and use sampled k-means centroids)
+    return cosine_topk_ivf_blocked(e, k=5, n_cells=16, n_probe=4)
 
 
 def main() -> None:
@@ -56,9 +56,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("waterdata-bench")
 
-    # warm the JVM + parquet footers so per-query numbers measure the
-    # engine, not first-touch JIT
+    # warm the JVM + parquet footers + Python UDF workers so per-query
+    # numbers measure the engine, not first-touch JIT / worker spawn
     QUERIES["q08_distinct_pairs"].fn(spark, sf_dir).count()
+    spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
