@@ -1429,3 +1429,34 @@ def q32_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("q50"),
         F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q75"),
     )
+
+
+@query(
+    "q33_lead_lag",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events
+    )
+    SELECT user_id, event_id,
+           ts_us - lag(ts_us) OVER w AS gap_us,
+           value - lag(value) OVER w AS value_delta,
+           lead(event_id) OVER w AS next_event_id
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+    doc="lead/lag window deltas per user (inter-event gaps, value "
+    "changes) — the remaining §2.8 window primitives. Doubles subtract "
+    "per-row (IEEE-identical); timestamps at µs on both engines.",
+    tags=["window"],
+)
+def q33_lead_lag(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
