@@ -52,6 +52,32 @@ class TestAsofJoin:
         right = spark.createDataFrame([(1, 5, "x")], "k long, t long, p string")
         assert asof_join(left, right, on=["k"], ts="t", payload=["p"]).count() == 100
 
+    def test_matched_row_null_payload_preserved(self, spark):
+        """DuckDB ASOF semantics: the matched right row's genuine NULL
+        must NOT be replaced by a stale value from an older right row
+        (ADVICE r1: per-column last(ignorenulls) resurrected stale
+        values; the struct carry fixes it)."""
+        left = spark.createDataFrame([(1, 200)], "k long, t long")
+        right = spark.createDataFrame(
+            [(1, 100, "stale"), (1, 150, None)], "k long, t long, p string"
+        )
+        out = asof_join(left, right, on=["k"], ts="t", payload=["p"]).collect()
+        assert out[0]["p_right"] is None  # matched row t=150 has NULL p
+
+    def test_payload_columns_from_same_matched_row(self, spark):
+        """All payload columns must come from ONE right row — mixing
+        fields across rows (NULL in one column skipping back further
+        than another) is wrong."""
+        left = spark.createDataFrame([(1, 200)], "k long, t long")
+        right = spark.createDataFrame(
+            [(1, 100, "a_old", "b_old"), (1, 150, None, "b_new")],
+            "k long, t long, a string, b string",
+        )
+        out = asof_join(left, right, on=["k"], ts="t", payload=["a", "b"]).collect()
+        # matched row is t=150: a is genuinely NULL there, b is b_new
+        assert out[0]["a_right"] is None
+        assert out[0]["b_right"] == "b_new"
+
 
 @pytest.fixture(scope="module")
 def near_dup_docs(spark):
@@ -238,3 +264,22 @@ class TestEmbeddingDedup:
         once = embedding_dedup(emb, "vec_id", "embedding", threshold=0.98)
         twice = embedding_dedup(once, "vec_id", "embedding", threshold=0.98)
         assert sorted(r["vec_id"] for r in once.collect()) == sorted(r["vec_id"] for r in twice.collect())
+
+
+class TestSimilarityIdTypes:
+    def test_ivf_blocked_preserves_string_ids(self, spark):
+        """ADVICE r1: out_schema must derive id type from the input, not
+        hardcode LongType."""
+        import random
+
+        from waterdata_spark.operators.similarity import cosine_topk_ivf_blocked
+
+        rnd = random.Random(3)
+        rows = [(f"doc-{i}", [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+        out = cosine_topk_ivf_blocked(df, k=2, n_cells=2, n_probe=2)
+        assert dict(out.dtypes)["vec_id"] == "string"
+        assert dict(out.dtypes)["neighbor_id"] == "string"
+        got = out.collect()
+        assert len(got) > 0
+        assert all(r["vec_id"].startswith("doc-") for r in got)

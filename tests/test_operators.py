@@ -208,3 +208,61 @@ class TestFallbackJoinStrategies:
         ra = sorted(map(tuple, a.collect()))
         rb = sorted(map(tuple, b.collect()))
         assert ra == rb
+
+
+class TestSaltedJoin:
+    """ADVICE r1 fixes: outer-join rejection + duplicate-row salt spread."""
+
+    def test_outer_join_rejected(self, spark):
+        from waterdata_spark.operators.skew import salted_join
+
+        a = spark.createDataFrame([(1, "x")], "k long, v string")
+        b = spark.createDataFrame([(1, "y")], "k long, w string")
+        for how in ("right", "full_outer", "outer"):
+            with pytest.raises(ValueError, match="salted_join supports"):
+                salted_join(a, b, on=["k"], n_salts=4, how=how)
+
+    def test_duplicate_hot_rows_spread_across_salts(self, spark):
+        """Identical duplicate rows of a hot key must NOT all hash to one
+        salt (that would defeat the mitigation exactly when hot-key rows
+        are duplicates)."""
+        from waterdata_spark.operators.skew import with_salt
+
+        hot = spark.createDataFrame([(1, "same")] * 400, "k long, v string")
+        n_distinct = with_salt(hot, 8).select("__salt").distinct().count()
+        assert n_distinct >= 4  # 400 identical rows over 8 salts
+
+    def test_left_join_with_duplicate_rows_matches_unsalted(self, spark):
+        from waterdata_spark.operators.skew import salted_join
+
+        a = spark.createDataFrame([(1, "x")] * 5 + [(2, "y")], "k long, v string")
+        b = spark.createDataFrame([(1, "p")], "k long, w string")
+        salted = sorted(map(tuple, salted_join(a, b, on=["k"], n_salts=3, how="left").select("k", "v", "w").collect()))
+        plain = sorted(map(tuple, a.join(b, "k", "left").select("k", "v", "w").collect()))
+        assert salted == plain
+
+
+class TestRangeJoinLeft:
+    def test_duplicate_point_rows_preserve_cardinality(self, spark):
+        """ADVICE r1: left range join must keep each duplicate point row
+        (true left-join cardinality), not collapse them by content."""
+        from waterdata_spark.operators.range_join import range_join
+
+        points = spark.createDataFrame(
+            [(1.0,), (1.0,), (1.0,), (99.0,), (99.0,)], "v double"
+        )
+        iv = spark.createDataFrame([(0.0, 5.0, "low")], "lo double, hi double, tag string")
+        out = range_join(points, iv, "v", "lo", "hi", bucket_width=5.0, how="left")
+        rows = sorted((r["v"], r["tag"]) for r in out.collect())
+        assert rows == [(1.0, "low"), (1.0, "low"), (1.0, "low"), (99.0, None), (99.0, None)]
+
+    def test_multi_interval_match_and_unmatched(self, spark):
+        from waterdata_spark.operators.range_join import range_join
+
+        points = spark.createDataFrame([(3.0,), (50.0,)], "v double")
+        iv = spark.createDataFrame(
+            [(0.0, 5.0, "a"), (2.0, 4.0, "b")], "lo double, hi double, tag string"
+        )
+        out = range_join(points, iv, "v", "lo", "hi", bucket_width=5.0, how="left")
+        rows = sorted((r["v"], r["tag"]) for r in out.collect())
+        assert rows == [(3.0, "a"), (3.0, "b"), (50.0, None)]

@@ -106,6 +106,65 @@ class TestPdfTable:
         assert rows[2]["Contaminant ID"] == "NITRATE" and rows[2]["Laboratory ID"] == "LAB3"
         assert rows[2]["SPLIT_PAGES"] == "1"
 
+    def test_unpaired_left_fragment_flushed(self):
+        """ADVICE r1: a left fragment with no right half must be emitted
+        with NULL right columns, not silently dropped."""
+        text = (
+            "*** PWSID = 1 | SYSTEM NAME = A ***\n"
+            "#HEADER\tSample Location\tContaminant ID\tAnalysis Result\tMCL In Effect\tSample Date\n"
+            "301\tCOPPER\t0.5\t1.3\t04/01/2014\n"
+        )
+        import warnings as _warnings
+
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")
+            rows = stitch_pages(fake_pdf_text_extractor(text.encode()))
+        assert len(rows) == 1
+        assert rows[0]["Contaminant ID"] == "COPPER"
+        assert rows[0]["Laboratory ID"] is None  # right columns NULL
+
+    def test_repeated_left_fragment_not_mis_stitched(self):
+        """Two consecutive LEFT fragments (overlapping columns) must not
+        be zipped together as left+right."""
+        text = (
+            "*** PWSID = 1 | SYSTEM NAME = A ***\n"
+            "#HEADER\tSample Location\tContaminant ID\tAnalysis Result\tMCL In Effect\tSample Date\n"
+            "401\tZINC\t0.2\t5\t05/01/2014\n"
+            "\f"
+            "another left fragment, same columns\n"
+            "#HEADER\tSample Location\tContaminant ID\tAnalysis Result\tMCL In Effect\tSample Date\n"
+            "402\tIRON\t0.1\t0.3\t05/02/2014\n"
+        )
+        import warnings as _warnings
+
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")
+            rows = stitch_pages(fake_pdf_text_extractor(text.encode()))
+        assert [r["Contaminant ID"] for r in rows] == ["ZINC", "IRON"]
+        assert all(r["Laboratory ID"] is None for r in rows)
+
+    def test_split_fragments_unequal_rows_padded(self):
+        """Unequal fragment row counts pad with NULLs instead of
+        zip-truncating (no silent row loss)."""
+        text = (
+            "*** PWSID = 1 | SYSTEM NAME = A ***\n"
+            "#HEADER\tSample Location\tContaminant ID\tAnalysis Result\tMCL In Effect\tSample Date\n"
+            "501\tARSENIC\t0.001\t0.01\t06/01/2014\n"
+            "502\tRADIUM\t0.5\t5\t06/02/2014\n"
+            "\f"
+            "right half with only one row\n"
+            "#HEADER\tSample Type\tLaboratory ID\tAnalysis Method\tAnalysis Date\tSample Received Date\n"
+            "RAW WATER\tLAB9\tM9\t06/03/2014\t06/05/2014\n"
+        )
+        import warnings as _warnings
+
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")
+            rows = stitch_pages(fake_pdf_text_extractor(text.encode()))
+        assert len(rows) == 2  # both left rows survive
+        assert rows[0]["Contaminant ID"] == "ARSENIC" and rows[0]["Laboratory ID"] == "LAB9"
+        assert rows[1]["Contaminant ID"] == "RADIUM" and rows[1]["Laboratory ID"] is None
+
     def test_distributed_read(self, spark, tmp_path):
         """C5 plumbing: binaryFile scan → mapInPandas, parallel across files."""
         for i in range(3):

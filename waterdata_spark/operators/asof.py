@@ -42,14 +42,20 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
 
     pay_cols = [f"{c}{suffix}" for c in payload]
+    # Carry ONE struct of all payload columns (not per-column last()):
+    # per-column carries can mix fields from different right rows and
+    # resurrect stale values over a matched row's genuine NULL. The
+    # struct itself is non-null whenever a right row exists, so
+    # last(ignorenulls) stops at the true as-of match and its NULL
+    # fields survive — matching DuckDB ASOF semantics.
     l_tagged = left.withColumn("__is_left", F.lit(1))
-    for c in pay_cols:
-        l_tagged = l_tagged.withColumn(c, F.lit(None))
-    r_tagged = right.select(
-        *on,
-        F.col(ts),
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
-    ).withColumn("__is_left", F.lit(0))
+    r_tagged = (
+        right.select(
+            *on,
+            F.col(ts),
+            F.struct(*[F.col(c).alias(f"{c}{suffix}") for c in payload]).alias("__pay"),
+        ).withColumn("__is_left", F.lit(0))
+    )
 
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
@@ -62,18 +68,17 @@ def asof_join(
             .orderBy(F.col(ts).asc(), tie)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in pay_cols]
     else:
         w = (
             Window.partitionBy(*on)
             .orderBy(F.col(ts).desc(), tie)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in pay_cols]
+    carried = F.last("__pay", ignorenulls=True).over(w).alias("__pay")
 
-    out_cols = [c for c in unioned.columns if c not in pay_cols and c != "__is_left"]
+    out_cols = [c for c in unioned.columns if c not in ("__pay", "__is_left")]
     return (
-        unioned.select(*out_cols, F.col("__is_left"), *carried)
+        unioned.select(*out_cols, F.col("__is_left"), carried)
         .filter(F.col("__is_left") == 1)
-        .drop("__is_left")
+        .select(*out_cols, *[F.col(f"__pay.{c}").alias(c) for c in pay_cols])
     )

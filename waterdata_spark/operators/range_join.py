@@ -38,7 +38,12 @@ def range_join(
     with NULL interval payload.
     """
     pb = F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
-    p = points.withColumn("__bucket", pb)
+    # Unique per-point-row tag: the left path must preserve left-join
+    # cardinality even when ``points`` contains genuinely duplicate
+    # rows, so dedup/windowing keys on this id, never on row content.
+    p = points.withColumn("__pid", F.monotonically_increasing_id()).withColumn(
+        "__bucket", pb
+    )
 
     lo_b = F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long")
     # hi is exclusive: the last overlapped bucket is floor((hi - ulp)/w);
@@ -52,7 +57,7 @@ def range_join(
     joined = p.join(iv, "__bucket", how)
     residual = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     if how == "inner":
-        return joined.filter(residual).drop("__bucket")
+        return joined.filter(residual).drop("__bucket", "__pid")
     # left: null out interval payload where the residual fails
     iv_cols = [c for c in intervals.columns]
     out = joined
@@ -63,7 +68,7 @@ def range_join(
     # nulled rows for points that matched somewhere else
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*[F.col(c) for c in points.columns])
+    w = Window.partitionBy("__pid")
     out = out.withColumn("__any", F.max(keep.cast("int")).over(w))
-    out = out.filter(keep | (F.col("__any") == 0)).dropDuplicates(points.columns + iv_cols)
-    return out.drop("__bucket", "__any")
+    out = out.filter(keep | (F.col("__any") == 0)).dropDuplicates(["__pid"] + iv_cols)
+    return out.drop("__bucket", "__any", "__pid")

@@ -201,7 +201,7 @@ def cosine_topk_ivf(
     )
 
     cents = (
-        unit.withColumn("__h", F.xxhash64(F.col("vec_id") + F.lit(seed)))
+        unit.withColumn("__h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
         .orderBy("__h")
         .limit(n_cells)
         .collect()
@@ -280,7 +280,7 @@ def cosine_topk_ivf_blocked(
         F.col(id_col).alias("vec_id"), F.col("__unit")
     )
     cents = (
-        unit.withColumn("__h", F.xxhash64(F.col("vec_id") + F.lit(seed)))
+        unit.withColumn("__h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
         .orderBy("__h")
         .limit(n_cells)
         .collect()
@@ -312,10 +312,13 @@ def cosine_topk_ivf_blocked(
         F.explode(F.slice(F.col("__cells"), 1, n_probe)).alias("__probe"),
     ).select("q_id", "q_unit", F.col("__probe.cell").alias("cell"))
 
+    # preserve the caller's id type (string/int/long ids all valid),
+    # matching the other cosine_topk_* variants
+    id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("vec_id", id_type),
+            T.StructField("neighbor_id", id_type),
             T.StructField("__sim", T.DoubleType()),
         ]
     )

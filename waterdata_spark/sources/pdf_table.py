@@ -109,10 +109,47 @@ def stitch_pages(
     Each ``pages`` element: {"page": int, "top_margin": int,
     "header": [str] | None, "rows": [[str]]}.
     """
+    import itertools
+    import warnings
+
     out: list[dict[str, str]] = []
     pwsid, sysname, sysname_page = "", "", 0
     carried_header: list[str] | None = None
-    pending_left: tuple[list[str], list[list[str]], int] | None = None
+    # (header, rows, page_no, top_margin, pwsid, sysname, sysname_page)
+    # — group state is captured at sighting time so a flush emits under
+    # the group the fragment belonged to, not a later group's
+    pending_left: tuple | None = None
+
+    def emit(header, rows, page_no, top_margin, was_split, pw, sn, snp):
+        idx = {h: i for i, h in enumerate(header)}
+        for r in rows:
+            rec = {
+                c: restore_ws(str(r[idx[c]])) if c in idx and idx[c] < len(r) else None
+                for c in SAMPLE_COLUMNS
+            }
+            rec["SPLIT_PAGES"] = str(int(was_split))
+            rec["PWSID"] = pw
+            rec["SYSTEM NAME"] = sn
+            rec["MAIN_PAGE"] = str(page_no)
+            rec["TOP_MARGIN"] = str(top_margin)
+            rec["SYSNAME_PAGE"] = str(snp)
+            out.append(rec)
+
+    def flush_pending():
+        # an unpaired left fragment is a real partial-header page: emit
+        # its rows with NULLs for the missing columns instead of
+        # silently dropping them
+        nonlocal pending_left
+        if pending_left is None:
+            return
+        ph, prows, ppage, ptm, ppw, psn, psnp = pending_left
+        warnings.warn(
+            f"pdf stitch: page {ppage} left fragment had no right half; "
+            "emitting with NULL right columns",
+            stacklevel=2,
+        )
+        emit(ph, prows, ppage, ptm, False, ppw, psn, psnp)
+        pending_left = None
 
     for page in pages:
         banner = parse_banner(page.get("text", ""))
@@ -124,34 +161,52 @@ def stitch_pages(
         rows = page.get("rows", [])
         was_split = False
         if header is not None and set(header) == set(SAMPLE_COLUMNS):
+            flush_pending()
             carried_header = header
         elif header is not None and set(header) < set(SAMPLE_COLUMNS):
-            # C5c: split column-page — left fragment waits for its right half
+            # C5c: split column-page — left fragment waits for its right
+            # half. A true right half brings DISJOINT columns; a page
+            # re-showing any of the left's columns is a new fragment,
+            # not a continuation → flush the old one first.
+            if pending_left is not None and set(header) & set(pending_left[0]):
+                flush_pending()
             if pending_left is None:
-                pending_left = (header, rows, page["page"])
+                pending_left = (
+                    header, rows, page["page"], page.get("top_margin", 70),
+                    pwsid, sysname, sysname_page,
+                )
                 continue
-            lheader, lrows, _lpage = pending_left
+            lheader, lrows, _lp, _ltm, _lpw, _lsn, _lsnp = pending_left
+            if len(lrows) != len(rows):
+                warnings.warn(
+                    f"pdf stitch: split fragments at page {page['page']} have "
+                    f"{len(lrows)} vs {len(rows)} rows; padding, not truncating",
+                    stacklevel=2,
+                )
+            n_left = len(lheader)
             header = lheader + [h for h in header if h not in lheader]
-            rows = [lr + rr[: len(header) - len(lr)] for lr, rr in zip(lrows, rows)]
+            rows = [
+                (lr if lr is not None else [""] * n_left)
+                + (rr[: len(header) - n_left] if rr is not None else [])
+                for lr, rr in itertools.zip_longest(lrows, rows)
+            ]
             pending_left = None
             carried_header = header
             was_split = True
         else:
-            # C5d: headerless continuation → assume carried header
+            # C5d: headerless continuation → assume carried header. A
+            # pending left fragment can't be continued by a headerless
+            # full-width page, so it is flushed as partial.
+            flush_pending()
             if carried_header is None:
                 continue
             header = carried_header
 
-        idx = {h: i for i, h in enumerate(header)}
-        for r in rows:
-            rec = {c: restore_ws(str(r[idx[c]])) if c in idx and idx[c] < len(r) else None for c in SAMPLE_COLUMNS}
-            rec["SPLIT_PAGES"] = str(int(was_split))
-            rec["PWSID"] = pwsid
-            rec["SYSTEM NAME"] = sysname
-            rec["MAIN_PAGE"] = str(page["page"])
-            rec["TOP_MARGIN"] = str(page.get("top_margin", 70))
-            rec["SYSNAME_PAGE"] = str(sysname_page)
-            out.append(rec)
+        emit(
+            header, rows, page["page"], page.get("top_margin", 70),
+            was_split, pwsid, sysname, sysname_page,
+        )
+    flush_pending()
     return out
 
 
