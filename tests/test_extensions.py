@@ -283,3 +283,25 @@ class TestSimilarityIdTypes:
         got = out.collect()
         assert len(got) > 0
         assert all(r["vec_id"].startswith("doc-") for r in got)
+
+
+class TestSimHashMd5:
+    def test_identical_same_near_closer(self, spark, near_dup_docs):
+        from waterdata_spark.operators.dedup_approx import simhash_signature_md5
+
+        sigs_df = near_dup_docs.select(
+            "doc_id", simhash_signature_md5("text").alias("s")
+        )
+        sigs = {r["doc_id"]: r["s"] for r in sigs_df.collect()}
+        assert sigs[0] == sigs[1]  # identical texts, identical signature
+        def ham(a, b):
+            return bin(a ^ b).count("1")
+        assert ham(sigs[0], sigs[2]) < ham(sigs[0], sigs[3])
+        assert ham(sigs[0], sigs[2]) < ham(sigs[0], sigs[4])
+
+    def test_empty_text_zero_signature(self, spark):
+        from waterdata_spark.operators.dedup_approx import simhash_signature_md5
+
+        df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+        got = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash_signature_md5("text").alias("s")).collect()}
+        assert got[1] == 0 and got[2] == 0

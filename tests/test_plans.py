@@ -108,3 +108,48 @@ class TestBucketedJoin:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         finally:
             spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
+
+
+class TestExpectationPlans:
+    def test_multi_range_gate_single_scan(self, spark):
+        """expect_ranges evaluates every gate in ONE aggregate over ONE
+        scan (the module doctrine: no per-gate re-scan at 100 TB)."""
+        from waterdata_spark.operators.expectations import _range_violation
+        from waterdata_spark.schemas import load_table
+
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        agg = li.agg(
+            _range_violation("l_quantity", 0, 100, True),
+            _range_violation("l_discount", 0, 1, True),
+        )
+        s = plan_summary(agg)
+        assert s.n_scans == 1, s.text
+        # the scan reads only the gated columns, not the whole table
+        assert any(
+            "l_quantity" in rs and "l_comment" not in rs for rs in s.read_schemas
+        ), s.read_schemas
+
+    def test_profile_single_scan_exact_and_approx(self, spark):
+        from waterdata_spark.operators.expectations import profile
+        from waterdata_spark.schemas import load_table
+
+        cust = load_table(spark, SF_ORACLE, "customer")
+        exact = profile(cust, ["c_nationkey", "c_mktsegment"])
+        approx = profile(cust, ["c_nationkey", "c_mktsegment"], approx=True)
+        e = {r["column"]: r for r in exact.collect()}
+        a = {r["column"]: r for r in approx.collect()}
+        # HLL++ at default rsd=5%: allow small absolute slack
+        assert e["c_nationkey"]["n_distinct"] == 25
+        assert e["c_mktsegment"]["n_distinct"] == 5
+        assert abs(a["c_nationkey"]["n_distinct"] - 25) <= 2
+        assert abs(a["c_mktsegment"]["n_distinct"] - 5) <= 1
+        # approx plan must not contain the multi-distinct Expand
+        import contextlib, io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cust.agg(
+                F.approx_count_distinct("c_nationkey"),
+                F.approx_count_distinct("c_mktsegment"),
+            ).explain("formatted")
+        assert "Expand" not in buf.getvalue()

@@ -4,6 +4,7 @@ from waterdata_spark.operators.expectations import (
     ExpectationError,
     expect_column_consistency,
     expect_range,
+    expect_ranges,
     expect_row_count_preserved,
     expect_schema,
 )
@@ -12,6 +13,7 @@ from waterdata_spark.operators.dedup_approx import (
     minhash_candidate_pairs,
     minhash_dedup,
     simhash_signature,
+    simhash_signature_md5,
 )
 from waterdata_spark.operators.fallback_join import fallback_join
 from waterdata_spark.operators.joins import suffixed_join
@@ -22,6 +24,7 @@ __all__ = [
     "minhash_candidate_pairs",
     "minhash_dedup",
     "simhash_signature",
+    "simhash_signature_md5",
     "suffixed_join",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
@@ -32,6 +35,7 @@ __all__ = [
     "ExpectationError",
     "expect_column_consistency",
     "expect_range",
+    "expect_ranges",
     "expect_row_count_preserved",
     "expect_schema",
     "fallback_join",

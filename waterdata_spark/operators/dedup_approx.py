@@ -205,6 +205,36 @@ def simhash_signature(text_col: Column | str, bits: int = 64) -> Column:
     return sig
 
 
+def simhash_signature_md5(text_col: Column | str, bits: int = 32) -> Column:
+    """SimHash variant whose token hash is md5-derived instead of
+    xxhash64 — bit-for-bit reproducible in any engine with md5
+    (DuckDB: ``('0x' || substring(md5(t), 1, 15))::BIGINT``), so the
+    signature is oracle-checkable (x09). Same per-bit majority-vote
+    structure as :func:`simhash_signature`; 15 hex chars = 60 usable
+    bits, default 32 signature bits.
+
+    Prefer :func:`simhash_signature` (xxhash64) when cross-engine
+    reproducibility is not needed — one JVM hash vs md5+conv per token.
+    """
+    toks = tokens(text_col)
+    # hash each token ONCE into an array; the per-bit votes then fold
+    # over the array of longs, not over re-hashed tokens
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+
+    def vote_fn(b: int):
+        return lambda acc, h: acc + (
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long")) == 1, 1).otherwise(-1)
+        )
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0), vote_fn(b))
+        sig = sig + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two long signatures (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))

@@ -25,6 +25,39 @@ class ExpectationError(AssertionError):
     interactive-halt behavior, C45)."""
 
 
+def _range_violation(col: str, lo: int | float, hi: int | float, allow_null: bool) -> Column:
+    c = F.col(col)
+    violation = (c < lo) | (c > hi)
+    if not allow_null:
+        violation = violation | c.isNull()
+    # count(when(...)) not filter().count(): conditional aggregation
+    # keeps the gate a single aggregate (and lets several gates share
+    # one scan), per the module doctrine
+    return F.count(F.when(violation, 1)).alias(f"{col}__violations")
+
+
+def expect_ranges(
+    df: DataFrame,
+    specs: list[tuple[str, int | float, int | float]],
+    allow_null: bool = True,
+) -> DataFrame:
+    """C41, multi-column form: all range gates evaluated in ONE
+    aggregation pass over the input (at 100 TB each separate gate
+    action is a full re-scan)."""
+    aggs = [_range_violation(col, lo, hi, allow_null) for col, lo, hi in specs]
+    row = df.agg(*aggs).collect()[0].asDict()
+    bad = {k.removesuffix("__violations"): v for k, v in row.items() if v}
+    if bad:
+        detail = ", ".join(
+            f"{n} rows with {col} outside [{lo}, {hi}]"
+            for (col, lo, hi) in specs
+            for c2, n in bad.items()
+            if c2 == col
+        )
+        raise ExpectationError(f"expect_range: {detail}")
+    return df
+
+
 def expect_range(
     df: DataFrame,
     col: str,
@@ -34,15 +67,10 @@ def expect_range(
 ) -> DataFrame:
     """C41: abort if any value falls outside [lo, hi]
     (direct/direct_water_prep.py:84-101 — preserving the intent, not
-    the latent `EPID>999` bug noted there)."""
-    c = F.col(col)
-    violation = (c < lo) | (c > hi)
-    if not allow_null:
-        violation = violation | c.isNull()
-    n = df.filter(violation).count()
-    if n:
-        raise ExpectationError(f"expect_range: {n} rows with {col} outside [{lo}, {hi}]")
-    return df
+    the latent `EPID>999` bug noted there). Single conditional
+    aggregate — see :func:`expect_ranges` to share one scan across
+    several columns."""
+    return expect_ranges(df, [(col, lo, hi)], allow_null=allow_null)
 
 
 def expect_column_consistency(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
@@ -89,17 +117,28 @@ def expect_schema(df: DataFrame, expected: T.StructType | list[str]) -> DataFram
     return df
 
 
-def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile(df: DataFrame, cols: list[str] | None = None, approx: bool = False, rsd: float = 0.05) -> DataFrame:
     """X6: one-pass profiling summary (generalizes the reference's
     human-reviewed checkpoint CSVs, down/down_water_prep.py:372-373).
     Returns one row per column: non-null count, distinct count, min,
-    max — all in a single aggregate (no per-column scans)."""
+    max — all in a single aggregate (no per-column scans).
+
+    ``approx=True`` swaps exact ``count_distinct`` for HyperLogLog++
+    ``approx_count_distinct(rsd)``. At 100 TB a multi-column exact
+    distinct is a heavy multi-Expand aggregate; the sketch form is one
+    fixed-size buffer per column. Keep ``approx=False`` where the
+    result feeds an oracle/equality check (x12)."""
     cols = cols or df.columns
+    nd = (
+        (lambda c: F.approx_count_distinct(F.col(c), rsd))
+        if approx
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
     aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
     for c in cols:
         aggs += [
             F.count(F.col(c)).alias(f"{c}__nn"),
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            nd(c).alias(f"{c}__nd"),
             F.min(F.col(c).cast("string")).alias(f"{c}__min"),
             F.max(F.col(c).cast("string")).alias(f"{c}__max"),
         ]

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from waterdata_spark.operators.expand import expand_keys
-from waterdata_spark.operators.expectations import expect_range
+from waterdata_spark.operators.expectations import expect_ranges
 from waterdata_spark.operators.fallback_join import fallback_join
 from waterdata_spark.schemas import DIRECT_SYSINFO_COLS, EPID_RANGE, SPID_RANGE
 from waterdata_spark.sources.excel import read_excel_sheets
@@ -55,9 +55,9 @@ def direct_pipeline(
     )
 
     # C41 range gates (:84-101) — intent preserved; the latent
-    # `EPID>999` mistake in the SPID check (:89) is not reproduced
-    expect_range(si, "EPID", *EPID_RANGE)
-    expect_range(si, "SPID", *SPID_RANGE)
+    # `EPID>999` mistake in the SPID check (:89) is not reproduced.
+    # Both gates share ONE aggregation pass over system_info.
+    expect_ranges(si, [("EPID", *EPID_RANGE), ("SPID", *SPID_RANGE)])
 
     # C21 key expansion: one dim row per (system-info row × {EPID, SPID})
     # — explode instead of the reference's copy+concat (:107-119)

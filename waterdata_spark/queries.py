@@ -985,17 +985,41 @@ def x08_minhash_bands(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "x09_simhash",
-    None,  # xxhash64 has no DuckDB twin → rows-only check
-    doc="X2 SimHash: 64-bit near-dup signature per document via per-bit "
-    "majority vote of token xxhash64 — one long per doc, Hamming-distance "
-    "comparable. JVM-side aggregate, no UDF.",
-    tags=["dedup", "llm", "rows-only"],
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS hv FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b, SUM(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(range(32)) AS b) bits
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN sig s USING (doc_id)
+    """,
+    doc="X2 SimHash: near-dup signature per document via per-bit majority "
+    "vote of token hashes, packed into a long — Hamming-distance "
+    "comparable, JVM-side aggregate, no UDF. Uses the md5-derived hash "
+    "variant so the signature reproduces bit-for-bit in DuckDB (the "
+    "xxhash64 variant in dedup_approx.simhash_signature is the faster "
+    "engine-only path).",
+    tags=["dedup", "llm"],
 )
 def x09_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.operators.dedup_approx import simhash_signature
+    from waterdata_spark.operators.dedup_approx import simhash_signature_md5
 
     d = load_table(spark, sf, "documents")
-    return d.select("doc_id", simhash_signature("text").alias("simhash"))
+    return d.select("doc_id", simhash_signature_md5("text").alias("simhash"))
 
 
 @query(
