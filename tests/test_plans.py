@@ -153,3 +153,31 @@ class TestExpectationPlans:
                 F.approx_count_distinct("c_mktsegment"),
             ).explain("formatted")
         assert "Expand" not in buf.getvalue()
+
+
+class TestIvfIndexPlan:
+    def test_no_full_table_sort_and_no_centroid_literals(self, spark):
+        """The IVF index must not sort the full table to pick centroids
+        (old seeded path planned a TakeOrderedAndProject) and must not
+        inline centroid vectors as plan literals — they ride the
+        assignment UDF's closure."""
+        from waterdata_spark.operators.similarity import cosine_topk_ivf
+        from waterdata_spark.schemas import load_table
+
+        emb = load_table(spark, SF_ORACLE, "embeddings")
+        out = cosine_topk_ivf(emb, k=3, n_cells=4, n_probe=2)
+        s = plan_summary(out)
+        assert "TakeOrderedAndProject" not in s.text
+        # global sort would plan an Exchange rangepartitioning
+        assert "rangepartitioning" not in s.text
+        # sanity: it still produces ranked neighbors
+        assert out.filter(F.col("rank") == 1).count() > 0
+
+    def test_kmeans_matches_seeded_shape_and_is_deterministic(self, spark):
+        from waterdata_spark.operators.similarity import cosine_topk_ivf_blocked
+        from waterdata_spark.schemas import load_table
+
+        emb = load_table(spark, SF_ORACLE, "embeddings")
+        a = cosine_topk_ivf_blocked(emb, k=3, n_cells=8, n_probe=3).collect()
+        b = cosine_topk_ivf_blocked(emb, k=3, n_cells=8, n_probe=3).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -16,6 +16,8 @@ Python/Arrow round-trip in the hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -166,6 +168,120 @@ def cosine_topk_lsh(
     return out.select(*cols)
 
 
+def _lloyd_kmeans(X, k: int, seed: int, n_iter: int = 8):
+    """Seeded numpy k-means (k-means++ init, Lloyd's iterations) for the
+    bounded driver-side sample. Deterministic for a given (X, k, seed)."""
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    # k-means++ seeding
+    centers = [X[int(rng.integers(n))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            np.stack([np.sum((X - c) ** 2, axis=1) for c in centers]), axis=0
+        )
+        tot = d2.sum()
+        if tot <= 0:
+            centers.append(X[int(rng.integers(n))])
+            continue
+        centers.append(X[int(rng.choice(n, p=d2 / tot))])
+    C = np.vstack(centers)
+    x2 = (X**2).sum(axis=1, keepdims=True)
+    for _ in range(n_iter):
+        # squared L2 via ||x||² - 2x·c + ||c||² (no n×k×dim tensor)
+        d = x2 - 2.0 * (X @ C.T) + (C**2).sum(axis=1)[None, :]
+        lab = d.argmin(axis=1)
+        for j in range(k):
+            pts = X[lab == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    return C
+
+
+def _centroid_matrix(unit: DataFrame, n_cells: int, seed: int, method: str = "kmeans"):
+    """Coarse-quantizer centroids as a unit-normalized numpy matrix
+    (n_cells × dim).
+
+    method='kmeans' (production): deterministic hash-sample of
+    ~40·n_cells vectors → k-means → normalized centers. No full-table
+    sort, no collect of data rows beyond the bounded sample; cost is
+    independent of |df| except the sample filter scan. The fit runs as
+    seeded numpy Lloyd's on the driver while the sample is small
+    (≤ ~2M floats — it is 40·n_cells·dim, bounded by geometry, not by
+    |df|) and as distributed ``pyspark.ml`` KMeans beyond that; in
+    local mode the MLlib job overhead (~3 s) would otherwise dominate
+    sub-second fits.
+
+    method='seeded': the original pick — first n_cells vectors by
+    seeded hash order. Kept as fallback (and for tiny inputs where
+    k-means has fewer points than cells).
+    """
+
+    if method == "kmeans":
+        target = max(n_cells * 40, n_cells * 2)
+        n = unit.count()
+        mod = max(1, n // target)
+        samp = unit.filter(
+            F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed + 1)), F.lit(mod)) == 0
+        ).select(F.col("__unit").cast("array<double>").alias("__unit"))
+        dim = int(samp.select(F.size("__unit")).first()[0]) if n else 0
+        n_samp = samp.count()
+        if n_samp >= n_cells and n_samp * max(dim, 1) <= 2_000_000:
+            X = np.vstack([r["__unit"] for r in samp.collect()])
+            C = _lloyd_kmeans(X, n_cells, seed, n_iter=8)
+            norms = np.linalg.norm(C, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            return C / norms
+        if n_samp >= n_cells:
+            try:
+                from pyspark.ml.clustering import KMeans
+                from pyspark.ml.functions import array_to_vector
+
+                feats = samp.select(array_to_vector(F.col("__unit")).alias("features"))
+                model = KMeans(k=n_cells, seed=seed, maxIter=8).fit(feats)
+                C = np.vstack(model.clusterCenters())
+                norms = np.linalg.norm(C, axis=1, keepdims=True)
+                norms[norms == 0.0] = 1.0
+                return C / norms
+            except Exception:
+                pass  # pyspark.ml unavailable → seeded fallback
+    cents = (
+        unit.withColumn("__h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        .orderBy("__h")
+        .limit(n_cells)
+        .collect()
+    )
+    C = np.vstack([np.asarray(row["__unit"], dtype="float64") for row in cents])
+    norms = np.linalg.norm(C, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return C / norms
+
+
+def _probe_cells_udf(C, n_top: int):
+    """Arrow-batched cell assignment: for each unit vector, the ids of
+    its ``n_top`` nearest centroids, ordered by similarity desc (ties:
+    lower cell id). The centroid matrix rides the UDF closure — one
+    broadcast to executors, zero plan-literal bloat (the old expression
+    form inlined n_cells × dim literals into the plan)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probe_cells(units: pd.Series) -> pd.Series:
+        if units.empty:
+            return pd.Series([], dtype=object)
+        U = np.vstack(units.values)
+        S = U @ C.T
+        kk = min(n_top, S.shape[1])
+        idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        out = []
+        for i in range(S.shape[0]):
+            cells = idx[i]
+            order = np.lexsort((cells, -S[i, cells]))
+            out.append([int(c) for c in cells[order]])
+        return pd.Series(out)
+
+    return probe_cells
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -175,20 +291,23 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     seed: int = 42,
     sim_col: str | None = "similarity",
+    centroids: str = "kmeans",
 ) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) coarse
     quantization — the right ANN scale path when queries target
     arbitrary neighbors. Measured recall@5 vs brute force on the
-    synthetic (near-uniform) embeddings at sf0.01: 0.53 with
-    (cells=16, probe=4), 0.75 with (16, 8) — vs <0.1 for
-    random-hyperplane LSH, which only buckets high-similarity pairs
-    reliably (use LSH for near-dup detection, IVF for top-k search;
-    on real clustered embeddings IVF recall is substantially higher
-    than on uniform noise).
+    synthetic (near-uniform) embeddings at sf0.01 (tools/ann_recall.py):
+    k-means centroids 0.604 at (cells=16, probe=4), 0.820 at probe=8
+    (seeded pick: 0.482 / 0.738) — vs <0.1 for random-hyperplane LSH,
+    which only buckets high-similarity pairs reliably (use LSH for
+    near-dup detection, IVF for top-k search; on real clustered
+    embeddings IVF recall is substantially higher than on uniform
+    noise).
 
-    - Centroids: n_cells vectors chosen deterministically by seeded
-      hash order (at real scale: k-means on a sample via pyspark.ml —
-      identical plan shape downstream).
+    - Centroids: sampled k-means via pyspark.ml (``centroids='kmeans'``,
+      default) or the seeded deterministic pick (``'seeded'``); see
+      :func:`_centroid_matrix`. Assignment is an Arrow-batched numpy
+      matmul, so centroids never appear as plan literals.
     - Each vector is indexed under its nearest centroid (one cell).
     - Each query probes its n_probe nearest cells; exact cosine
       reranks within the probed cells.
@@ -200,38 +319,20 @@ def cosine_topk_ivf(
         F.col(id_col).alias("vec_id"), F.col("__unit")
     )
 
-    cents = (
-        unit.withColumn("__h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
-        .orderBy("__h")
-        .limit(n_cells)
-        .collect()
-    )
-    cent_arrays = [F.array(*[F.lit(float(x)) for x in row["__unit"]]) for row in cents]
-
-    def cell_sims(u: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    _dot(u, cent_arrays[i]).alias("sim"),
-                    F.lit(i).alias("cell"),
-                )
-                for i in range(len(cent_arrays))
-            ]
-        )
-
-    ranked = F.reverse(F.array_sort(cell_sims(F.col("__unit"))))
-    indexed = unit.withColumn("__cells", ranked)
+    C = _centroid_matrix(unit, n_cells, seed, centroids)
+    probe = _probe_cells_udf(C, max(1, n_probe))
+    indexed = unit.withColumn("__cells", probe(F.col("__unit").cast("array<double>")))
 
     data_side = indexed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("__unit").alias("__ub"),
-        F.col("__cells").getItem(0).getField("cell").alias("cell"),
+        F.col("__cells").getItem(0).alias("cell"),
     )
     query_side = indexed.select(
         "vec_id",
         F.col("__unit").alias("__ua"),
-        F.explode(F.slice(F.col("__cells"), 1, n_probe)).alias("__probe"),
-    ).select("vec_id", "__ua", F.col("__probe.cell").alias("cell"))
+        F.explode(F.slice(F.col("__cells"), 1, n_probe)).alias("cell"),
+    )
 
     cand = query_side.join(data_side, "cell").filter(F.col("vec_id") != F.col("neighbor_id"))
     w = Window.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id").asc())
@@ -256,10 +357,11 @@ def cosine_topk_ivf_blocked(
     n_probe: int = 4,
     seed: int = 42,
     sim_col: str | None = "similarity",
+    centroids: str = "kmeans",
 ) -> DataFrame:
     """IVF top-k with numpy block-matmul rerank — the production path.
 
-    Same index structure as ``cosine_topk_ivf`` (deterministic coarse
+    Same index structure as ``cosine_topk_ivf`` (sampled-k-means coarse
     centroids, one cell per data vector, n_probe cells per query), but
     the within-cell rerank is a per-cell cogroup → ``applyInPandas``
     computing Q @ D.T with numpy. One Arrow transfer per cell instead
@@ -268,35 +370,24 @@ def cosine_topk_ivf_blocked(
 
     Scale: the shuffle key is the cell id; per-cell blocks are bounded
     by n/n_cells (pick n_cells so a cell's matrix fits an executor —
-    at 100 TB that means ~sqrt-ish scaling of n_cells, and the
-    centroids come from pyspark.ml k-means on a sample instead of the
-    seeded pick).
+    at 100 TB that means ~sqrt-ish scaling of n_cells). Centroids come
+    from pyspark.ml k-means on a deterministic hash-sample and ride the
+    assignment UDF's closure (one executor broadcast), never the plan.
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
     unit = with_unit_vector(df.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("vec_id"), F.col("__unit")
     )
-    cents = (
-        unit.withColumn("__h", F.xxhash64(F.col("vec_id"), F.lit(seed)))
-        .orderBy("__h")
-        .limit(n_cells)
-        .collect()
-    )
-    cent_arrays = [F.array(*[F.lit(float(x)) for x in row["__unit"]]) for row in cents]
-    sims = F.array(
-        *[
-            F.struct(_dot(F.col("__unit"), cent_arrays[i]).alias("sim"), F.lit(i).alias("cell"))
-            for i in range(len(cent_arrays))
-        ]
-    )
+    C = _centroid_matrix(unit, n_cells, seed, centroids)
+    probe = _probe_cells_udf(C, max(1, n_probe))
     # materialize the index once: both cogroup sides read it, and the
-    # assignment expression (n_cells dot products per row) is the
-    # expensive part — recomputing it per side doubles the work. At
-    # real scale this is a persisted index table.
-    indexed = unit.withColumn("__cells", F.reverse(F.array_sort(sims))).localCheckpoint(eager=False)
+    # assignment (an Arrow round-trip per row batch) is the expensive
+    # part — recomputing it per side doubles the work. At real scale
+    # this is a persisted index table.
+    indexed = unit.withColumn(
+        "__cells", probe(F.col("__unit").cast("array<double>"))
+    ).localCheckpoint(eager=False)
 
     # distinct column names on the two cogroup sides — both derive from
     # `indexed`, and Spark's ambiguous-self-join check rejects a cogroup
@@ -304,13 +395,13 @@ def cosine_topk_ivf_blocked(
     data_side = indexed.select(
         F.col("vec_id").alias("d_id"),
         F.col("__unit").alias("d_unit"),
-        F.col("__cells").getItem(0).getField("cell").alias("cell"),
+        F.col("__cells").getItem(0).alias("cell"),
     )
     query_side = indexed.select(
         F.col("vec_id").alias("q_id"),
         F.col("__unit").alias("q_unit"),
-        F.explode(F.slice(F.col("__cells"), 1, n_probe)).alias("__probe"),
-    ).select("q_id", "q_unit", F.col("__probe.cell").alias("cell"))
+        F.explode(F.slice(F.col("__cells"), 1, n_probe)).alias("cell"),
+    )
 
     # preserve the caller's id type (string/int/long ids all valid),
     # matching the other cosine_topk_* variants
