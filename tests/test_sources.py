@@ -101,10 +101,14 @@ class TestPdfTable:
         # page 2: headerless continuation carries header AND banner group (C5d)
         assert rows[1]["PWSID"] == "6430001" and rows[1]["Contaminant ID"] == "LEAD"
         assert rows[1]["SYSNAME_PAGE"] == "1" and rows[1]["MAIN_PAGE"] == "2"
-        # pages 3+4: split column-pages recombined (C5c)
+        # pages 3+4: split column-pages recombined (C5c); SPLIT_PAGES
+        # counts the pages the table spanned (reference :727,:766)
         assert rows[2]["PWSID"] == "6430002"
         assert rows[2]["Contaminant ID"] == "NITRATE" and rows[2]["Laboratory ID"] == "LAB3"
-        assert rows[2]["SPLIT_PAGES"] == "1"
+        assert rows[2]["SPLIT_PAGES"] == "2"
+        assert rows[0]["SPLIT_PAGES"] == "1" and rows[1]["SPLIT_PAGES"] == "1"
+        # split provenance comes from the LEFT page (reference :731)
+        assert rows[2]["MAIN_PAGE"] == "3"
 
     def test_unpaired_left_fragment_flushed(self):
         """ADVICE r1: a left fragment with no right half must be emitted
@@ -174,13 +178,12 @@ class TestPdfTable:
         assert df.select("source_file").distinct().count() == 3
         assert "PWSID" in df.columns and "TOP_MARGIN" in df.columns
 
-    def test_real_extractor_is_gated(self, spark, tmp_path):
+    def test_real_extractor_default_handles_junk(self, spark, tmp_path):
+        """The default (geometric, C5b) extractor is live: a non-PDF
+        byte blob yields zero pages, not an exception."""
         (tmp_path / "x.pdf").write_bytes(b"%PDF-fake")
         df = read_pdf_tables(spark, str(tmp_path / "x.pdf"))
-        import pytest as _pytest
-
-        with _pytest.raises(Exception, match="No PDF library|NotImplemented"):
-            df.count()
+        assert df.count() == 0
 
 
 class TestSinks:

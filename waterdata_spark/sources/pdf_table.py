@@ -18,15 +18,16 @@ task per file, Arrow-batched output, no shuffle until the next
 operator.
 
 Extraction is a pluggable hook with three implementations:
-``basic_pdf_text_extractor`` — a REAL stdlib PDF text decoder (object
+``real_pdf_text_extractor`` — geometric table-area detection (C5b)
+over stdlib positioned-text decoding with the reference's top=70→45
+retry (see :mod:`waterdata_spark.sources.pdf_geom`; validated
+row-for-row against the shipped rptinfo2014.csv fixture);
+``basic_pdf_text_extractor`` — linear stdlib text decoding (object
 graph → FlateDecode content streams → Tj/TJ text ops; verified
 against the reference's 92-page shipped PDF) for text-shaped report
-tables; ``fake_pdf_text_extractor`` — a deterministic test format;
-``real_pdf_text_extractor`` — the gated hook for geometric
-table-area detection (tabula/pdfminer-grade layout analysis, which
-this container's library set cannot do). Everything downstream of
-extraction (banner parse, page stitching, header repair, whitespace
-restore) is shared and tested.
+tables; ``fake_pdf_text_extractor`` — a deterministic test format.
+Everything downstream of extraction (banner parse, page stitching,
+header repair, whitespace restore) is shared and tested.
 """
 
 from __future__ import annotations
@@ -77,6 +78,39 @@ def parse_banner(page_text: str) -> tuple[str, str] | None:
     return m.group(1), m.group(2)
 
 
+def parse_banner_ref(page_text: str) -> tuple[str, str, int | None] | None:
+    """C5a, reference-exact: (PWSID, SYSTEM NAME, per-system page no).
+
+    Mirrors down/down_water_prep.py:605-615 character for character —
+    including its quirks, which the shipped rptinfo fixtures embed:
+    the SYSTEM NAME keeps the leading space left by ``split(' |')``,
+    and the trailing per-system page ordinal is removed with
+    ``re.sub(' <n>', ...)`` (which strips EVERY occurrence, not just
+    the trailing one). Falls back to the lenient regex parse (trimmed
+    name, no ordinal) for banners without the trailing ordinal.
+    """
+    first_line = page_text.split("\n", 1)[0]
+    if BANNER_RE.search(first_line) is None:
+        m = BANNER_RE.search(page_text)
+        if m is None:
+            return None
+        first_line = page_text[m.start() :].split("\n", 1)[0]
+    try:
+        t = first_line.replace("***", "").replace(" PWSID = ", "").replace("SYSTEM NAME = ", "")
+        parts = t.split(" |")
+        sid = int(parts[0])
+        sn = parts[1]
+        tail = sn.split(" ")[-1]
+        snp = int(tail)
+        sn = re.sub(" " + tail, "", sn)
+        return str(sid), sn, snp
+    except (ValueError, IndexError):
+        m = BANNER_RE.search(first_line)
+        if m is None:
+            return None
+        return m.group(1), m.group(2), None
+
+
 def normalize_ws(cell: str) -> str:
     """C5e forward direction: protect embedded newlines/tabs."""
     return re.sub(r"[\r\n\t]+", WS_SENTINEL, cell)
@@ -102,9 +136,17 @@ def stitch_pages(
       carried header is assumed (C5d);
     - a page with only a LEFT subset of the columns followed by a
       page with the RIGHT remainder is a split column-page; rows are
-      recombined positionally (C5c);
-    - provenance columns record the page bookkeeping
-      (down/down_water_prep.py:185-192).
+      recombined positionally (C5c). A headerless page arriving while
+      a left fragment is pending, whose rows are no wider than the
+      left header, is a left-fragment CARRYOVER (the reference's
+      6/7-field case, :777-853): its rows join the pending fragment,
+      keeping their own page's provenance;
+    - provenance columns record the page bookkeeping with the
+      reference's values (:185-192, :727-733): ``SPLIT_PAGES`` is 1
+      for single-page tables and 2 for split ones, ``MAIN_PAGE`` /
+      ``TOP_MARGIN`` / ``SYSNAME_PAGE`` come from the page that
+      emitted the row's LEFT fragment, and ``SYSNAME_PAGE`` is the
+      banner's per-system ordinal when present.
 
     Each ``pages`` element: {"page": int, "top_margin": int,
     "header": [str] | None, "rows": [[str]]}.
@@ -115,19 +157,19 @@ def stitch_pages(
     out: list[dict[str, str]] = []
     pwsid, sysname, sysname_page = "", "", 0
     carried_header: list[str] | None = None
-    # (header, rows, page_no, top_margin, pwsid, sysname, sysname_page)
-    # — group state is captured at sighting time so a flush emits under
-    # the group the fragment belonged to, not a later group's
-    pending_left: tuple | None = None
+    # pending left fragment of a split column-page: header + per-row
+    # provenance captured at sighting time, so carryover rows keep
+    # their own page's bookkeeping (reference :813-815)
+    pending_left: dict | None = None
 
-    def emit(header, rows, page_no, top_margin, was_split, pw, sn, snp):
+    def emit(header, tagged_rows, split_pages):
         idx = {h: i for i, h in enumerate(header)}
-        for r in rows:
-            rec = {
-                c: restore_ws(str(r[idx[c]])) if c in idx and idx[c] < len(r) else None
-                for c in SAMPLE_COLUMNS
-            }
-            rec["SPLIT_PAGES"] = str(int(was_split))
+        for r, (page_no, top_margin, pw, sn, snp) in tagged_rows:
+            rec = {}
+            for c in SAMPLE_COLUMNS:
+                v = r[idx[c]] if c in idx and idx[c] < len(r) else None
+                rec[c] = restore_ws(str(v)) if v is not None else None
+            rec["SPLIT_PAGES"] = str(split_pages)
             rec["PWSID"] = pw
             rec["SYSTEM NAME"] = sn
             rec["MAIN_PAGE"] = str(page_no)
@@ -142,41 +184,43 @@ def stitch_pages(
         nonlocal pending_left
         if pending_left is None:
             return
-        ph, prows, ppage, ptm, ppw, psn, psnp = pending_left
         warnings.warn(
-            f"pdf stitch: page {ppage} left fragment had no right half; "
-            "emitting with NULL right columns",
+            f"pdf stitch: page {pending_left['page']} left fragment had no "
+            "right half; emitting with NULL right columns",
             stacklevel=2,
         )
-        emit(ph, prows, ppage, ptm, False, ppw, psn, psnp)
+        emit(pending_left["header"], pending_left["rows"], 2)
         pending_left = None
 
     for page in pages:
-        banner = parse_banner(page.get("text", ""))
+        banner = parse_banner_ref(page.get("text", ""))
         if banner:
-            pwsid, sysname = banner
-            sysname_page = page["page"]
+            pwsid, sysname, snp = banner
+            sysname_page = snp if snp is not None else page["page"]
 
         header = page.get("header")
         rows = page.get("rows", [])
-        was_split = False
-        if header is not None and set(header) == set(SAMPLE_COLUMNS):
+        prov = (page["page"], page.get("top_margin", 70), pwsid, sysname, sysname_page)
+        if header is not None and set(h for h in header if h is not None) == set(SAMPLE_COLUMNS):
             flush_pending()
             carried_header = header
-        elif header is not None and set(header) < set(SAMPLE_COLUMNS):
+            emit(header, [(r, prov) for r in rows], 1)
+        elif header is not None and set(h for h in header if h is not None) < set(SAMPLE_COLUMNS):
             # C5c: split column-page — left fragment waits for its right
             # half. A true right half brings DISJOINT columns; a page
             # re-showing any of the left's columns is a new fragment,
             # not a continuation → flush the old one first.
-            if pending_left is not None and set(header) & set(pending_left[0]):
+            if pending_left is not None and set(header) & set(pending_left["header"]):
                 flush_pending()
             if pending_left is None:
-                pending_left = (
-                    header, rows, page["page"], page.get("top_margin", 70),
-                    pwsid, sysname, sysname_page,
-                )
+                pending_left = {
+                    "header": header,
+                    "rows": [(r, prov) for r in rows],
+                    "page": page["page"],
+                }
                 continue
-            lheader, lrows, _lp, _ltm, _lpw, _lsn, _lsnp = pending_left
+            lheader = pending_left["header"]
+            lrows = pending_left["rows"]
             if len(lrows) != len(rows):
                 warnings.warn(
                     f"pdf stitch: split fragments at page {page['page']} have "
@@ -184,15 +228,26 @@ def stitch_pages(
                     stacklevel=2,
                 )
             n_left = len(lheader)
-            header = lheader + [h for h in header if h not in lheader]
-            rows = [
-                (lr if lr is not None else [""] * n_left)
-                + (rr[: len(header) - n_left] if rr is not None else [])
-                for lr, rr in itertools.zip_longest(lrows, rows)
-            ]
+            merged_header = lheader + [h for h in header if h not in lheader]
+            merged = []
+            for lt, rr in itertools.zip_longest(lrows, rows):
+                lr, lprov = lt if lt is not None else ([None] * n_left, prov)
+                full = list(lr) + [None] * (n_left - len(lr))
+                full = full[:n_left] + (list(rr[: len(merged_header) - n_left]) if rr is not None else [])
+                merged.append((full, lprov))
             pending_left = None
-            carried_header = header
-            was_split = True
+            carried_header = merged_header
+            emit(merged_header, merged, 2)
+        elif (
+            pending_left is not None
+            and rows
+            and max(len(r) for r in rows) <= len(pending_left["header"])
+        ):
+            # left-fragment carryover (reference 6/7-field case): the
+            # split table's left half continued onto this page without
+            # a header; rows wait with the fragment, tagged with THIS
+            # page's provenance
+            pending_left["rows"].extend((r, prov) for r in rows)
         else:
             # C5d: headerless continuation → assume carried header. A
             # pending left fragment can't be continued by a headerless
@@ -200,12 +255,7 @@ def stitch_pages(
             flush_pending()
             if carried_header is None:
                 continue
-            header = carried_header
-
-        emit(
-            header, rows, page["page"], page.get("top_margin", 70),
-            was_split, pwsid, sysname, sysname_page,
-        )
+            emit(carried_header, [(r, prov) for r in rows], 1)
     flush_pending()
     return out
 
@@ -233,14 +283,15 @@ def fake_pdf_text_extractor(raw: bytes) -> list[dict]:
 
 
 def real_pdf_text_extractor(raw: bytes) -> list[dict]:
-    """Production extractor hook: rasterize pages + detect the bounded
-    table area with a top=70 → top=45 retry (C5b,
-    down/down_water_prep.py:169-171,618-623). Requires a PDF library
-    (pdfminer / tabula) not present in this container."""
-    raise NotImplementedError(
-        "No PDF library in this environment; pass extractor=fake_pdf_text_extractor "
-        "or provide a pdfminer/tabula-backed callable."
-    )
+    """Production extractor hook (C5b): geometric table-area detection
+    with the top=70 → top=45 retry (down/down_water_prep.py:169-171,
+    618-623), built on the stdlib positioned-text decoder in
+    :mod:`waterdata_spark.sources.pdf_geom` — no tabula/pdfminer
+    needed. Validated row-for-row against the reference's shipped
+    rptinfo2014.csv fixture (tests/test_pdf_geom.py)."""
+    from waterdata_spark.sources.pdf_geom import geometric_pdf_extractor
+
+    return geometric_pdf_extractor(raw)
 
 
 def read_pdf_tables(
@@ -301,6 +352,65 @@ _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
             b"(": b"(", b")": b")", b"\\": b"\\"}
 
 
+def _trim_stream(data: bytes) -> bytes:
+    """Remove at most ONE EOL before 'endstream' (PDF 1.7 §7.3.8) —
+    ``strip(b"\\r\\n")`` would eat legitimate trailing 0x0A/0x0D bytes
+    of the compressed payload (~2/256 of FlateDecode streams)."""
+    if data.endswith(b"\r\n"):
+        return data[:-2]
+    if data.endswith(b"\n") or data.endswith(b"\r"):
+        return data[:-1]
+    return data
+
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STREAM_OR_END_RE = re.compile(rb"stream\r?\n|endobj")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+
+
+def _parse_objects(raw: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Stream-aware sequential object scan: num → (body, stream data).
+
+    A whole-file regex scan corrupts on binary FlateDecode payloads —
+    compressed bytes can contain ``endobj`` / ``endstream`` / ``N 0
+    obj`` sequences that fake object boundaries. This parser walks the
+    file once, skipping each stream payload via its ``/Length`` (plain
+    integer; indirect-ref lengths fall back to the ``endstream``
+    scan), so payload bytes are never interpreted as structure.
+    """
+    objects: dict[int, tuple[bytes, bytes | None]] = {}
+    pos = 0
+    n = len(raw)
+    while True:
+        m = _OBJ_HEAD_RE.search(raw, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        start = m.end()
+        sm = _STREAM_OR_END_RE.search(raw, start)
+        if sm is None:
+            objects[num] = (raw[start:], None)
+            break
+        if sm.group().startswith(b"stream"):
+            data_start = sm.end()
+            lm = _LENGTH_RE.search(raw, start, sm.start())
+            if lm:
+                data_end = data_start + int(lm.group(1))
+                data = raw[data_start:data_end]
+            else:
+                es = raw.find(b"endstream", data_start)
+                data_end = es if es >= 0 else n
+                data = _trim_stream(raw[data_start:data_end])
+            eo = raw.find(b"endobj", data_end)
+            end = eo if eo >= 0 else n
+            objects[num] = (raw[start : sm.start()], data)
+            pos = end + 6
+        else:
+            objects[num] = (raw[start : sm.start()], None)
+            pos = sm.end()
+    return objects
+
+
 def _unescape_pdf_string(s: bytes) -> bytes:
     out = bytearray()
     i = 0
@@ -355,13 +465,12 @@ def extract_pdf_text_pages(raw: bytes) -> list[str]:
     """
     import zlib
 
-    objects: dict[int, bytes] = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(raw)}
+    objects = _parse_objects(raw)
 
-    def content_of(obj_body: bytes) -> bytes:
-        sm = _STREAM_RE.search(obj_body)
-        if not sm:
+    def content_of(num: int) -> bytes:
+        data = objects.get(num, (b"", None))[1]
+        if data is None:
             return b""
-        data = sm.group(1).strip(b"\r\n")
         try:
             return zlib.decompress(data)
         except Exception:
@@ -369,14 +478,14 @@ def extract_pdf_text_pages(raw: bytes) -> list[str]:
 
     pages: list[str] = []
     for num in sorted(objects):
-        body = objects[num]
+        body = objects[num][0]
         if not _PAGE_RE.search(body):
             continue
         cm = _CONTENTS_RE.search(body)
         if not cm:
             continue
         refs = [int(cm.group(1))] if cm.group(1) else [int(r.group(1)) for r in _REF_RE.finditer(cm.group(2))]
-        content = b"".join(content_of(objects.get(r, b"")) for r in refs)
+        content = b"".join(content_of(r) for r in refs)
         pages.append(_decode_content_text(content))
     return pages
 
