@@ -242,6 +242,97 @@ class TestSaltedJoin:
         assert salted == plain
 
 
+class TestCompareJoinSkewProof:
+    """VERDICT r1 item 7: prove pipelines/compare.py:9-14's claim that a
+    hot PWSID in the composite reconciliation key is handled — by BOTH
+    mitigation paths, with identical output."""
+
+    def _skewed_sides(self, spark):
+        # ~160 distinct PWSIDs like the reference data; one takes 90%
+        # of the 40k fact rows (the reference's PWSID distribution is
+        # exactly this shape: a few municipal systems dominate)
+        fact = spark.range(40_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(6430001))
+            .otherwise(6430000 + F.pmod("id", 160))
+            .alias("PWSID"),
+            F.concat(F.lit("C"), F.pmod("id", 7)).alias("Contaminant ID"),
+            F.col("id").alias("v"),
+        )
+        other = spark.range(160 * 7).select(
+            (6430000 + F.col("id") % 160).alias("PWSID"),
+            F.concat(F.lit("C"), F.col("id") % 7).alias("Contaminant ID"),
+            (F.col("id") * 2).alias("w"),
+        )
+        return fact, other.distinct()
+
+    def test_salting_balances_hot_key_partitions(self, spark):
+        """No post-shuffle partition may exceed ~2x the median after
+        salting; the unsalted shuffle shows the hot key's pile-up."""
+        import statistics
+
+        from waterdata_spark.operators.skew import with_salt
+
+        fact, _ = self._skewed_sides(spark)
+        keys = ["PWSID", "Contaminant ID"]
+
+        def partition_sizes(df):
+            rows = df.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+            return sorted(r["count"] for r in rows)
+
+        unsalted = partition_sizes(fact.repartition(32, *keys))
+        assert unsalted[-1] > 10 * statistics.median(unsalted)  # hot pile-up
+
+        salted = partition_sizes(with_salt(fact, 32).repartition(32, *keys, "__salt"))
+        assert salted[-1] <= 2 * statistics.median(salted)
+
+    def test_salted_equals_plain_join(self, spark):
+        from waterdata_spark.operators.skew import salted_join
+
+        fact, other = self._skewed_sides(spark)
+        keys = ["PWSID", "Contaminant ID"]
+        cols = ["PWSID", "Contaminant ID", "v", "w"]
+        a = sorted(map(tuple, salted_join(fact, other, on=keys, n_salts=32).select(*cols).collect()))
+        b = sorted(map(tuple, fact.join(other, keys).select(*cols).collect()))
+        assert a == b and len(a) == 40_000
+
+    def test_aqe_skew_split_fires_and_matches(self, spark):
+        """With thresholds scaled to the test data, AQE must plan the
+        skew-split (SortMergeJoin(skew=true) + AQEShuffleRead skewed)
+        and produce the same rows as the salted join."""
+        from waterdata_spark.operators.skew import salted_join
+
+        fact, other = self._skewed_sides(spark)
+        keys = ["PWSID", "Contaminant ID"]
+        cols = ["PWSID", "Contaminant ID", "v", "w"]
+        forced = {
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        }
+        saved = {k: spark.conf.get(k, None) for k in forced}
+        try:
+            for k, v in forced.items():
+                spark.conf.set(k, v)
+            # plain table on the dim side: the skew rule needs
+            # Sort(ShuffleStage) directly under the SMJ on both sides
+            joined = fact.join(other.localCheckpoint(), keys).select(*cols)
+            rows = sorted(map(tuple, joined.collect()))
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        assert "skew=true" in plan and "AQEShuffleRead skewed" in plan
+        expected = sorted(map(tuple, salted_join(fact, other, on=keys, n_salts=32).select(*cols).collect()))
+        assert rows == expected
+
+
 class TestRangeJoinLeft:
     def test_duplicate_point_rows_preserve_cardinality(self, spark):
         """ADVICE r1: left range join must keep each duplicate point row

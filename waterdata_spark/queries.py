@@ -1367,6 +1367,71 @@ def w01_down_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "w02_compare_reconciliation",
+    None,  # inputs are the reference's shipped fixtures (xlsx in the loop) — no DuckDB twin
+    doc="The reference's third entry point (compare.py:88-107) end-to-end "
+    "on the shipped 144,595-row data: the down product (conform + "
+    "3-tier fallback join) is reconciled against a deterministically "
+    "derived direct-channel product via the 7-key inner join. The "
+    "direct side is a 25% md5-sample of the down product mapped to the "
+    "direct schema, with every 4th sampled row's date perturbed so it "
+    "must NOT reconcile — the stable per-SAMPTYPE match counts prove "
+    "key conformance (date parsing, trims, 'n'-prefix typing, sentinel "
+    "handling) across both channels.",
+    tags=["pipeline", "water", "rows-only", "composite"],
+)
+def w02_compare_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
+    import glob
+    import os
+
+    from waterdata_spark.pipelines.compare import compare_pipeline
+    from waterdata_spark.pipelines.down import down_csv_stage, down_join_stage
+
+    ref = "/root/reference/down"
+    if not os.path.exists(f"{ref}/csvdispSPIp1.csv"):
+        return spark.createDataFrame([], "SAMPTYPE string, n_matched long, n_systems long")
+    site_sub, data = down_csv_stage(
+        spark,
+        spi_paths=sorted(glob.glob(f"{ref}/csvdispSPIp*.csv")),
+        bi_paths=sorted(glob.glob(f"{ref}/csvdispBIp*.csv")),
+        sites_xlsx=f"{ref}/ResultsSite.xlsx",
+        data_paths=sorted(glob.glob(f"{ref}/rptinfo*.csv")),
+    )
+    down_prod = down_join_stage(spark, site_sub, data)
+
+    # deterministic direct-channel derivation: md5-sample 25% of the
+    # down product into the direct schema (LOC_EPID without the 'n'
+    # prefix — conform_direct re-adds it), perturbing every 4th
+    # sampled row's Sample Date so it cannot reconcile
+    h = F.md5(
+        F.concat_ws(
+            "|", F.col("PWSID").cast("string"), "Contaminant ID", "Sample Location", "Sample Date"
+        )
+    )
+    samp = down_prod.filter(h < "40000000000000000000000000000000")
+    perturb = F.substring(h, 3, 1).isin("0", "4", "8", "c")
+    direct = samp.select(
+        F.col("PWSID").cast("long").alias("PWSID"),
+        F.col("Contaminant ID").alias("CONTNAM"),
+        F.col("Analysis Result").cast("double").alias("RESULT"),
+        F.substring("Sample Type", 1, 1).alias("SAMPTYPE"),
+        F.when(perturb, F.lit("12/31/2099")).otherwise(F.col("Sample Date")).alias("SAMPDATE"),
+        F.col("Analysis Date").alias("ANALDATE"),
+        F.col("SYSTEM NAME").alias("SYSNAME"),
+        F.regexp_replace(F.col("Sample Location"), "^n", "").alias("LOC_EPID"),
+    )
+    out = compare_pipeline(spark, down_prod, direct)
+    return (
+        out.groupBy("SAMPTYPE")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.count_distinct("PWSID").alias("n_systems"),
+        )
+        .orderBy("SAMPTYPE")
+    )
+
+
+@query(
     "x13_hash_sample",
     """
     SELECT doc_id, lang
