@@ -51,6 +51,18 @@ def _ivf_bench(spark, sf_dir):
     return cosine_topk_ivf_blocked(e, k=5, n_cells=16, n_probe=4)
 
 
+def _run_suite(spark, sf_dir: str) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = _ivf_bench if name == "x07_ivf_topk_bench" else QUERIES[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -61,27 +73,36 @@ def main() -> None:
     QUERIES["q08_distinct_pairs"].fn(spark, sf_dir).count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = _ivf_bench if name == "x07_ivf_topk_bench" else QUERIES[name].fn
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
-
+    timings = _run_suite(spark, sf_dir)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # scale-step block (VERDICT r1 item 2): when benching the default
+    # sf0.1, also run the suite at sf1 (10x, generated once from sf0.1
+    # by tools/scale_testdata.py and cached) and report the per-query
+    # scale ratio — the measured evidence that no plan is super-linear
+    # across a decade of data. Disable with SPARK_GRAFT_SF1=0.
+    if sf == "0.1" and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        from tools.scale_testdata import ensure_scaled
+
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/waterdata_spark_sf1")
+        if ensure_scaled(spark, sf_dir, sf1_dir, factor=10):
+            sf1_timings = _run_suite(spark, sf1_dir)
+            out["sf1"] = {
+                "value": round(sum(sf1_timings.values()), 3),
+                "queries": sf1_timings,
+                "scale_ratio": {
+                    k: round(sf1_timings[k] / max(timings[k], 0.05), 2) for k in sf1_timings
+                },
             }
-        )
-    )
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
