@@ -76,6 +76,30 @@ class TestDedup:
         twice = exact_dedup(once, ["text"], "doc_id")
         assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
+    def test_priority_dedup_agg_matches_window(self, spark):
+        """The map-side-combinable aggregate form must agree with the
+        canonical window form on every key shape: unique tiebreaks,
+        duplicate priorities, negative values, nulls in payload."""
+        from waterdata_spark.operators.dedup import priority_dedup_agg
+
+        df = spark.createDataFrame(
+            [
+                ("a", 1, 10.0, "x"),
+                ("a", 2, 10.0, None),
+                ("a", 3, -5.0, "y"),
+                ("b", 1, 0.0, "z"),
+                ("c", 7, 2.5, None),
+                ("c", 6, 2.5, "w"),
+            ],
+            "k string, tie int, pri double, payload string",
+        )
+        win = priority_dedup(df, ["k"], [F.col("pri").desc(), F.col("tie").asc()])
+        agg = priority_dedup_agg(
+            df, ["k"], F.struct((-F.col("pri")).alias("p"), F.col("tie").alias("t"))
+        )
+        assert sorted(map(tuple, win.collect())) == sorted(map(tuple, agg.collect()))
+        assert win.columns == agg.columns
+
 
 class TestFallbackJoin:
     def test_tier_assignment(self, spark, fact, dim):

@@ -39,8 +39,9 @@ def test_fallback_join_scans_fact_once(spark):
 def test_priority_dedup_single_shuffle(spark):
     df = QUERIES["q06_priority_dedup"].fn(spark, SF_ORACLE)
     s = assert_plan(df, max_exchanges=1)
-    # WindowGroupLimit = rank-limit pushdown (partial top-1 before shuffle)
-    assert "WindowGroupLimit" in s.text
+    # aggregate form: partial min_by combines map-side, so the shuffle
+    # carries one candidate per (map task, key), not every input row
+    assert "partial_min_by" in s.text
 
 
 def test_pricing_summary_partial_agg(spark):

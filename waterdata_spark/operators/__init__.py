@@ -1,4 +1,4 @@
-from waterdata_spark.operators.dedup import dedup_any, exact_dedup, priority_dedup
+from waterdata_spark.operators.dedup import dedup_any, exact_dedup, priority_dedup, priority_dedup_agg
 from waterdata_spark.operators.expand import expand_keys
 from waterdata_spark.operators.expectations import (
     ExpectationError,
@@ -31,6 +31,7 @@ __all__ = [
     "dedup_any",
     "exact_dedup",
     "priority_dedup",
+    "priority_dedup_agg",
     "expand_keys",
     "ExpectationError",
     "expect_column_consistency",
