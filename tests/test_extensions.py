@@ -171,6 +171,33 @@ class TestMultimodal:
         with pytest.raises(Exception, match="No image library|NotImplemented"):
             extract_media_features(media).collect()
 
+    def test_metadata_path_is_jvm_only(self, spark):
+        """Metadata derivation (size, MIME sniff, hash) must not spawn
+        Python workers: whole plan stays in codegen — no
+        mapInPandas/ArrowEvalPython nodes."""
+        from waterdata_spark.operators.multimodal import MEDIA_SCHEMA, with_media_metadata
+
+        rows = [
+            (1, "image", b"\x89PNG\r\n\x1a\nrest", 0, "", {}),
+            (2, "image", b"\xff\xd8\xff\xe0jfif", 0, "", {}),
+            (3, "pdf_page", b"%PDF-1.7 x", 0, "", {}),
+            (4, "audio", b"RIFF\x00\x00\x00\x00WAVEfmt ", 0, "", {}),
+            (5, "video", b"RIFF\x00\x00\x00\x00AVI LIST", 0, "", {}),
+            (6, "blob", b"\x00\x01\x02", 0, "", {}),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA).drop("n_bytes", "mime")
+        out = with_media_metadata(media)
+        got = {r["media_id"]: r for r in out.collect()}
+        assert got[1]["mime"] == "image/png"
+        assert got[2]["mime"] == "image/jpeg"
+        assert got[3]["mime"] == "application/pdf"
+        assert got[4]["mime"] == "audio/wav"
+        assert got[5]["mime"] == "video/x-msvideo"
+        assert got[6]["mime"] == "application/octet-stream"
+        assert got[3]["n_bytes"] == 10 and len(got[3]["content_sha"]) == 64
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "mapInPandas" not in plan
+
 
 @pytest.fixture()
 def events_stream_dir(tmp_path):

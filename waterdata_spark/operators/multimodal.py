@@ -83,13 +83,15 @@ def extract_media_features(
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = []
-            for _, row in batch.iterrows():
-                content = bytes(row["content"])
+            # per-item loop is inherent to decoding; zip over columns
+            # avoids iterrows' per-row Series construction
+            for mid, kind, content in zip(batch["media_id"], batch["kind"], batch["content"]):
+                content = bytes(content)
                 d = decode(content)
                 out.append(
                     {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
+                        "media_id": mid,
+                        "kind": kind,
                         "content_sha": hashlib.sha256(content).hexdigest(),
                         "width": d["width"],
                         "height": d["height"],
@@ -100,6 +102,49 @@ def extract_media_features(
 
     cols = media.select("media_id", "kind", "content")
     return cols.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+# magic-byte prefixes → mime, longest first (hex of the leading bytes)
+_MAGIC_MIME = [
+    ("89504e47", "image/png"),
+    ("ffd8ff", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("494433", "audio/mpeg"),  # ID3-tagged mp3
+    ("fffb", "audio/mpeg"),
+    ("1a45dfa3", "video/webm"),
+]
+
+
+def sniff_mime(content: F.Column | str) -> F.Column:
+    """MIME from magic bytes as a pure JVM expression (hex prefix
+    match) — metadata derivation must NOT ride the Python codec path.
+    RIFF containers disambiguate on bytes 8-11 (WAVE vs AVI)."""
+    c = F.col(content) if isinstance(content, str) else content
+    head = F.lower(F.hex(F.substring(c, 1, 12)))
+    expr = F.lit("application/octet-stream")
+    for prefix, mime in reversed(_MAGIC_MIME):
+        expr = F.when(head.startswith(prefix), F.lit(mime)).otherwise(expr)
+    riff = head.startswith("52494646")
+    expr = (
+        F.when(riff & (F.substring(head, 17, 8) == F.lit("57415645")), F.lit("audio/wav"))
+        .when(riff & (F.substring(head, 17, 8) == F.lit("41564920")), F.lit("video/x-msvideo"))
+        .otherwise(expr)
+    )
+    return expr
+
+
+def with_media_metadata(media: DataFrame, content_col: str = "content") -> DataFrame:
+    """Metadata-only pass, entirely JVM-side (no Arrow round-trip, no
+    Python workers): payload size, sniffed MIME, content hash. Use
+    this — not extract_media_features — when downstream needs only
+    metadata (dedup keys, size-based routing, format filtering)."""
+    c = F.col(content_col)
+    return (
+        media.withColumn("n_bytes", F.length(c).cast("long"))
+        .withColumn("mime", sniff_mime(c))
+        .withColumn("content_sha", F.sha2(c, 256))
+    )
 
 
 def dedup_media_exact(media: DataFrame) -> DataFrame:
