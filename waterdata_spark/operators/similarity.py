@@ -173,12 +173,12 @@ def _lloyd_kmeans(X, k: int, seed: int, n_iter: int = 8):
     bounded driver-side sample. Deterministic for a given (X, k, seed)."""
     rng = np.random.default_rng(seed)
     n = X.shape[0]
-    # k-means++ seeding
+    # k-means++ seeding, incremental min-distance update: O(k·n·dim),
+    # not O(k²·n·dim) from re-scanning every center per step
     centers = [X[int(rng.integers(n))]]
+    d2 = np.full(n, np.inf)
     for _ in range(1, k):
-        d2 = np.min(
-            np.stack([np.sum((X - c) ** 2, axis=1) for c in centers]), axis=0
-        )
+        d2 = np.minimum(d2, np.sum((X - centers[-1]) ** 2, axis=1))
         tot = d2.sum()
         if tot <= 0:
             centers.append(X[int(rng.integers(n))])
@@ -282,12 +282,23 @@ def _probe_cells_udf(C, n_top: int):
     return probe_cells
 
 
+def _resolve_cells(unit, n_cells):
+    """n_cells='auto' → √n (classic IVF sizing: cell count and per-cell
+    block grow together, keeping the cogroup matmul balanced as the
+    table scales). One count job; callers on a known-size table pass
+    an int to avoid it."""
+    if n_cells == "auto":
+        n = unit.count()
+        return max(4, min(4096, int(n ** 0.5)))
+    return int(n_cells)
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     n_probe: int = 4,
     seed: int = 42,
     sim_col: str | None = "similarity",
@@ -319,6 +330,7 @@ def cosine_topk_ivf(
         F.col(id_col).alias("vec_id"), F.col("__unit")
     )
 
+    n_cells = _resolve_cells(unit, n_cells)
     C = _centroid_matrix(unit, n_cells, seed, centroids)
     probe = _probe_cells_udf(C, max(1, n_probe))
     indexed = unit.withColumn("__cells", probe(F.col("__unit").cast("array<double>")))
@@ -353,7 +365,7 @@ def cosine_topk_ivf_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     n_probe: int = 4,
     seed: int = 42,
     sim_col: str | None = "similarity",
@@ -379,6 +391,7 @@ def cosine_topk_ivf_blocked(
     unit = with_unit_vector(df.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("vec_id"), F.col("__unit")
     )
+    n_cells = _resolve_cells(unit, n_cells)
     C = _centroid_matrix(unit, n_cells, seed, centroids)
     probe = _probe_cells_udf(C, max(1, n_probe))
     # materialize the index once: both cogroup sides read it, and the
