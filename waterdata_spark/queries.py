@@ -1077,6 +1077,60 @@ def x11_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x14_training_prep",
+    """
+    WITH kept AS (
+      SELECT doc_id, text, lang FROM documents
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    ), t AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM kept
+    )
+    SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN md5('split42:' || CAST(doc_id AS VARCHAR))
+                     < 'c0000000000000000000000000000000'
+                THEN 'train' ELSE 'eval' END AS split
+    FROM t
+    WHERE len(toks) >= 30
+      AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            / greatest(len(toks), 1) BETWEEN 3.0 AND 8.0
+    """,
+    doc="End-to-end LLM training-data prep as ONE declarative plan: exact "
+    "dedup (map-side min_by on a sha2 content key — the bodies never "
+    "shuffle twice), token-count + mean-token-length quality gate, and "
+    "a deterministic 75/25 md5 train/eval split. Composes X1+X4+x13 the "
+    "way a real corpus pipeline chains them; one scan of documents, no "
+    "Python in the plan.",
+    tags=["text", "llm", "dedup", "composite"],
+)
+def x14_training_prep(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.dedup import priority_dedup_agg
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    # X1 dedup: group on the fixed-width content hash (never shuffles
+    # bodies as keys), min_by keeps the lowest-id row map-side
+    kept = priority_dedup_agg(
+        d.withColumn("__sha", F.sha2(F.col("text"), 256)), ["__sha"], F.col("doc_id")
+    ).drop("__sha")
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("long")
+    tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    mtl = tok_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    split = F.when(
+        F.md5(F.concat(F.lit("split42:"), F.col("doc_id").cast("string")))
+        < "c0000000000000000000000000000000",
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    return (
+        kept.withColumn("n_tokens", n_tok)
+        .withColumn("__mtl", mtl)
+        .filter((F.col("n_tokens") >= 30) & (F.col("__mtl") >= 3.0) & (F.col("__mtl") <= 8.0))
+        .select("doc_id", "lang", "n_tokens", split.alias("split"))
+    )
+
+
+@query(
     "q22_orderby_limit",
     """
     SELECT o_orderkey, o_custkey, o_totalprice
