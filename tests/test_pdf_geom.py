@@ -95,6 +95,49 @@ class TestPositionedDecode:
         assert blocks == [["BUHL.~.COMMUNITY"], ["NEXT"]]
 
 
+class TestObjectParser:
+    def test_indirect_length_ref_not_miscounted(self):
+        """'/Length 5 0 R' is an indirect reference — treating its '5'
+        as the byte count would truncate the stream payload."""
+        from waterdata_spark.sources.pdf_table import _parse_objects
+
+        body = b"0123456789abcdef"
+        raw = (
+            b"1 0 obj\n<< /Length 5 0 R >>\nstream\n" + body + b"\nendstream\nendobj\n"
+            b"5 0 obj\n16\nendobj\n"
+        )
+        objs = _parse_objects(raw)
+        assert objs[1][1] == body  # falls back to the endstream scan
+
+    def test_binary_payload_cannot_fake_boundaries(self):
+        """Payload bytes that look like 'endobj'/'N 0 obj' must not
+        derail the scan when /Length is explicit."""
+        from waterdata_spark.sources.pdf_table import _parse_objects
+
+        evil = b"xx endobj 7 0 obj endstream yy"
+        raw = (
+            b"1 0 obj\n<< /Length %d >>\nstream\n" % len(evil)
+            + evil
+            + b"\nendstream\nendobj\n2 0 obj\n<< /Real true >>\nendobj\n"
+        )
+        objs = _parse_objects(raw)
+        assert objs[1][1] == evil
+        assert 2 in objs and b"/Real" in objs[2][0]
+        assert 7 not in objs
+
+    @pytest.mark.skipif(not os.path.exists(f"{REF_DOWN}/API_User_Guide.pdf"), reason="no ref pdf")
+    def test_real_pdf_positioned_decode(self):
+        """The reference's shipped 92-page PDF decodes positionally:
+        every page yields runs with sane coordinates."""
+        raw = open(f"{REF_DOWN}/API_User_Guide.pdf", "rb").read()
+        pages = positioned_pages(raw)
+        assert len(pages) == 92
+        assert all(p["runs"] for p in pages)
+        for p in pages:
+            for _x, y, _s in p["runs"][:20]:
+                assert -50 <= y <= p["height"] + 50
+
+
 class TestBannerRef:
     def test_reference_quirks(self):
         # leading space on the name + per-system ordinal, exactly as

@@ -365,7 +365,9 @@ def _trim_stream(data: bytes) -> bytes:
 
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _STREAM_OR_END_RE = re.compile(rb"stream\r?\n|endobj")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+# negative lookahead: '/Length 5 0 R' is an INDIRECT length reference,
+# not a byte count — matching its '5' would mis-skip the stream
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)\b")
 
 
 def _parse_objects(raw: bytes) -> dict[int, tuple[bytes, bytes | None]]:
