@@ -233,6 +233,25 @@ class TestStreaming:
         assert out.count() > 0
         assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0
 
+    def test_dedup_stream_drops_cross_batch_duplicates(self, spark, tmp_path):
+        """X1's streaming twin: the same file fed as two micro-batches
+        must emit each event_id once — duplicate arrivals inside the
+        watermark are dropped with bounded state."""
+        import shutil
+
+        from waterdata_spark.queries import QUERIES  # noqa: F401 (env parity)
+        from waterdata_spark.streaming.ops import dedup_stream, read_events_stream, run_stream_to_memory
+
+        d = tmp_path / "dupstream"
+        d.mkdir()
+        shutil.copy(f"{SF_SMOKE}/events.parquet", d / "a.parquet")
+        shutil.copy(f"{SF_SMOKE}/events.parquet", d / "b.parquet")
+        stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+        out = run_stream_to_memory(dedup_stream(stream, ["event_id"]), "t_dedup")
+        n_distinct = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+        assert out.count() == n_distinct
+        assert out.select("event_id").distinct().count() == n_distinct
+
 
 class TestStatefulStreaming:
     def test_running_totals_accumulate_across_batches(self, spark, tmp_path):

@@ -84,6 +84,23 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "event_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup (X1's streaming twin): keep the first
+    arrival per key, with state bounded by the watermark —
+    ``dropDuplicatesWithinWatermark`` evicts a key's state once it is
+    older than the watermark, so memory is O(keys per watermark
+    window), not O(all keys ever). The batch twin is
+    ``operators/dedup.exact_dedup`` / ``dedup_any``; for an at-scale
+    corpus the content key should be a sha2 of the payload, exactly
+    like the batch path."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a bounded file stream to completion synchronously and
     return the materialized result (test/verification harness)."""
