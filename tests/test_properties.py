@@ -95,6 +95,10 @@ class TestPdfRoundtripLaw:
     fixture-shaped records, for ANY cell content (escaping, spaces,
     parens, backslashes) and any page mix of top margins and splits."""
 
+    # the '.~.' whitespace sentinel (C5e) is IN-BAND by the reference's
+    # own design (down_water_prep.py:158) — a literal '.~.' in real cell
+    # data would be corrupted to a space by the reference and by this
+    # engine alike, so the law excludes it
     cell = st.one_of(
         st.none(),
         st.text(
@@ -102,7 +106,7 @@ class TestPdfRoundtripLaw:
             min_size=1,
             max_size=18,
         ).map(lambda s: s.strip() or None),
-    )
+    ).filter(lambda v: v is None or ".~." not in v)
 
     @staticmethod
     @st.composite
