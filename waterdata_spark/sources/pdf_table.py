@@ -337,8 +337,8 @@ def read_pdf_tables(
 # reconstruction remain for a real PDF library via the extractor hook.
 # ---------------------------------------------------------------------------
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+# (the old whole-file _OBJ_RE/_STREAM_RE scans were removed: binary
+# FlateDecode payloads can fake object boundaries — see _parse_objects)
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(?:(\d+)\s+\d+\s+R|\[(.*?)\])", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
