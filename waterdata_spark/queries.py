@@ -1236,6 +1236,64 @@ def q24_running_sum(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q34_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS d30_revenue
+    FROM orders
+    WHERE o_custkey < 200
+    """,
+    doc="RANGE-frame window (§2.8 surface): trailing-30-day revenue per "
+    "customer — the frame is VALUE-based (day number), so same-day "
+    "orders are peers and the result is order-independent; decimal-"
+    "exact sum cast to double per row.",
+    tags=["window", "agg"],
+)
+def q34_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("d30_revenue"),
+    )
+
+
+@query(
+    "q35_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices) "
+    "through the engine's SQL entry point — one Expand+Aggregate pass, "
+    "not one scan per set; GROUPING() disambiguates the null rows.",
+    tags=["agg", "sql"],
+)
+def q35_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    # Spark spells the multi-column bitmask GROUPING_ID (same bit order
+    # as DuckDB's two-arg GROUPING: leftmost column = high bit)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
     "q25_semi_join",
     """
     SELECT c_custkey, c_name
