@@ -141,15 +141,22 @@ def minhash_dedup(
     n_bands: int = 4,
     k: int = 8,
     threshold: float = 0.7,
+    max_rounds: int = 50,
 ) -> DataFrame:
     """Full near-dup removal: LSH candidates → Jaccard verify →
     connected components via iterative label propagation (min-id) →
     keep the lowest id per component.
 
     Label propagation iterates a broadcast-join of the (tiny) edge
-    set; near-dup clusters are shallow in practice so 3-5 rounds
-    converge. At trillion-doc scale this becomes the standard
-    large-star/small-star algorithm — same plan shape, more rounds.
+    set TO CONVERGENCE: labels only decrease, so the sum of labels is
+    a strictly decreasing fixpoint witness — one cheap scalar action
+    per round on the checkpointed label frame detects it. Near-dup
+    clusters are shallow, so 3-5 rounds converge in practice;
+    ``max_rounds`` is a diameter backstop. The exact-CC result is what
+    x10's DuckDB recursive-CTE oracle computes, so this query is
+    value-hash-checked, not rows-only. At trillion-doc scale this
+    becomes the standard large-star/small-star algorithm — same plan
+    shape, fewer effective rounds.
     """
     cand = minhash_candidate_pairs(df, id_col, text_col, n_hashes, n_bands, k)
     edges = jaccard_verify_pairs(df, cand, id_col, text_col, k, threshold).select("id_a", "id_b")
@@ -158,11 +165,14 @@ def minhash_dedup(
     # localCheckpoint per round truncates the lineage — without it the
     # plan doubles every iteration and the optimizer re-plans the whole
     # history each round (at scale: persist to a checkpoint table).
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")).localCheckpoint(
+        eager=True
+    )
     sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))).localCheckpoint(
         eager=True
     )
-    for _ in range(5):
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_rounds):
         neighbor_min = (
             sym.join(labels, sym.id_a == labels.node)
             .groupBy(F.col("id_b").alias("node2"))
@@ -176,6 +186,10 @@ def minhash_dedup(
             )
             .localCheckpoint(eager=True)
         )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     keep = labels.filter(F.col("node") == F.col("label")).select(F.col("node").alias(id_col))
     return df.join(keep, id_col, "left_semi")
 

@@ -1030,11 +1030,67 @@ def x09_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "x10_minhash_dedup",
-    None,  # connected components — iterative, not SQL-expressible
+    """
+    WITH RECURSIVE
+    idx AS (
+      SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+      FROM documents
+    ),
+    sh AS (SELECT doc_id, substr(text, CAST(i AS INT), 8) AS s FROM idx),
+    mh AS (
+      SELECT doc_id,
+             min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+             min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+             min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_hash FROM mh
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM mh
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM mh
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM mh
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS ni
+      FROM cand c
+      JOIN dsh x ON x.doc_id = c.id_a
+      JOIN dsh y ON y.doc_id = c.id_b AND y.s = x.s
+      GROUP BY c.id_a, c.id_b
+    ),
+    edges AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.6
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    comp(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, c.lbl FROM comp c JOIN sym e ON e.src = c.node
+    ),
+    kept AS (SELECT node AS doc_id FROM comp GROUP BY node HAVING min(lbl) = node)
+    SELECT d.* FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+    """,
     doc="X2 end-to-end near-dup removal: LSH candidates → exact Jaccard "
-    "verify → min-id label propagation → keep one doc per duplicate "
-    "cluster. Verified by property tests (idempotence, planted dups).",
-    tags=["dedup", "llm", "rows-only"],
+    "verify → min-id label propagation to CONVERGENCE → keep one doc "
+    "per duplicate cluster. The DuckDB twin reproduces the whole "
+    "pipeline including connected components (recursive CTE), so the "
+    "iterative algorithm is value-hash-checked, not just rows-only; "
+    "planted-dup and idempotence property tests cover it too.",
+    tags=["dedup", "llm"],
 )
 def x10_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from waterdata_spark.operators.dedup_approx import minhash_dedup
