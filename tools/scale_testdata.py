@@ -89,13 +89,17 @@ def _replicate(df: DataFrame, table: str, factor: int, bases: dict[str, int]) ->
         rep = rep.withColumn("n_chars", F.length("text").cast("long"))
     if table == "embeddings":
         dim = F.size("embedding")
+        # rotation offset must stay inside the vector: slice() with a
+        # start past the array end would silently produce short vectors
+        # when factor > dim
+        off = F.pmod(F.col("__r"), dim)
         rotated = F.concat(
-            F.slice(F.col("embedding"), F.col("__r") + 1, dim - F.col("__r")),
-            F.slice(F.col("embedding"), 1, F.col("__r")),
+            F.slice(F.col("embedding"), off + 1, dim - off),
+            F.slice(F.col("embedding"), 1, off),
         )
         rep = rep.withColumn(
             "embedding",
-            F.when(F.col("__r") == 0, F.col("embedding")).otherwise(rotated).cast("array<float>"),
+            F.when(off == 0, F.col("embedding")).otherwise(rotated).cast("array<float>"),
         )
     return rep.drop("__r")
 
