@@ -48,8 +48,8 @@ def priority_dedup_agg(df: DataFrame, keys: list[str], sort_key: Column) -> Data
     is a hash aggregate: partial ``min_by`` runs map-side, so the
     shuffle carries at most one candidate row per (map task, key) —
     at 10x data the window's shuffle grows 10x while this one stays
-    bounded by distinct keys x tasks. Measured at sf1: 2.2s vs 8.9s
-    for the window plan on the same q06 shape.
+    bounded by distinct keys x tasks. Measured at sf1: 4.2s vs 8.5s
+    for the window plan on the same q06 shape (warm local[32]).
 
     ``sort_key`` must totally order each key group (append a unique
     tiebreak) and encode direction numerically — negate a numeric

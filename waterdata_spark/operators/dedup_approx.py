@@ -160,14 +160,30 @@ def minhash_dedup(
     """
     cand = minhash_candidate_pairs(df, id_col, text_col, n_hashes, n_bands, k)
     edges = jaccard_verify_pairs(df, cand, id_col, text_col, k, threshold).select("id_a", "id_b")
+    labels = min_id_components(df.select(F.col(id_col).alias("node")), edges, max_rounds)
+    keep = labels.filter(F.col("node") == F.col("label")).select(F.col("node").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
 
-    # min-id label propagation over the undirected edge set.
-    # localCheckpoint per round truncates the lineage — without it the
-    # plan doubles every iteration and the optimizer re-plans the whole
-    # history each round (at scale: persist to a checkpoint table).
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")).localCheckpoint(
-        eager=True
-    )
+
+def min_id_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components as (node, label): label = the minimum node
+    id in the component. ``nodes`` has one column ``node``; ``edges``
+    has ``id_a``/``id_b`` (undirected, symmetrized here).
+
+    Min-id label propagation iterated TO CONVERGENCE: labels only
+    decrease, so the sum of labels is a strictly decreasing fixpoint
+    witness — one scalar action per round on the checkpointed label
+    frame detects it; ``max_rounds`` is a diameter backstop.
+    localCheckpoint per round truncates the lineage — without it the
+    plan doubles every iteration and the optimizer re-plans the whole
+    history each round (at scale: persist to a checkpoint table; at
+    trillion-edge scale: large-star/small-star, same plan shape).
+    """
+    labels = nodes.select(F.col("node"), F.col("node").alias("label")).localCheckpoint(eager=True)
     sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))).localCheckpoint(
         eager=True
     )
@@ -190,8 +206,7 @@ def minhash_dedup(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    keep = labels.filter(F.col("node") == F.col("label")).select(F.col("node").alias(id_col))
-    return df.join(keep, id_col, "left_semi")
+    return labels
 
 
 def simhash_signature(text_col: Column | str, bits: int = 64) -> Column:
@@ -254,6 +269,33 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def cosine_threshold_edges(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """EXACT similarity-graph edges: every (id_a < id_b) pair with
+    cosine ≥ threshold, no top-k cap. Cosine is rounded to 6 decimals
+    BEFORE the comparison so the threshold test is reproducible across
+    engines (double summation-order ulps sit at 1e-15, far below the
+    rounding grain). Quadratic — the verification baseline; the IVF
+    candidate path is the scale form."""
+    from waterdata_spark.operators.similarity import _dot, with_unit_vector
+
+    unit = with_unit_vector(df.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("__unit")
+    )
+    a = unit.select(F.col("vec_id").alias("id_a"), F.col("__unit").alias("__ua"))
+    b = unit.select(F.col("vec_id").alias("id_b"), F.col("__unit").alias("__ub"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("__sim", F.round(_dot(F.col("__ua"), F.col("__ub")), 6))
+        .filter(F.col("__sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def embedding_dedup(
     df: DataFrame,
     id_col: str,
@@ -262,47 +304,36 @@ def embedding_dedup(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    candidates: str = "ivf",
 ) -> DataFrame:
     """Embedding-cosine near-dup removal (BASELINE north-star dedup
-    family): IVF candidate pairs → cosine ≥ threshold edges → min-id
-    label propagation → keep one row per duplicate cluster.
+    family): candidate pairs → cosine ≥ threshold edges → min-id
+    label propagation (to convergence) → keep one row per cluster.
 
-    Reuses the similarity module's IVF index for candidates (cost
-    bounded by cells probed, not n²) and the same connected-components
-    recipe as minhash_dedup. High thresholds (≥0.9) are exactly the
-    regime where coarse-quantized candidates have high recall — near-
-    identical vectors land in the same cell.
+    candidates='ivf' (default, the scale path): the similarity
+    module's IVF index bounds candidate cost by cells probed, not n²;
+    high thresholds (≥0.9) are exactly the regime where coarse-
+    quantized candidates have high recall — near-identical vectors
+    land in the same cell. candidates='exact': the quadratic
+    no-top-k-cap graph (:func:`cosine_threshold_edges`) — the
+    verification baseline and the form x15's DuckDB oracle reproduces.
     """
-    from waterdata_spark.operators.similarity import cosine_topk_ivf_blocked
+    if candidates == "exact":
+        edges = cosine_threshold_edges(df, id_col, vec_col, threshold)
+    else:
+        from waterdata_spark.operators.similarity import cosine_topk_ivf_blocked
 
-    pairs = cosine_topk_ivf_blocked(
-        df, id_col=id_col, vec_col=vec_col, k=10, n_cells=n_cells,
-        n_probe=n_probe, seed=seed, sim_col="similarity",
-    )
-    edges = (
-        pairs.filter(F.col("similarity") >= threshold)
-        .filter(F.col("vec_id") < F.col("neighbor_id"))
-        .select(F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
-        .distinct()
-    )
+        pairs = cosine_topk_ivf_blocked(
+            df, id_col=id_col, vec_col=vec_col, k=10, n_cells=n_cells,
+            n_probe=n_probe, seed=seed, sim_col="similarity",
+        )
+        edges = (
+            pairs.filter(F.col("similarity") >= threshold)
+            .filter(F.col("vec_id") < F.col("neighbor_id"))
+            .select(F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+            .distinct()
+        )
 
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    sym = edges.union(
-        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).localCheckpoint(eager=True)
-    for _ in range(5):
-        neighbor_min = (
-            sym.join(labels, sym.id_a == labels.node)
-            .groupBy(F.col("id_b").alias("node2"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                F.col("node"),
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    labels = min_id_components(df.select(F.col(id_col).alias("node")), edges)
     keep = labels.filter(F.col("node") == F.col("label")).select(F.col("node").alias(id_col))
     return df.join(keep, id_col, "left_semi")

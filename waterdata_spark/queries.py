@@ -1100,6 +1100,47 @@ def x10_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x15_embedding_components",
+    """
+    WITH RECURSIVE
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(
+              CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+    comp(node, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, c.lbl FROM comp c JOIN sym e ON e.src = c.node
+    )
+    SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS component
+    FROM comp GROUP BY node
+    """,
+    doc="X2 similarity-graph clustering over the embedding column: exact "
+    "cosine-threshold edges (rounded to 6dp before the comparison so "
+    "the cut reproduces across engines) → min-id connected components "
+    "to convergence. Every vector gets its component label — the full "
+    "CC answer is value-hash-checked against DuckDB's recursive CTE, "
+    "same recipe as embedding_dedup's keep-one-per-cluster form.",
+    tags=["dedup", "similarity", "llm"],
+)
+def x15_embedding_components(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.dedup_approx import (
+        cosine_threshold_edges,
+        min_id_components,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    edges = cosine_threshold_edges(e, "vec_id", "embedding", threshold=0.4)
+    labels = min_id_components(e.select(F.col("vec_id").alias("node")), edges)
+    return labels.select(
+        F.col("node").alias("vec_id"), F.col("label").cast("long").alias("component")
+    )
+
+
+@query(
     "x11_quality_filter",
     """
     WITH t AS (
