@@ -233,6 +233,38 @@ class TestStreaming:
         assert out.count() > 0
         assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0
 
+    def test_interval_join_stream_matches_batch(self, spark, events_stream_dir):
+        """Stream-stream interval join (errors ⟂ trailing clicks within
+        5 min per user) must agree with the equivalent batch join."""
+        from waterdata_spark.streaming.ops import (
+            interval_join_stream,
+            read_events_stream,
+            run_stream_to_memory,
+        )
+
+        errors = read_events_stream(spark, events_stream_dir).filter(F.col("event_type") == "error")
+        clicks = read_events_stream(spark, events_stream_dir).filter(F.col("event_type") == "click")
+        got = run_stream_to_memory(interval_join_stream(errors, clicks), "t_ij").count()
+
+        from waterdata_spark.schemas import load_table
+
+        ev = load_table(spark, SF_SMOKE, "events").withColumn(
+            "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        be = ev.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("l_user"), F.col("event_ts").alias("l_ts")
+        )
+        bc = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("r_user"), F.col("event_ts").alias("r_ts")
+        )
+        want = be.join(
+            bc,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") <= F.col("l_ts"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 5 minutes")),
+        ).count()
+        assert got == want > 0
+
     def test_dedup_stream_drops_cross_batch_duplicates(self, spark, tmp_path):
         """X1's streaming twin: the same file fed as two micro-batches
         must emit each event_id once — duplicate arrivals inside the

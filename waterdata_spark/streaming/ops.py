@@ -101,6 +101,45 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str = "user_id",
+    lookback: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each LEFT event pairs with RIGHT
+    events of the same user in the trailing ``lookback`` window
+    (right.ts ∈ [left.ts - lookback, left.ts]).
+
+    Both sides are watermarked, and the join condition bounds event
+    time on both sides — the two conditions Structured Streaming needs
+    to know when a buffered row can never match again and evict it, so
+    state is O(events per lookback window per side), not unbounded.
+    The batch twin is the bucketized range join
+    (``operators/range_join``) / q18's as-of shapes.
+    """
+    lw = left.withWatermark("event_ts", watermark).select(
+        F.col(user_col).alias("l_user"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("event_ts").alias("l_ts"),
+    )
+    rw = right.withWatermark("event_ts", watermark).select(
+        F.col(user_col).alias("r_user"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("event_ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return lw.join(rw, cond).select(
+        F.col("l_user").alias(user_col), "l_event_id", "l_ts", "r_event_id", "r_ts", "r_value"
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a bounded file stream to completion synchronously and
     return the materialized result (test/verification harness)."""
