@@ -383,3 +383,39 @@ class TestSimHashMd5:
         df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
         got = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash_signature_md5("text").alias("s")).collect()}
         assert got[1] == 0 and got[2] == 0
+
+
+class TestAnnSearch:
+    def test_probe_all_equals_bruteforce(self, spark):
+        """cosine_search_ivf with n_probe >= n_cells covers every cell,
+        so it must EQUAL the exact search — the completeness law that
+        pins the index structure (partial probing only removes cells)."""
+        from waterdata_spark.operators.similarity import (
+            cosine_search_bruteforce,
+            cosine_search_ivf,
+        )
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings")
+        data = e.filter(F.col("vec_id") % 5 != 0)
+        queries = e.filter(F.col("vec_id") % 5 == 0).withColumnRenamed("vec_id", "qid")
+        bf = cosine_search_bruteforce(data, queries, query_id_col="qid", k=3, sim_col=None)
+        ivf = cosine_search_ivf(
+            data, queries, query_id_col="qid", k=3, n_cells=8, n_probe=8, sim_col=None
+        )
+        assert sorted(map(tuple, bf.collect())) == sorted(map(tuple, ivf.collect()))
+
+    def test_query_ids_disjoint_from_data(self, spark):
+        """The search shape must not self-exclude: a query searching a
+        corpus that contains an identical vector should return it."""
+        from waterdata_spark.operators.similarity import cosine_search_ivf
+
+        data = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+        )
+        queries = spark.createDataFrame([(100, [1.0, 0.0])], "qid long, embedding array<float>")
+        out = cosine_search_ivf(
+            data, queries, query_id_col="qid", k=1, n_cells=2, n_probe=2, sim_col="similarity"
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["neighbor_id"] == 1 and out[0]["similarity"] == 1.0

@@ -458,3 +458,134 @@ def cosine_topk_ivf_blocked(
         out = out.withColumn(sim_col, F.round(F.col("__sim"), 6))
         cols.append(sim_col)
     return out.select(*cols)
+
+
+def cosine_search_bruteforce(
+    data: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 5,
+    sim_col: str | None = "similarity",
+) -> DataFrame:
+    """Exact cosine top-k of a QUERY table against a DATA corpus —
+    the data/query-split form of ``cosine_topk_bruteforce`` (which is
+    the self-join special case). Output: query_id, neighbor_id, rank
+    (1..k), optional similarity. Quadratic verification baseline."""
+    qid = query_id_col or id_col
+    d = with_unit_vector(data.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__ub")
+    )
+    q = with_unit_vector(queries.select(qid, vec_col), vec_col).select(
+        F.col(qid).alias("query_id"), F.col("__unit").alias("__ua")
+    )
+    pairs = q.crossJoin(d)
+    w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id").asc())
+    out = (
+        pairs.withColumn("__sim", _dot(F.col("__ua"), F.col("__ub")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    cols = ["query_id", "neighbor_id", "rank"]
+    if sim_col:
+        out = out.withColumn(sim_col, F.round(F.col("__sim"), 6))
+        cols.append(sim_col)
+    return out.select(*cols)
+
+
+def cosine_search_ivf(
+    data: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 5,
+    n_cells: int | str = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sim_col: str | None = "similarity",
+    centroids: str = "kmeans",
+) -> DataFrame:
+    """IVF ANN search of a QUERY table against a DATA corpus — the
+    production retrieval shape (embed a batch of prompts, search the
+    corpus index), distinct from the self-top-k dedup/graph shape.
+
+    The coarse quantizer is fit on the DATA side only (queries must
+    not shift the index); data vectors are indexed under their nearest
+    cell, each query probes its ``n_probe`` nearest cells, and the
+    within-cell rerank is the same per-cell cogroup block matmul as
+    ``cosine_topk_ivf_blocked``. With ``n_probe >= n_cells`` every
+    cell is probed and the result EQUALS the brute-force search
+    (equivalence-tested) — recall tuning only ever removes cells.
+    """
+    from pyspark.sql import types as T
+
+    qid = query_id_col or id_col
+    d_unit = with_unit_vector(data.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("__unit")
+    )
+    q_unit = with_unit_vector(queries.select(qid, vec_col), vec_col).select(
+        F.col(qid).alias("vec_id"), F.col("__unit")
+    )
+    n_cells = _resolve_cells(d_unit, n_cells)
+    C = _centroid_matrix(d_unit, n_cells, seed, centroids)
+    n_probe = min(max(1, n_probe), n_cells)
+
+    assign = _probe_cells_udf(C, 1)
+    probe = _probe_cells_udf(C, n_probe)
+    data_side = d_unit.select(
+        F.col("vec_id").alias("d_id"),
+        F.col("__unit").alias("d_unit"),
+        assign(F.col("__unit").cast("array<double>")).getItem(0).alias("cell"),
+    )
+    query_side = q_unit.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("__unit").alias("q_unit"),
+        F.explode(probe(F.col("__unit").cast("array<double>"))).alias("cell"),
+    )
+
+    id_type = data.schema[id_col].dataType
+    qid_type = queries.schema[qid].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("__sim", T.DoubleType()),
+        ]
+    )
+
+    def rerank(qdf: pd.DataFrame, ddf: pd.DataFrame) -> pd.DataFrame:
+        if qdf.empty or ddf.empty:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "__sim"])
+        qm = np.vstack(qdf["q_unit"].values)
+        dm = np.vstack(ddf["d_unit"].values)
+        s = qm @ dm.T
+        kk = min(k, s.shape[1])
+        top = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+        qi = np.repeat(np.arange(len(qm)), kk)
+        di = top.ravel()
+        return pd.DataFrame(
+            {
+                "query_id": qdf["q_id"].values[qi],
+                "neighbor_id": ddf["d_id"].values[di],
+                "__sim": s[qi, di],
+            }
+        )
+
+    cand = (
+        query_side.groupBy("cell")
+        .cogroup(data_side.groupBy("cell"))
+        .applyInPandas(rerank, schema=out_schema)
+    )
+    # no pair-dedup needed: each data vector is indexed under exactly
+    # ONE cell and a query's probed cells are distinct, so a (query,
+    # neighbor) pair can only surface once — the rank window below is
+    # the single post-rerank shuffle
+    w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id").asc())
+    out = cand.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
+    cols = ["query_id", "neighbor_id", "rank"]
+    if sim_col:
+        out = out.withColumn(sim_col, F.round(F.col("__sim"), 6))
+        cols.append(sim_col)
+    return out.select(*cols)

@@ -1141,6 +1141,40 @@ def x15_embedding_components(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x16_ann_search",
+    """
+    WITH d AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+    q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    p AS (
+      SELECT q.qid, d.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(d.embedding AS DOUBLE[])) AS c
+      FROM q CROSS JOIN d
+    )
+    SELECT qid AS query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY c DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM p QUALIFY rank <= 5
+    """,
+    doc="X3 retrieval shape: a QUERY table searched against a DATA "
+    "corpus (every 5th vector queries the rest) — distinct from the "
+    "self-top-k dedup shape. Exact brute-force baseline, rank-only "
+    "output; the IVF scale path (cosine_search_ivf: quantizer fit on "
+    "the data side only, per-cell block matmul) is equivalence-tested "
+    "against this at probe-all and recall-measured at partial probe.",
+    tags=["similarity", "llm"],
+)
+def x16_ann_search(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.similarity import cosine_search_bruteforce
+
+    e = load_table(spark, sf, "embeddings")
+    data = e.filter(F.col("vec_id") % 5 != 0)
+    queries = e.filter(F.col("vec_id") % 5 == 0).withColumnRenamed("vec_id", "qid")
+    return cosine_search_bruteforce(data, queries, query_id_col="qid", k=5, sim_col=None)
+
+
+@query(
     "x11_quality_filter",
     """
     WITH t AS (
