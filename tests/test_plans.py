@@ -182,3 +182,32 @@ class TestIvfIndexPlan:
         a = cosine_topk_ivf_blocked(emb, k=3, n_cells=8, n_probe=3).collect()
         b = cosine_topk_ivf_blocked(emb, k=3, n_cells=8, n_probe=3).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestPartitionPruning:
+    def test_partitioned_write_prunes_on_read(self, spark, tmp_path):
+        """partitionBy gives the optimizer real partition pruning: a
+        predicate on the partition column must land in PartitionFilters
+        and cut the scanned partition count to 1 — the 100 TB contract
+        behind per-year/per-source directory layouts."""
+        from waterdata_spark.schemas import load_table
+        from waterdata_spark.sources.sink import write_parquet
+
+        ev = load_table(spark, SF_ORACLE, "events")
+        path = str(tmp_path / "events_by_type")
+        write_parquet(ev, path, partition_by=["event_type"])
+        n_types = ev.select("event_type").distinct().count()
+
+        back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+        s = plan_summary(back)
+        assert "PartitionFilters" in s.text and "event_type" in s.text
+        # collect() THIS DataFrame: count()/select() build separate
+        # query executions whose metrics wouldn't be back's
+        rows = back.collect()
+        assert len(rows) == ev.filter(F.col("event_type") == "click").count()
+        # the executed scan's metrics are the ground truth: exactly ONE
+        # of the N type-partitions was read
+        leaf = back._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        assert n_types > 1
+        assert leaf.metrics().apply("numPartitions").value() == 1
+        assert leaf.metrics().apply("numFiles").value() == 1
