@@ -958,6 +958,41 @@ def q21_pivot(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q36_unpivot",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, status, qty FROM wide
+    UNPIVOT (qty FOR status IN (qty_O AS 'O', qty_F AS 'F'))
+    """,
+    doc="Unpivot / melt (the pivot inverse): wide per-status quantity "
+    "columns back to long form via the native UNPIVOT operator — a "
+    "zero-shuffle Expand over the wide rows, not a union of per-column "
+    "scans. Round-trips q21's pivot.",
+    tags=["reshape"],
+)
+def q36_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_O", "qty_F"],
+        variableColumnName="status",
+        valueColumnName="qty",
+    ).withColumn("status", F.regexp_replace("status", "^qty_", ""))
+
+
+@query(
     "x08_minhash_bands",
     """
     WITH idx AS (
