@@ -3,11 +3,12 @@
 The reference ships the EXTRACTED outputs of its yearly DWRS PDFs
 (down/rptinfo*.csv with per-row provenance) but not the raw PDFs, so
 the parity gate is a reconstruction roundtrip: render a DWRS-layout
-PDF from the 2014 fixture's provenance (pdf_render), extract it with
-the geometric extractor (pdf_geom, top=70→45 retry) + page stitching,
-and require the result to match the fixture ROW FOR ROW — all 15,007
-rows × 16 columns, including the 61 TOP_MARGIN=45 retry rows and the
-split/carryover pages around 713-716.
+PDF from each fixture's provenance (pdf_render), extract it with the
+geometric extractor (pdf_geom, top=70→45 retry) + page stitching, and
+require the result to match the fixture ROW FOR ROW — all 7 shipped
+years, 144,595 rows × 16 columns, including every TOP_MARGIN=45 retry
+row (1,196), the 2014 split/left-carryover pages 713-716, and the six
+4/5-field right-carryover patch groups in 2018/2020/2021.
 """
 
 from __future__ import annotations
@@ -193,6 +194,28 @@ class TestGeometricExtractor:
         assert len(pages) == 4
         assert [r["Contaminant ID"] for r in rows] == ["LEAD", "COPPER"]
 
+    def test_right_fragment_carryover_patch(self):
+        """The reference's 4/5-field case (:839-931): a split table's
+        right half wraps onto a headerless 5-column page; its rows
+        patch the last emitted rows in place — TOP_MARGIN flips to 45
+        (the page is always re-read at 45 per the width rule) and
+        Sample Type carries the DISTRIBUTIO-N wrap repair."""
+        recs = [
+            _rec("1", "2", "70", "9", " R CO", "5", "101", "CHLORINE",
+                 **{"Sample Type": "DISTRIBUTIO N"}),
+            _rec("1", "2", "70", "9", " R CO", "5", "102", "LEAD",
+                 **{"Sample Type": "DISTRIBUTIO N"}),
+            _rec("1", "2", "45", "9", " R CO", "5", "103", "TOC",
+                 **{"Sample Type": "DISTRIBUTION"}),
+            _rec("5", "1", "70", "9", " R CO", "8", "104", "COPPER"),
+        ]
+        rows, pages = _roundtrip(recs)
+        assert len(rows) == 4
+        assert [r["TOP_MARGIN"] for r in rows] == ["70", "70", "45", "70"]
+        assert rows[2]["Sample Type"] == "DISTRIBUTION"
+        assert rows[0]["Sample Type"] == "DISTRIBUTIO N"
+        assert all(r["MAIN_PAGE"] == "1" for r in rows[:3])
+
 
 @pytest.mark.skipif(not HAVE_REF, reason="reference fixtures absent")
 class TestFixtureParity2014:
@@ -281,3 +304,34 @@ class TestPdfToDownPipeline:
         assert sorted(map(tuple, data_pdf.collect()), key=key) == sorted(
             map(tuple, data_csv.collect()), key=key
         )
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference fixtures absent")
+class TestFixtureParityAllYears:
+    """The full C5b gate: every shipped year fixture (144,595 rows
+    total, incl. all 1,196 TOP_MARGIN=45 rows and the six 4/5-field
+    right-carryover patch groups in 2018/2020/2021) reconstructs and
+    re-extracts row for row."""
+
+    def test_all_years_roundtrip(self):
+        import glob as _glob
+
+        total = 0
+        for path in sorted(_glob.glob(f"{REF_DOWN}/rptinfo*.csv")):
+            year = path.split("rptinfo")[1][:4]
+            df = pd.read_csv(path, dtype=str)
+            recs = [
+                {k: (None if pd.isna(v) else v) for k, v in r.items()}
+                for r in df.to_dict("records")
+            ]
+            with warnings.catch_warnings(record=True) as wl:
+                warnings.simplefilter("always")
+                rows = stitch_pages(geometric_pdf_extractor(render_dwrs_pdf(recs)))
+            assert not wl, f"{year}: warnings {[str(w.message) for w in wl]}"
+            got = pd.DataFrame(rows, columns=ALL_COLUMNS)
+            want = df[ALL_COLUMNS]
+            assert len(got) == len(want), f"{year}: {len(got)} vs {len(want)} rows"
+            for c in ALL_COLUMNS:
+                assert got[c].fillna("\0").equals(want[c].fillna("\0")), f"{year}: column {c}"
+            total += len(got)
+        assert total == 144595

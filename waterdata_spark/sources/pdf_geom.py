@@ -350,6 +350,14 @@ def geometric_pdf_extractor(raw: bytes, top1: float = TOP1, top2: float = TOP2) 
         if res is None:
             res = _classify(runs_to_table(pg["runs"], top2, height))
             top_used = top2
+        elif res[0] is None and res[1] and len(res[1][0]) in (4, 5):
+            # the reference's width rule (down_water_prep.py:839): a
+            # headerless 4/5-column page is a right-fragment carryover
+            # whose wrapped first column misreads at top=70 — ALWAYS
+            # re-extract at top=45 before processing
+            res2 = _classify(runs_to_table(pg["runs"], top2, height))
+            if res2 is not None:
+                res, top_used = res2, top2
         if res is None:
             # the reference stops and asks a human here (:623); we keep
             # the page's blocks as data under the carried header

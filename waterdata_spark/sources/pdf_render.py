@@ -167,9 +167,11 @@ def dwrs_pages_from_fixture(records: list[dict]) -> list[list[tuple[float, float
                     "sn": rec["SYSTEM NAME"],
                     "snp": int(rec["SYSNAME_PAGE"]),
                     "rows": [],
+                    "row_tms": [],
                 }
             )
         groups[-1]["rows"].append([rec.get(c) for c in SAMPLE_COLUMNS])
+        groups[-1]["row_tms"].append(int(rec["TOP_MARGIN"]))
 
     pages: dict[int, list[tuple[float, float, str]]] = {}
 
@@ -216,6 +218,24 @@ def dwrs_pages_from_fixture(records: list[dict]) -> list[list[tuple[float, float
         ] + _header_runs(RIGHT_COLS, 70) + _data_runs(
             [right_vals(r) for r in all_rows], COL_X
         )
+        # right-fragment carryover (the reference's 4/5-field patch
+        # case, down_water_prep.py:839-931): trailing rows whose
+        # TOP_MARGIN differs from the group's were re-read from a
+        # headerless 5-field continuation page (Sample Type + the
+        # right columns) and patched in place — render that page after
+        # the right page
+        tail_k = 0
+        for t in reversed(g["row_tms"]):
+            if t != g["tm"]:
+                tail_k += 1
+            else:
+                break
+        if tail_k:
+            co_rows = [[r[5]] + right_vals(r) for r in g["rows"][-tail_k:]]
+            next_p += 1
+            pages[next_p] = [
+                _banner_run(g["pwsid"], g["sn"], g["snp"] + (next_p - p))
+            ] + _data_runs(co_rows, COL_X)
         i = j
 
     # fill physical pages with no contributing rows: banner + header only

@@ -21,7 +21,7 @@ Extraction is a pluggable hook with three implementations:
 ``real_pdf_text_extractor`` — geometric table-area detection (C5b)
 over stdlib positioned-text decoding with the reference's top=70→45
 retry (see :mod:`waterdata_spark.sources.pdf_geom`; validated
-row-for-row against the shipped rptinfo2014.csv fixture);
+row-for-row against all 7 shipped rptinfo year fixtures);
 ``basic_pdf_text_extractor`` — linear stdlib text decoding (object
 graph → FlateDecode content streams → Tj/TJ text ops; verified
 against the reference's 92-page shipped PDF) for text-shaped report
@@ -161,6 +161,13 @@ def stitch_pages(
     # provenance captured at sighting time, so carryover rows keep
     # their own page's bookkeeping (reference :813-815)
     pending_left: dict | None = None
+    # rows emitted by the most recent split merge — the patch target
+    # for a following right-fragment carryover page (reference :839)
+    last_split_rows = 0
+    # the 4/5-field patch writes these columns (reference :877-884;
+    # the 4-field case patches only TOP_MARGIN — the reference's
+    # assumed_column_headers[1:]-of-empty-list quirk, :886)
+    _PATCH5 = ["Sample Type", "Laboratory ID", "Analysis Method", "Analysis Date", "Sample Received Date"]
 
     def emit(header, tagged_rows, split_pages):
         idx = {h: i for i, h in enumerate(header)}
@@ -238,6 +245,8 @@ def stitch_pages(
             pending_left = None
             carried_header = merged_header
             emit(merged_header, merged, 2)
+            last_split_rows = len(merged)
+            continue
         elif (
             pending_left is not None
             and rows
@@ -248,6 +257,29 @@ def stitch_pages(
             # a header; rows wait with the fragment, tagged with THIS
             # page's provenance
             pending_left["rows"].extend((r, prov) for r in rows)
+        elif (
+            header is None
+            and rows
+            and last_split_rows >= len(rows)
+            and all(len(r) in (4, 5) for r in rows)
+        ):
+            # right-fragment carryover (reference 4/5-field case,
+            # :839-931): the split's right half wrapped onto this page;
+            # its k rows PATCH the last k emitted rows in place —
+            # 5-field rows overwrite Sample Type + the right columns
+            # (with the DISTRIBUTIO-N wrap repair) and both widths flip
+            # TOP_MARGIN to this page's (the 45 re-read)
+            k = len(rows)
+            for j, r in enumerate(rows):
+                target = out[-k + j]
+                if len(r) == 5:
+                    for name, v in zip(_PATCH5, r):
+                        if v is None:
+                            target[name] = None
+                        else:
+                            v = str(v).replace("DISTRIBUTIO" + WS_SENTINEL + "N", "DISTRIBUTION")
+                            target[name] = restore_ws(v).replace("DISTRIBUTIO N", "DISTRIBUTION")
+                target["TOP_MARGIN"] = str(page.get("top_margin", 70))
         else:
             # C5d: headerless continuation → assume carried header. A
             # pending left fragment can't be continued by a headerless
@@ -256,6 +288,7 @@ def stitch_pages(
             if carried_header is None:
                 continue
             emit(carried_header, [(r, prov) for r in rows], 1)
+        last_split_rows = 0
     flush_pending()
     return out
 
