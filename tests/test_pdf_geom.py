@@ -185,6 +185,47 @@ class TestGeometricExtractor:
         # right-page columns reattached to BOTH rows
         assert all(r["Sample Received Date"] == "02/07/2014" for r in rows)
 
+    def test_patch_only_targets_immediately_preceding_merge(self):
+        """A 4/5-column headerless page may only patch the split merge
+        (or patch page) DIRECTLY before it — with a full-header page in
+        between, the narrow page is a plain C5d continuation and must
+        not rewrite the older split's rows."""
+        from waterdata_spark.sources.pdf_table import stitch_pages
+
+        pages = [
+            {  # split left
+                "page": 1, "top_margin": 70,
+                "text": "***  PWSID = 9 | SYSTEM NAME = A B*** 1",
+                "header": SAMPLE_COLUMNS[:6],
+                "rows": [["101", "CHLORINE", "1.0", ".", "01/01/2014", "ENTRY POINT"]],
+            },
+            {  # split right → merge emits 1 row
+                "page": 2, "top_margin": 70,
+                "text": "***  PWSID = 9 | SYSTEM NAME = A B*** 2",
+                "header": SAMPLE_COLUMNS[6:],
+                "rows": [["LAB", "M", "01/02/2014", "02/01/2014"]],
+            },
+            {  # full-header page in between
+                "page": 3, "top_margin": 70,
+                "text": "***  PWSID = 9 | SYSTEM NAME = A B*** 3",
+                "header": list(SAMPLE_COLUMNS),
+                "rows": [["102", "LEAD", "2.0", ".", "01/03/2014", "RAW WATER",
+                          "LAB2", "M2", "01/04/2014", "02/02/2014"]],
+            },
+            {  # 5-wide headerless page — must NOT patch row 0
+                "page": 4, "top_margin": 45,
+                "text": "***  PWSID = 9 | SYSTEM NAME = A B*** 4",
+                "header": None,
+                "rows": [["HACKED", "H1", "H2", "H3", "H4"]],
+            },
+        ]
+        rows = stitch_pages(pages)
+        assert rows[0]["Sample Type"] == "ENTRY POINT"  # untouched
+        assert rows[0]["TOP_MARGIN"] == "70"
+        assert rows[1]["Sample Type"] == "RAW WATER"
+        # the narrow page fell through to the C5d continuation path
+        assert len(rows) == 3 and rows[2]["Sample Location"] == "HACKED"
+
     def test_zero_row_pages_emit_nothing(self):
         recs = [
             _rec("1", "1", "70", "1", " A", "1", "101", "LEAD"),

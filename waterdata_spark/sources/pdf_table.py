@@ -208,6 +208,10 @@ def stitch_pages(
         header = page.get("header")
         rows = page.get("rows", [])
         prov = (page["page"], page.get("top_margin", 70), pwsid, sysname, sysname_page)
+        # the right-carryover patch may only target rows of the
+        # IMMEDIATELY preceding split merge (or a directly preceding
+        # patch page); any other page type invalidates the target
+        prev_split_rows, last_split_rows = last_split_rows, 0
         if header is not None and set(h for h in header if h is not None) == set(SAMPLE_COLUMNS):
             flush_pending()
             carried_header = header
@@ -246,7 +250,6 @@ def stitch_pages(
             carried_header = merged_header
             emit(merged_header, merged, 2)
             last_split_rows = len(merged)
-            continue
         elif (
             pending_left is not None
             and rows
@@ -260,7 +263,7 @@ def stitch_pages(
         elif (
             header is None
             and rows
-            and last_split_rows >= len(rows)
+            and prev_split_rows >= len(rows)
             and all(len(r) in (4, 5) for r in rows)
         ):
             # right-fragment carryover (reference 4/5-field case,
@@ -280,6 +283,7 @@ def stitch_pages(
                             v = str(v).replace("DISTRIBUTIO" + WS_SENTINEL + "N", "DISTRIBUTION")
                             target[name] = restore_ws(v).replace("DISTRIBUTIO N", "DISTRIBUTION")
                 target["TOP_MARGIN"] = str(page.get("top_margin", 70))
+            last_split_rows = prev_split_rows  # consecutive patch pages allowed
         else:
             # C5d: headerless continuation → assume carried header. A
             # pending left fragment can't be continued by a headerless
@@ -288,7 +292,6 @@ def stitch_pages(
             if carried_header is None:
                 continue
             emit(carried_header, [(r, prov) for r in rows], 1)
-        last_split_rows = 0
     flush_pending()
     return out
 
