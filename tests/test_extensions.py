@@ -12,7 +12,9 @@ from waterdata_spark.operators.asof import asof_join
 from waterdata_spark.operators.dedup_approx import (
     hamming_distance,
     jaccard_verify_pairs,
+    min_id_components,
     minhash_candidate_pairs,
+    star_contraction_components,
     minhash_dedup,
     simhash_signature,
 )
@@ -118,6 +120,94 @@ class TestMinHash:
         once = minhash_dedup(near_dup_docs, "doc_id", "text", n_hashes=8, n_bands=4, threshold=0.5)
         twice = minhash_dedup(once, "doc_id", "text", n_hashes=8, n_bands=4, threshold=0.5)
         assert sorted(r["doc_id"] for r in once.collect()) == sorted(r["doc_id"] for r in twice.collect())
+
+
+class TestMinIdComponents:
+    def test_string_ids_converge_fully(self, spark):
+        # Regression: the old fixpoint witness was sum(label), which
+        # implicitly casts string labels to NULL — NULL == NULL after
+        # round 1 stopped propagation early and returned wrong
+        # components SILENTLY. A 6-node path needs ~3 doubling rounds,
+        # so early stop is observable.
+        ids = [f"doc{i}" for i in range(6)]
+        nodes = spark.createDataFrame([(i,) for i in ids], "node string")
+        edges = spark.createDataFrame(
+            [(ids[i], ids[i + 1]) for i in range(5)], "id_a string, id_b string"
+        )
+        labels = {r["node"]: r["label"] for r in min_id_components(nodes, edges).collect()}
+        assert labels == {i: "doc0" for i in ids}
+
+    def test_integral_ids_two_components(self, spark):
+        nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+        )
+        labels = {r["node"]: r["label"] for r in min_id_components(nodes, edges).collect()}
+        assert labels == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5}
+
+    def test_minhash_dedup_with_string_doc_ids(self, spark, near_dup_docs):
+        # x10's operator must accept arbitrary id types end-to-end.
+        docs = near_dup_docs.selectExpr("concat('d', doc_id) AS doc_id", "text")
+        kept = minhash_dedup(docs, "doc_id", "text", n_hashes=8, n_bands=4, threshold=0.5)
+        kept_ids = {r["doc_id"] for r in kept.collect()}
+        assert kept_ids == {"d0", "d3", "d4"}  # d1/d2 collapse into d0's cluster
+
+
+class TestStarContraction:
+    def _labels(self, df):
+        return {r["node"]: r["label"] for r in df.collect()}
+
+    def test_equivalent_to_label_propagation_random_graphs(self, spark):
+        import random
+
+        rng = random.Random(7)
+        for n, m in [(30, 20), (50, 60), (40, 0)]:
+            edge_rows = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+            ] or [(0, 0)]
+            nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+            edges = spark.createDataFrame(edge_rows, "id_a long, id_b long")
+            assert self._labels(star_contraction_components(nodes, edges)) == self._labels(
+                min_id_components(nodes, edges)
+            )
+
+    def test_equivalent_on_minhash_candidate_edges(self, spark):
+        # the x10/x15 cluster semantics: edges from the real candidate
+        # generator over the sf0.001 documents corpus
+        from waterdata_spark.schemas import load_table
+        from tests.conftest import SF_SMOKE
+
+        docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+        edges = minhash_candidate_pairs(docs, "doc_id", "text", n_hashes=8, n_bands=4)
+        nodes = docs.select(F.col("doc_id").alias("node"))
+        assert self._labels(star_contraction_components(nodes, edges)) == self._labels(
+            min_id_components(nodes, edges)
+        )
+
+    def test_path_graph_round_bound(self, spark):
+        # a 64-node path needs ~63 label-propagation rounds but must
+        # star-contract in O(log^2 n) — 8 rounds is generous headroom;
+        # the operator raises if it doesn't converge within the budget.
+        n = 64
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        labels = self._labels(star_contraction_components(nodes, edges, max_rounds=8))
+        assert labels == {i: 0 for i in range(n)}
+
+    def test_durable_checkpoint_dir(self, spark, tmp_path):
+        import os
+
+        nodes = spark.createDataFrame([(f"n{i}",) for i in range(6)], "node string")
+        edges = spark.createDataFrame(
+            [("n0", "n1"), ("n1", "n2"), ("n4", "n5")], "id_a string, id_b string"
+        )
+        got = self._labels(
+            star_contraction_components(nodes, edges, checkpoint_dir=str(tmp_path))
+        )
+        assert got == {"n0": "n0", "n1": "n0", "n2": "n0", "n3": "n3", "n4": "n4", "n5": "n4"}
+        assert any(f.startswith("stars_slot") for f in os.listdir(tmp_path))
 
 
 class TestSimHash:

@@ -174,39 +174,128 @@ def min_id_components(
     id in the component. ``nodes`` has one column ``node``; ``edges``
     has ``id_a``/``id_b`` (undirected, symmetrized here).
 
-    Min-id label propagation iterated TO CONVERGENCE: labels only
-    decrease, so the sum of labels is a strictly decreasing fixpoint
-    witness — one scalar action per round on the checkpointed label
-    frame detects it; ``max_rounds`` is a diameter backstop.
-    localCheckpoint per round truncates the lineage — without it the
-    plan doubles every iteration and the optimizer re-plans the whole
-    history each round (at scale: persist to a checkpoint table; at
-    trillion-edge scale: large-star/small-star, same plan shape).
+    Min-id label propagation iterated TO CONVERGENCE. The fixpoint
+    witness is an exact changed-row count: the update pass itself emits
+    a ``__changed`` flag (new label strictly below the old one), and
+    one ``sum`` action per round on the checkpointed frame reads it.
+    Works for ANY orderable id type — integral, string, binary — where
+    the previous ``sum(label)`` witness silently cast string labels to
+    NULL and stopped after one round. ``max_rounds`` is a diameter
+    backstop. localCheckpoint per round truncates the lineage — without
+    it the plan doubles every iteration and the optimizer re-plans the
+    whole history each round (at scale: persist to a checkpoint table;
+    at trillion-edge scale: :func:`star_contraction_components`, the
+    large-star/small-star form).
     """
     labels = nodes.select(F.col("node"), F.col("node").alias("label")).localCheckpoint(eager=True)
     sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))).localCheckpoint(
         eager=True
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_rounds):
         neighbor_min = (
             sym.join(labels, sym.id_a == labels.node)
             .groupBy(F.col("id_b").alias("node2"))
             .agg(F.min("label").alias("nlabel"))
         )
+        new_label = F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label")))
         labels = (
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
                 F.col("node"),
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                new_label.alias("label"),
+                (new_label < F.col("label")).cast("long").alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
+        n_changed = labels.agg(F.sum("__changed")).first()[0]
+        labels = labels.select("node", "label")
+        if not n_changed:
             break
-        prev_sum = cur_sum
     return labels
+
+
+def star_contraction_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public algorithm). Same (node, label) contract
+    as :func:`min_id_components`, label = component minimum.
+
+    Why a second algorithm: min-id label propagation needs O(diameter)
+    rounds — a 10^6-long chain of near-dup shingles needs 10^6 joins.
+    Star contraction halves star heights each round and converges in
+    O(log^2 n) rounds on ANY graph shape, so it is the 100 TB path for
+    components whose label chains exceed sane driver-loop counts.
+
+    - **large-star** connects every neighbor larger than u to the
+      minimum of u's closed neighborhood — edges always point
+      (larger -> smaller), so each op is groupBy(node).min + one join.
+    - **small-star** re-points each node and its smaller neighbors at
+      the smallest of them.
+    - Convergence witness is EXACT and type-agnostic: the edge set is
+      a star forest iff no parent is itself a child — one anti-join
+      emptiness probe per round (no hash-sum collision risk, no
+      numeric-cast trap).
+    - ``checkpoint_dir`` makes per-round state durable parquet
+      (alternating slots, survives executor loss and truncates lineage
+      across a multi-hour run); without it, localCheckpoint.
+
+    Raises ``RuntimeError`` if not converged within ``max_rounds`` —
+    with the O(log^2 n) bound, hitting 50 means something is broken.
+    """
+
+    def persist(df: DataFrame, slot: int) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = f"{checkpoint_dir}/stars_slot{slot % 2}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    # canonical undirected edge list, self-loops dropped
+    e = (
+        edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = persist(e, 0)
+
+    converged = e.isEmpty()
+    for rnd in range(max_rounds):
+        if converged:
+            break
+        # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m(u)) for v > u
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: edges now orient (child u > parent v); re-point u
+        # and all its parents at the smallest parent
+        pmin = e.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            e.join(pmin, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(pmin.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+        )
+        e = persist(e, rnd + 1)
+        # star forest ⇔ no parent appears as a child
+        converged = e.select(F.col("v").alias("u")).join(e, "u", "left_semi").isEmpty()
+    else:
+        if not converged:
+            raise RuntimeError(f"star contraction did not converge in {max_rounds} rounds")
+
+    return nodes.join(
+        e.select(F.col("u").alias("node"), F.col("v").alias("__parent")), "node", "left"
+    ).select(F.col("node"), F.coalesce(F.col("__parent"), F.col("node")).alias("label"))
 
 
 def simhash_signature(text_col: Column | str, bits: int = 64) -> Column:
