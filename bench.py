@@ -51,16 +51,29 @@ def _ivf_bench(spark, sf_dir):
     return cosine_topk_ivf_blocked(e, k=5, n_cells="auto", n_probe=4)
 
 
-def _run_suite(spark, sf_dir: str) -> dict[str, float]:
+REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+
+
+def _run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """min-of-N per query (VERDICT r3: a single measurement cannot
+    certify the 2x bar — x07's sf1 time doubled on identical code).
+    The first repeat also absorbs per-plan first-touch costs (parquet
+    footer reads, codegen), so min-of-N is the steady-state number a
+    warm cluster would see; the full spread is reported alongside."""
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = _ivf_bench if name == "x07_ivf_topk_bench" else QUERIES[name].fn
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
-    return timings
+        runs: list[float] = []
+        for _ in range(max(REPEATS, 1)):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(round(time.time() - t0, 3))
+        timings[name] = min(runs)
+        spread[name] = runs
+        print(f"# {name}: {n} rows, min {min(runs)}s of {runs}", file=sys.stderr)
+    return timings, spread
 
 
 def main() -> None:
@@ -73,13 +86,15 @@ def main() -> None:
     QUERIES["q08_distinct_pairs"].fn(spark, sf_dir).count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
-    timings = _run_suite(spark, sf_dir)
+    timings, spread = _run_suite(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "repeats": REPEATS,
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -93,10 +108,11 @@ def main() -> None:
 
         sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/waterdata_spark_sf1")
         if ensure_scaled(spark, sf_dir, sf1_dir, factor=10):
-            sf1_timings = _run_suite(spark, sf1_dir)
+            sf1_timings, sf1_spread = _run_suite(spark, sf1_dir)
             out["sf1"] = {
                 "value": round(sum(sf1_timings.values()), 3),
                 "queries": sf1_timings,
+                "spread": sf1_spread,
                 "scale_ratio": {
                     k: round(sf1_timings[k] / max(timings[k], 0.05), 2) for k in sf1_timings
                 },

@@ -253,8 +253,23 @@ class TestSaltedJoin:
         from waterdata_spark.operators.skew import with_salt
 
         hot = spark.createDataFrame([(1, "same")] * 400, "k long, v string")
-        n_distinct = with_salt(hot, 8).select("__salt").distinct().count()
+        n_distinct = with_salt(hot, 8, unique_rows=True).select("__salt").distinct().count()
         assert n_distinct >= 4  # 400 identical rows over 8 salts
+
+    def test_default_salt_deterministic_across_reruns(self, spark):
+        """The default salt is a pure function of row content — two
+        independent evaluations must assign every row the same salt
+        (the old monotonically_increasing_id mix was partition-order
+        dependent and broke this contract for callers that persist or
+        compare salts across runs)."""
+        from waterdata_spark.operators.skew import with_salt
+
+        df = spark.range(500).select(
+            F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+        )
+        a = {(r["k"], r["__salt"]) for r in with_salt(df, 8).collect()}
+        b = {(r["k"], r["__salt"]) for r in with_salt(df.repartition(13), 8).collect()}
+        assert a == b
 
     def test_left_join_with_duplicate_rows_matches_unsalted(self, spark):
         from waterdata_spark.operators.skew import salted_join
@@ -381,3 +396,25 @@ class TestRangeJoinLeft:
         out = range_join(points, iv, "v", "lo", "hi", bucket_width=5.0, how="left")
         rows = sorted((r["v"], r["tag"]) for r in out.collect())
         assert rows == [(3.0, "a"), (3.0, "b"), (50.0, None)]
+
+    def test_duplicate_interval_rows_match_inner_cardinality(self, spark):
+        """VERDICT r3 #5: a point matching two CONTENT-IDENTICAL interval
+        rows must emit both on the left path — the inner path does, and
+        left ⊇ inner is the join law. (The old dedup keyed on interval
+        content and collapsed them.)"""
+        from waterdata_spark.operators.range_join import range_join
+
+        points = spark.createDataFrame([(1.0,), (99.0,)], "v double")
+        iv = spark.createDataFrame(
+            [(0.0, 5.0, "dup"), (0.0, 5.0, "dup")], "lo double, hi double, tag string"
+        )
+        inner = sorted(
+            (r["v"], r["tag"])
+            for r in range_join(points, iv, "v", "lo", "hi", 5.0, how="inner").collect()
+        )
+        left = sorted(
+            (r["v"], r["tag"])
+            for r in range_join(points, iv, "v", "lo", "hi", 5.0, how="left").collect()
+        )
+        assert inner == [(1.0, "dup"), (1.0, "dup")]
+        assert left == [(1.0, "dup"), (1.0, "dup"), (99.0, None)]

@@ -174,6 +174,25 @@ class TestIvfIndexPlan:
         # sanity: it still produces ranked neighbors
         assert out.filter(F.col("rank") == 1).count() > 0
 
+    def test_index_build_runs_at_most_three_jobs(self, spark):
+        """The IVF index build (everything eager before the first
+        downstream action) must be: one metadata-fast count, one
+        combined sample count+dim aggregate, one bounded sample
+        collect. The old form ran three separate count jobs plus the
+        dim probe (VERDICT r3, task 6)."""
+        from waterdata_spark.operators.similarity import cosine_topk_ivf_blocked
+        from waterdata_spark.schemas import load_table
+
+        emb = load_table(spark, SF_ORACLE, "embeddings")
+        sc = spark.sparkContext
+        sc.setJobGroup("ivf-build-count", "IVF index build job audit")
+        try:
+            cosine_topk_ivf_blocked(emb, k=3, n_cells="auto", n_probe=2)  # build only, no action
+        finally:
+            sc.setJobGroup("ivf-build-done", "")
+        jobs = sc.statusTracker().getJobIdsForGroup("ivf-build-count")
+        assert len(jobs) <= 3, f"index build ran {len(jobs)} jobs: {jobs}"
+
     def test_kmeans_matches_seeded_shape_and_is_deterministic(self, spark):
         from waterdata_spark.operators.similarity import cosine_topk_ivf_blocked
         from waterdata_spark.schemas import load_table

@@ -50,25 +50,35 @@ def range_join(
     # using floor(hi/w) only over-replicates by ≤1 bucket and the
     # residual filter removes false pairs, so keep it simple.
     hi_b = F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long")
-    iv = intervals.withColumn("__bucket", F.explode(F.sequence(lo_b, hi_b)))
+    # Per-interval-ROW tag, assigned BEFORE bucket replication so every
+    # replica of an interval carries the same id: the left path's dedup
+    # keys on (__pid, __iid), so a point matching two content-identical
+    # interval rows emits BOTH — identical to the inner path's
+    # cardinality (VERDICT r3 #5: deduping on interval content
+    # collapsed them).
+    iv = intervals.withColumn("__iid", F.monotonically_increasing_id()).withColumn(
+        "__bucket", F.explode(F.sequence(lo_b, hi_b))
+    )
     if broadcast_intervals:
         iv = F.broadcast(iv)
 
     joined = p.join(iv, "__bucket", how)
     residual = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     if how == "inner":
-        return joined.filter(residual).drop("__bucket", "__pid")
+        return joined.filter(residual).drop("__bucket", "__pid", "__iid")
     # left: null out interval payload where the residual fails
     iv_cols = [c for c in intervals.columns]
     out = joined
     keep = F.coalesce(residual, F.lit(False))
-    for c in iv_cols:
+    for c in [*iv_cols, "__iid"]:
         out = out.withColumn(c, F.when(keep, F.col(c)))
     # a point may now have both real matches and nulled rows → prune
-    # nulled rows for points that matched somewhere else
+    # nulled rows for points that matched somewhere else; the k nulled
+    # rows of a fully-unmatched point share (__pid, NULL) and collapse
+    # to the single left-join row
     from pyspark.sql import Window
 
     w = Window.partitionBy("__pid")
     out = out.withColumn("__any", F.max(keep.cast("int")).over(w))
-    out = out.filter(keep | (F.col("__any") == 0)).dropDuplicates(["__pid"] + iv_cols)
-    return out.drop("__bucket", "__any", "__pid")
+    out = out.filter(keep | (F.col("__any") == 0)).dropDuplicates(["__pid", "__iid"])
+    return out.drop("__bucket", "__any", "__pid", "__iid")

@@ -21,16 +21,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, n: int, salt_col: str = "__salt") -> DataFrame:
-    """Salt in [0, n) derived from the row's content hash PLUS a
-    per-row disambiguator. Content hash alone would give identical
-    duplicate rows of a hot key the same salt — defeating the
-    mitigation exactly when hot-key rows are duplicates — so we mix in
-    ``monotonically_increasing_id``. The join RESULT does not depend on
-    which salt a row gets (every salt sees a full copy of the other
-    side), so rerun-to-rerun salt variation is harmless."""
-    h = F.xxhash64(*[F.col(c) for c in df.columns], F.monotonically_increasing_id())
-    return df.withColumn(salt_col, F.pmod(h, F.lit(n)).cast("int"))
+def with_salt(
+    df: DataFrame, n: int, salt_col: str = "__salt", unique_rows: bool = False
+) -> DataFrame:
+    """Salt in [0, n) derived from the row's content hash.
+
+    Default: content hash ONLY — the salt is a pure function of the
+    row, stable across reruns and task retries, so callers may persist
+    it, diff it, or depend on it downstream. (The previous default
+    mixed in ``monotonically_increasing_id``, which is partition-order
+    dependent — rerun- and retry-unstable for any caller outside
+    ``salted_join``; VERDICT r3 #4.)
+
+    ``unique_rows=True`` additionally mixes a per-row disambiguator so
+    IDENTICAL duplicate rows of a hot key spread across salts instead
+    of all hashing to one — the right setting inside ``salted_join``,
+    where the join result provably does not depend on which salt a row
+    gets (every salt sees a full copy of the other side)."""
+    cols = [F.col(c) for c in df.columns]
+    if unique_rows:
+        cols.append(F.monotonically_increasing_id())
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(*cols), F.lit(n)).cast("int"))
 
 
 def replicate_for_salt(df: DataFrame, n: int, salt_col: str = "__salt") -> DataFrame:
@@ -61,7 +72,7 @@ def salted_join(
             f"salted_join supports how='inner'/'left'/'left_semi', got {how!r}: "
             "outer joins would emit unmatched replicated rows n_salts times"
         )
-    s = with_salt(skewed, n_salts)
+    s = with_salt(skewed, n_salts, unique_rows=True)
     o = replicate_for_salt(other, n_salts)
     joined = s.join(o, on=on + ["__salt"], how=how)
     return joined.drop("__salt")
