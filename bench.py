@@ -53,8 +53,20 @@ def _ivf_bench(spark, sf_dir):
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
 
+# sf10 decade (VERDICT r3 task 9): the four queries with the worst
+# measured sf0.1→sf1 scale ratios get a second measured decade —
+# extrapolation is not evidence, two decades of measurements are.
+SCALE_PROBE = [
+    "q06_priority_dedup",
+    "q07_topk_orders_per_customer",
+    "q19_sessionize",
+    "x07_ivf_topk_bench",
+]
 
-def _run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
+
+def _run_suite(
+    spark, sf_dir: str, names: list[str] | None = None, repeats: int | None = None
+) -> tuple[dict[str, float], dict[str, list[float]]]:
     """min-of-N per query (VERDICT r3: a single measurement cannot
     certify the 2x bar — x07's sf1 time doubled on identical code).
     The first repeat also absorbs per-plan first-touch costs (parquet
@@ -62,10 +74,10 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[flo
     warm cluster would see; the full spread is reported alongside."""
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in names or HEADLINE:
         fn = _ivf_bench if name == "x07_ivf_topk_bench" else QUERIES[name].fn
         runs: list[float] = []
-        for _ in range(max(REPEATS, 1)):
+        for _ in range(max(repeats or REPEATS, 1)):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -117,6 +129,27 @@ def main() -> None:
                     k: round(sf1_timings[k] / max(timings[k], 0.05), 2) for k in sf1_timings
                 },
             }
+
+            # second measured decade: sf10 on the worst scalers only
+            # (2 repeats — the cold pass absorbs first-touch, the warm
+            # pass is the steady-state number). Disable: SPARK_GRAFT_SF10=0.
+            if os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
+                sf10_dir = os.environ.get(
+                    "SPARK_GRAFT_SF10_DIR", "/tmp/waterdata_spark_sf10"
+                )
+                if ensure_scaled(spark, sf1_dir, sf10_dir, factor=10):
+                    sf10_t, sf10_s = _run_suite(
+                        spark, sf10_dir, names=SCALE_PROBE, repeats=2
+                    )
+                    out["sf10"] = {
+                        "value": round(sum(sf10_t.values()), 3),
+                        "queries": sf10_t,
+                        "spread": sf10_s,
+                        "scale_ratio_vs_sf1": {
+                            k: round(sf10_t[k] / max(sf1_timings[k], 0.05), 2)
+                            for k in sf10_t
+                        },
+                    }
 
     print(json.dumps(out))
 

@@ -257,9 +257,43 @@ class TestMultimodal:
         kept = dedup_media_exact(media)
         assert sorted(r["media_id"] for r in kept.collect()) == [1, 2]
 
-    def test_real_codec_gated(self, spark, media):
-        with pytest.raises(Exception, match="No image library|NotImplemented"):
-            extract_media_features(media).collect()
+    def test_default_codec_contract_either_env(self, spark, media):
+        """The no-codec path must WORK in every environment: PIL-backed
+        decode when PIL is installed, the deterministic fake otherwise
+        (detect-and-register at import; VERDICT r3 task 8). Same output
+        contract — 8-dim feature, dims, sha — either way."""
+        from waterdata_spark.operators.multimodal import HAS_PIL, default_image_codec
+
+        if HAS_PIL:
+            # fixture bytes aren't decodable images — build a real one
+            import io
+
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.new("RGB", (12, 7), (200, 10, 10)).save(buf, format="PNG")
+            from waterdata_spark.operators.multimodal import MEDIA_SCHEMA
+
+            media = spark.createDataFrame(
+                [(1, "image", buf.getvalue(), buf.getbuffer().nbytes, "image/png", {})],
+                MEDIA_SCHEMA,
+            )
+            rows = {r["media_id"]: r for r in extract_media_features(media).collect()}
+            assert (rows[1]["width"], rows[1]["height"]) == (12, 7)
+        else:
+            assert default_image_codec is fake_image_codec
+            rows = {r["media_id"]: r for r in extract_media_features(media).collect()}
+            assert rows[1]["content_sha"] == rows[3]["content_sha"]
+        assert len(rows[1]["feature"]) == 8
+        assert abs(sum(rows[1]["feature"])) < 8.01  # bounded feature values
+
+    def test_real_codec_raises_only_without_pil(self):
+        from waterdata_spark.operators.multimodal import HAS_PIL, real_image_codec
+
+        if HAS_PIL:
+            pytest.skip("PIL present: real codec active, covered above")
+        with pytest.raises(NotImplementedError, match="No image library"):
+            real_image_codec(b"\x89PNG")
 
     def test_metadata_path_is_jvm_only(self, spark):
         """Metadata derivation (size, MIME sniff, hash) must not spawn

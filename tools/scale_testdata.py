@@ -116,6 +116,15 @@ def scale_dir(spark: SparkSession, src: str, dst: str, factor: int = 10) -> None
     for table in TABLES:
         df = load_table(spark, src, table)
         out = df if table in FIXED_DIMS else _replicate(df, table, factor, bases)
+        if table not in FIXED_DIMS:
+            # The explode plan inherits the source's task count (often
+            # ONE file at small sf), which would write the scaled table
+            # as a single parquet file — scans of the "big" table then
+            # run on 1-2 tasks and every benchmark number measures the
+            # generator's layout, not the query plan (measured: q07 at
+            # sf10 was 18.7x/decade on a 1-file orders table). Match a
+            # real warehouse layout instead: one file per core.
+            out = out.repartition(spark.sparkContext.defaultParallelism)
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{table}.parquet"))
     with open(os.path.join(dst, "_SCALED"), "w") as f:
         f.write(f"src={src} factor={factor}\n")

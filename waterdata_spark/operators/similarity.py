@@ -248,12 +248,19 @@ def _centroid_matrix(
         samp = unit.filter(
             F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed + 1)), F.lit(mod)) == 0
         ).select(F.col("__unit").cast("array<double>").alias("__unit"))
-        if target * dim <= 2_000_000:
+        # driver-fit cap: 16M float64s = 128 MB — trivial for the
+        # driver, and it keeps the seeded numpy Lloyd's (sub-second)
+        # on every realistic geometry: even √(100M rows)=10k cells ×
+        # 40 samples × 64 dims = 25.6M only just exceeds it. Below the
+        # old 2M cap, sf10 (1k cells × 64 dims = 2.56M) fell onto the
+        # distributed-KMeans path whose per-fit job overhead dominated
+        # the whole query (116s cold vs 23s).
+        if target * dim <= 16_000_000:
             # expected sample = n/mod ≈ target rows (binomial, tightly
             # concentrated) → safe to collect without a pre-count; the
             # post-collect check is a 4x-margin backstop
             rows = samp.collect()
-            if len(rows) >= n_cells and len(rows) * dim <= 8_000_000:
+            if len(rows) >= n_cells and len(rows) * dim <= 64_000_000:
                 X = np.vstack([r["__unit"] for r in rows])
                 return _unit_norms(_lloyd_kmeans(X, n_cells, seed, n_iter=8))
         else:

@@ -171,22 +171,23 @@ def _normalize_sample_location(df: DataFrame, null_marker: str) -> DataFrame:
     return df.withColumn("Sample Location", F.concat(F.lit("n"), F.trim(c)))
 
 
-def down_join_stage(spark: SparkSession, site_sub: DataFrame, data: DataFrame) -> DataFrame:
-    """Hierarchical fallback join stage (down/down_water_prep.py:428-546).
+def down_join_transform(site_sub: DataFrame, data: DataFrame) -> DataFrame:
+    """The join stage's pure transformation (down/down_water_prep.py:
+    428-546): key normalization on both sides + the hierarchical
+    fallback join.
 
     Tiers: [PWSID, SYSTEM NAME, Sample Location] → [PWSID, SYSTEM NAME]
     → [PWSID]; "matched" means the joined row got a usable ZIP_CODE
-    (:511-512,521-522); the final tier is a plain left join (:528-532);
-    row count must be preserved (:540-543).
-    """
-    # Materialize the (tiny) site dim once at the stage boundary. The
-    # reference does the same via its intermediate CSV (SITE_PREP,
-    # :408,454): without it the site DAG (xlsx parse + outer join +
-    # consistency gate) re-executes for every tier's dim dedup. The fact
-    # stays lazy — callers wanting a durable boundary use
-    # checkpoint_parquet (C7), exactly like the reference's DATA_PREP.
-    site_sub = site_sub.localCheckpoint(eager=True)
+    (:511-512,521-522); the final tier is a plain left join (:528-532).
 
+    The fact side is touched only by stateless projections and
+    broadcast left joins, so ``data`` may be a STREAMING DataFrame
+    (stream-static join, append mode) — the incremental form of the
+    reference lifecycle where each year's extract arrives as a new
+    file (streaming/down_stream.py). Batch callers wanting the
+    row-count gate and the dim materialization use
+    :func:`down_join_stage`.
+    """
     site = _normalize_sample_location(site_sub, "X")
     fact = _normalize_sample_location(data, "Y")
 
@@ -223,10 +224,7 @@ def down_join_stage(spark: SparkSession, site_sub: DataFrame, data: DataFrame) -
         [F.col("SYSTEM NAME").desc(), *tiebreak],
     ]
 
-    # C43 as a one-pass observation: the input count materializes
-    # during the same action that evaluates the join output.
-    fact, check_rows = expect_row_count_preserved_observed(fact)
-    out = fallback_join(
+    return fallback_join(
         fact,
         site,
         tiers=tiers,
@@ -236,6 +234,24 @@ def down_join_stage(spark: SparkSession, site_sub: DataFrame, data: DataFrame) -
         match_pred=lambda c: c.isNotNull() & (c != ""),
         final_tier_left=True,
     )
+
+
+def down_join_stage(spark: SparkSession, site_sub: DataFrame, data: DataFrame) -> DataFrame:
+    """Batch entry for the join stage: materialize the (tiny) site dim
+    once at the stage boundary, run :func:`down_join_transform`, and
+    enforce the C43 row-count law (:540-543).
+
+    The dim materialization mirrors the reference's intermediate CSV
+    (SITE_PREP, :408,454): without it the site DAG (xlsx parse + outer
+    join + consistency gate) re-executes for every tier's dim dedup.
+    The fact stays lazy — callers wanting a durable boundary use
+    checkpoint_parquet (C7), exactly like the reference's DATA_PREP.
+    """
+    site_sub = site_sub.localCheckpoint(eager=True)
+    # C43 as a one-pass observation: the input count materializes
+    # during the same action that evaluates the join output.
+    data, check_rows = expect_row_count_preserved_observed(data)
+    out = down_join_transform(site_sub, data)
     check_rows(out.count())
     return out
 
