@@ -15,6 +15,7 @@ Two families:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # --------------------------------------------------------------------------
@@ -121,16 +122,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Parquet scan → Catalyst gets pushdown
     and column pruning for free; callers select/filter declaratively.
 
-    ``events.ts`` is a nanosecond-precision INT64 parquet timestamp,
-    which Spark cannot represent natively — it is read as a raw long
-    (ns since epoch, UTC) via the legacy nanosAsLong flag. Use the
-    helpers in functions/time.py to derive calendar columns from it;
-    they are pure integer arithmetic, so results never depend on the
-    session timezone (the driver's session may not be UTC).
+    Engine contract: ``events.ts`` is ALWAYS epoch-ns (UTC, long)
+    after this function, whatever the physical parquet layout —
+    timestamp[ns] (read as raw long via the legacy nanosAsLong flag),
+    timestamp[us] NTZ (converted with timestampdiff against an NTZ
+    epoch literal — both operands naive, so no session-timezone
+    dependence), or timestamp LTZ (unix_micros, an instant, also
+    tz-free). The helpers in functions/time.py then derive calendar
+    fields with pure integer arithmetic, matching DuckDB's
+    naive-wall-clock semantics under ANY driver session timezone.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn(
+                "ts",
+                F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+                * F.lit(1000).cast("long"),
+            )
+        elif isinstance(dt, T.TimestampType):
+            df = df.withColumn("ts", F.unix_micros("ts") * F.lit(1000).cast("long"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

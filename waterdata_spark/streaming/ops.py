@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch-ns (schemas.load_table contract)
+        T.StructField("ts", T.TimestampNTZType()),  # physical parquet layout (timestamp[us])
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -33,13 +33,20 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 4) -> DataFrame:
     """File-based stream over events parquet (one file = one
     micro-batch unit). In production this is a Kafka source; the
-    transformation DAG downstream is identical either way."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    transformation DAG downstream is identical either way.
+
+    Emits the same columns as schemas.load_table plus ``event_ts``:
+    ``ts`` normalized to epoch-ns long (the engine contract) and
+    ``event_ts`` a proper TIMESTAMP for watermarks/windows. The NTZ→
+    epoch conversion uses an NTZ epoch literal so it is independent
+    of the session timezone."""
+    ns = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)") * F.lit(1000).cast("long")
     return (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
-        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("event_ts", F.timestamp_micros(F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")))
+        .withColumn("ts", ns)
     )
 
 
