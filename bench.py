@@ -72,6 +72,8 @@ def _run_suite(
     The first repeat also absorbs per-plan first-touch costs (parquet
     footer reads, codegen), so min-of-N is the steady-state number a
     warm cluster would see; the full spread is reported alongside."""
+    import gc
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in names or HEADLINE:
@@ -82,6 +84,15 @@ def _run_suite(
             df = fn(spark, sf_dir)
             n = df.count()
             runs.append(round(time.time() - t0, 3))
+            # Measurement hygiene, OUTSIDE the timed window: drop the
+            # plan reference and force a driver-side GC so the
+            # ContextCleaner releases orphaned blocks (x07's
+            # localCheckpoint RDDs otherwise pin executor storage until
+            # the 30-min periodic GC — measured: 6 stale checkpoints
+            # inflated q06@sf10 from 3.5s to 12.6s in the same JVM).
+            del df
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         timings[name] = min(runs)
         spread[name] = runs
         print(f"# {name}: {n} rows, min {min(runs)}s of {runs}", file=sys.stderr)

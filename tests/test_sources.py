@@ -272,3 +272,58 @@ class TestPdfTextDecoder:
         r = rows[0]
         assert r["PWSID"] == "6430001" and r["SYSTEM NAME"] == "SCENIC MHP"
         assert r["Contaminant ID"] == "CHLORINE" and r["Analysis Result"] == "0.72"
+
+
+class TestLoadTableTimestampLayouts:
+    """Engine contract (schemas.load_table): ``events.ts`` is epoch-ns
+    long after loading, for EVERY physical parquet layout the driver
+    has shipped — INT64 TIMESTAMP(NANOS) (rounds 1-3), timestamp[us]
+    NTZ (round 4) — plus the LTZ variant, and under a non-UTC session
+    timezone (the external driver's session is not ours to configure)."""
+
+    TS_US = [1_577_836_800_000_000, 1_600_000_000_123_456]  # 2020-01-01, 2020-09-13
+
+    def _write(self, tmp_path, name, arrow_type):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(self.TS_US, pa.timestamp("us")).cast(arrow_type),
+                "user_id": pa.array([10, 20], pa.int64()),
+                "event_type": pa.array(["a", "b"]),
+                "value": pa.array([1.0, 2.0]),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        return str(d)
+
+    @pytest.mark.parametrize(
+        "arrow_type_name", ["timestamp[ns]", "timestamp[us]", "timestamp[us, tz=UTC]"]
+    )
+    def test_every_layout_yields_epoch_ns_longs(self, spark, tmp_path, arrow_type_name):
+        import pyarrow as pa
+
+        from waterdata_spark.schemas import load_table
+
+        arrow_type = {
+            "timestamp[ns]": pa.timestamp("ns"),
+            "timestamp[us]": pa.timestamp("us"),
+            "timestamp[us, tz=UTC]": pa.timestamp("us", tz="UTC"),
+        }[arrow_type_name]
+        # brackets are Hadoop glob metacharacters — keep them out of the path
+        safe = arrow_type_name.translate(str.maketrans("", "", "[], =")).replace("tz", "_tz")
+        sf_dir = self._write(tmp_path, safe, arrow_type)
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            df = load_table(spark, sf_dir, "events")
+            assert dict(df.dtypes)["ts"] == "bigint"
+            got = [r["ts"] for r in df.orderBy("event_id").collect()]
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        assert got == [us * 1000 for us in self.TS_US]
