@@ -230,3 +230,72 @@ class TestPartitionPruning:
         assert n_types > 1
         assert leaf.metrics().apply("numPartitions").value() == 1
         assert leaf.metrics().apply("numFiles").value() == 1
+
+
+class TestCacheHygiene:
+    """Long-lived-JVM storage discipline (round 4): operator-internal
+    persisted frames must not accumulate across invocations. Measured
+    cost of getting this wrong: six stale IVF checkpoints inflated an
+    unrelated sf10 aggregation 2.4x in the same JVM."""
+
+    @staticmethod
+    def _n_stored(spark) -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    def _settled(self, spark, at_most: int, tries: int = 20) -> int:
+        """Async unpersist: poll until the block count settles."""
+        import time
+
+        n = self._n_stored(spark)
+        for _ in range(tries):
+            if n <= at_most:
+                break
+            time.sleep(0.25)
+            n = self._n_stored(spark)
+        return n
+
+    @pytest.fixture()
+    def emb(self, spark):
+        import random
+
+        r = random.Random(7)
+        rows = [(i, [r.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_repeated_ivf_builds_hold_one_generation(self, spark, emb):
+        from waterdata_spark.operators.similarity import cosine_topk_ivf_blocked
+        from waterdata_spark.plans import cachereg
+
+        cachereg.release_all()
+        base = self._settled(spark, 0)
+        for _ in range(3):
+            cosine_topk_ivf_blocked(emb, k=3, n_cells=4, n_probe=2).count()
+        # generation semantics: 3 builds, at most ONE live index persist
+        assert self._settled(spark, base + 1) <= base + 1
+        cachereg.release_all()
+        assert self._settled(spark, base) <= base
+
+    def test_query_boundary_drains_previous_query_caches(self, spark):
+        from waterdata_spark.plans import cachereg
+
+        cachereg.release_all()
+        base = self._settled(spark, 0)
+        QUERIES["x07_cosine_topk"].fn(spark, SF_ORACLE).count()  # registers its persist
+        QUERIES["q22_orderby_limit"].fn(spark, SF_ORACLE).count()  # entry drain releases it
+        assert self._settled(spark, base) <= base
+
+    def test_cc_loop_leaves_only_final_labels(self, spark):
+        """A 6-node path graph needs several propagation rounds; every
+        intermediate round snapshot and the edge snapshot must be freed
+        by loop end — only the final labels checkpoint may remain."""
+        from waterdata_spark.operators.dedup_approx import min_id_components
+        from waterdata_spark.plans import cachereg
+
+        cachereg.release_all()
+        base = self._settled(spark, 0)
+        nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+        edges = spark.createDataFrame([(i, i + 1) for i in range(5)], "id_a long, id_b long")
+        labels = min_id_components(nodes, edges)
+        got = {(r["node"], r["label"]) for r in labels.collect()}
+        assert got == {(i, 0) for i in range(6)}
+        assert self._settled(spark, base + 1) <= base + 1

@@ -27,6 +27,22 @@ from pyspark.sql import functions as F
 from waterdata_spark.functions.text import char_shingles, tokens
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a ``localCheckpoint``'s storage blocks immediately.
+
+    Only call on frames that are provably unreachable from any live
+    lineage (a checkpointed frame has no lineage to recompute from, so
+    releasing a frame someone still holds would make it raise). Used by
+    the iterative CC loop, where each round's EAGER checkpoint roots
+    the next round — the previous round's snapshot is then dead weight
+    that would otherwise stay pinned until driver GC + ContextCleaner
+    (default periodic interval: 30 min)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # non-LogicalRDD plan / stopped session — nothing pinned
+
+
 def _seeded_md5(seed: int):
     # NB: a plain `lambda s, i=i:` would be seen by PySpark as a
     # TWO-parameter (element, index) lambda — the seed would silently
@@ -187,7 +203,8 @@ def min_id_components(
     at trillion-edge scale: :func:`star_contraction_components`, the
     large-star/small-star form).
     """
-    labels = nodes.select(F.col("node"), F.col("node").alias("label")).localCheckpoint(eager=True)
+    ckpt = nodes.select(F.col("node"), F.col("node").alias("label")).localCheckpoint(eager=True)
+    labels = ckpt
     sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))).localCheckpoint(
         eager=True
     )
@@ -198,7 +215,8 @@ def min_id_components(
             .agg(F.min("label").alias("nlabel"))
         )
         new_label = F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label")))
-        labels = (
+        prev_ckpt = ckpt
+        ckpt = (
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
                 F.col("node"),
@@ -207,10 +225,19 @@ def min_id_components(
             )
             .localCheckpoint(eager=True)
         )
-        n_changed = labels.agg(F.sum("__changed")).first()[0]
-        labels = labels.select("node", "label")
+        # the new EAGER checkpoint is a root — the previous round's
+        # blocks are unreachable from any live lineage, so free them
+        # NOW instead of waiting for driver GC + ContextCleaner (in a
+        # long-lived JVM, O(rounds) label snapshots otherwise stay
+        # pinned and evict useful storage)
+        _release_checkpoint(prev_ckpt)
+        n_changed = ckpt.agg(F.sum("__changed")).first()[0]
+        labels = ckpt.select("node", "label")
         if not n_changed:
             break
+    # the result derives only from the final labels checkpoint; the
+    # symmetrized edge snapshot is loop-internal — free it too
+    _release_checkpoint(sym)
     return labels
 
 
@@ -267,6 +294,7 @@ def star_contraction_components(
     for rnd in range(max_rounds):
         if converged:
             break
+        prev_ckpt = e  # this round reads it; the next checkpoint replaces it
         # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m(u)) for v > u
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
@@ -287,6 +315,8 @@ def star_contraction_components(
             .distinct()
         )
         e = persist(e, rnd + 1)
+        if checkpoint_dir is None:
+            _release_checkpoint(prev_ckpt)  # new eager checkpoint roots the loop
         # star forest ⇔ no parent appears as a child
         converged = e.select(F.col("v").alias("u")).join(e, "u", "left_semi").isEmpty()
     else:

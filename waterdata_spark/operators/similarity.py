@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from waterdata_spark.plans import cachereg
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -447,10 +449,15 @@ def cosine_topk_ivf_blocked(
     # materialize the index once: both cogroup sides read it, and the
     # assignment (an Arrow round-trip per row batch) is the expensive
     # part — recomputing it per side doubles the work. At real scale
-    # this is a persisted index table.
-    indexed = unit.withColumn(
-        "__cells", probe(F.col("__unit").cast("array<double>"))
-    ).localCheckpoint(eager=False)
+    # this is a persisted index table. persist (NOT localCheckpoint):
+    # lineage stays intact, so the registry can release the blocks at
+    # the next build / next query with recompute-on-reuse semantics —
+    # a checkpoint here pinned executor storage until driver GC and
+    # measurably distorted later queries in the same JVM (cachereg.py).
+    indexed = cachereg.register(
+        "similarity.ivf_indexed",
+        unit.withColumn("__cells", probe(F.col("__unit").cast("array<double>"))).persist(),
+    )
 
     # distinct column names on the two cogroup sides — both derive from
     # `indexed`, and Spark's ambiguous-self-join check rejects a cogroup

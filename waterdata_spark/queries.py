@@ -19,11 +19,14 @@ same parquet tables. Numeric policy, so value-hashes match bit-exact:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from waterdata_spark.plans import cachereg
 
 from waterdata_spark.functions.text import LANG_MARKERS, doc_fingerprint, token_count, tokens
 from waterdata_spark.operators.dedup import exact_dedup, priority_dedup
@@ -47,7 +50,16 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def query(name: str, sql: str | None, doc: str = "", tags: list[str] | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = QuerySpec(fn=fn, sql=sql, doc=doc, tags=tags or [])
+        @functools.wraps(fn)
+        def gated(spark: SparkSession, sf: str) -> DataFrame:
+            # Query-boundary cache drain: internal frames persisted by
+            # the PREVIOUS query are dead weight by now; release them so
+            # a long-lived gate/bench JVM never accumulates orphaned
+            # storage blocks (plans/cachereg.py has the measurements).
+            cachereg.release_all()
+            return fn(spark, sf)
+
+        QUERIES[name] = QuerySpec(fn=gated, sql=sql, doc=doc, tags=tags or [])
         return fn
 
     return deco
