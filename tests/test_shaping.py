@@ -1,0 +1,140 @@
+"""Training-data shaping operators: token-window chunking, fixed-budget
+sequence packing, deterministic (stratified) sampling. All pure-JVM
+plans; the tests pin semantics, determinism under repartitioning, and
+the documented waste/stability bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from waterdata_spark.operators.chunking import chunk_documents, pack_sequences
+from waterdata_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    stratified_sample_exact,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),
+        (2, "a b c"),
+        (3, ""),
+        (4, "   "),
+        (5, "single"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestChunking:
+    def test_windows_cover_and_order(self, spark, docs):
+        out = chunk_documents(docs, max_tokens=4).orderBy("doc_id", "chunk_idx").collect()
+        d1 = [r for r in out if r["doc_id"] == 1]
+        assert [r["chunk_idx"] for r in d1] == [0, 1, 2]
+        assert [r["n_chunk_tokens"] for r in d1] == [4, 4, 2]
+        assert d1[0]["chunk_text"] == "t0 t1 t2 t3"
+        assert d1[2]["chunk_text"] == "t8 t9"
+        # empty / whitespace-only docs produce no chunks
+        assert {r["doc_id"] for r in out} == {1, 2, 5}
+
+    def test_zero_overlap_reconstructs_tokens(self, spark, docs):
+        rows = chunk_documents(docs, max_tokens=3).collect()
+        got: dict[int, str] = {}
+        for r in sorted(rows, key=lambda x: (x["doc_id"], x["chunk_idx"])):
+            got[r["doc_id"]] = (got.get(r["doc_id"], "") + " " + r["chunk_text"]).strip()
+        assert got[1] == " ".join(f"t{i}" for i in range(10))
+        assert got[2] == "a b c"
+
+    def test_overlap_stride(self, spark, docs):
+        out = (
+            chunk_documents(docs.filter("doc_id = 1"), max_tokens=4, overlap=2)
+            .orderBy("chunk_idx")
+            .collect()
+        )
+        # stride 2: windows at 0,2,4,6 cover all 10 tokens
+        assert [r["chunk_text"].split()[0] for r in out] == ["t0", "t2", "t4", "t6"]
+        assert out[-1]["chunk_text"] == "t6 t7 t8 t9"
+
+    def test_no_shuffle_plan(self, spark, docs):
+        plan = chunk_documents(docs, max_tokens=4)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_bad_overlap_raises(self, docs):
+        with pytest.raises(ValueError):
+            chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+class TestPacking:
+    @pytest.fixture()
+    def corpus(self, spark):
+        import random
+
+        r = random.Random(11)
+        rows = [(i, " ".join("w" for _ in range(r.randint(1, 40)))) for i in range(300)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_waste_bound_and_totals(self, spark, corpus):
+        budget = 64
+        out = pack_sequences(corpus, budget_tokens=budget, n_streams=4)
+        max_doc = out.agg(F.max("n_tokens")).first()[0]
+        bins = out.groupBy("stream_id", "bin_id").agg(
+            F.sum("n_tokens").alias("tot"), F.first("bin_tokens").alias("reported")
+        )
+        bad = bins.filter((F.col("tot") != F.col("reported")) | (F.col("tot") >= budget + max_doc))
+        assert bad.count() == 0
+
+    def test_deterministic_under_repartition(self, spark, corpus):
+        a = {
+            (r["doc_id"]): (r["stream_id"], r["bin_id"])
+            for r in pack_sequences(corpus.repartition(3), budget_tokens=64, n_streams=4).collect()
+        }
+        b = {
+            (r["doc_id"]): (r["stream_id"], r["bin_id"])
+            for r in pack_sequences(corpus.repartition(7), budget_tokens=64, n_streams=4).collect()
+        }
+        assert a == b
+
+    def test_oversized_doc_gets_own_bin(self, spark):
+        rows = [(1, " ".join("w" for _ in range(100))), (2, "w w"), (3, "w w w")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pack_sequences(df, budget_tokens=10, n_streams=1).collect()
+        big_bin = next(r for r in out if r["doc_id"] == 1)["bin_id"]
+        assert all(r["bin_id"] != big_bin for r in out if r["doc_id"] != 1)
+
+
+class TestSampling:
+    @pytest.fixture()
+    def ids(self, spark):
+        return spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "es").otherwise("fr").alias("lang"),
+        )
+
+    def test_fraction_and_repartition_stability(self, spark, ids):
+        got = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.25).collect()}
+        again = {r["doc_id"] for r in hash_sample(ids.repartition(13), "doc_id", 0.25).collect()}
+        assert got == again
+        assert 0.20 < len(got) / 2000 < 0.30
+
+    def test_threshold_monotone_supersets(self, spark, ids):
+        """Growing the rate only ADDS rows — the property that lets a
+        frozen 1% eval split stay frozen inside a later 10% split."""
+        s10 = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.10).collect()}
+        s25 = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.25).collect()}
+        assert s10 <= s25
+
+    def test_stratified_rates(self, spark, ids):
+        out = stratified_sample(ids, "lang", {"en": 1.0, "es": 0.0}, id_col="doc_id")
+        by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert by.get("en") == 667  # every en row kept
+        assert "es" not in by  # rate 0
+        assert "fr" not in by  # missing stratum -> 0 (sampleBy contract)
+
+    def test_stratified_exact(self, spark, ids):
+        out = stratified_sample_exact(ids, "lang", 50, id_col="doc_id")
+        by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert by == {"en": 50, "es": 50, "fr": 50}
+        again = stratified_sample_exact(ids.repartition(9), "lang", 50, id_col="doc_id")
+        assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}

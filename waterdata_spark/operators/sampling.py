@@ -1,0 +1,82 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+The registered query x13 (queries.py) pins the primitive: a salted-md5
+threshold is reproducible on any engine at any cluster size, unlike
+``rand()``-based sampling (task-count-dependent) . This module adds the
+stratified forms a class-balanced corpus build needs. Everything is
+JVM expressions + at most one tiny broadcast join — no UDFs, no
+driver-side state proportional to data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_u(id_col: str, seed: str) -> F.Column:
+    """Deterministic uniform-(0,1) value per row id: the first 15 hex
+    digits of a salted md5 (60 bits — exact in a double)."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(float(16**15))
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float, seed: str = "sample42") -> DataFrame:
+    """~``fraction`` of rows, selected by salted-hash threshold on the
+    row id. Rerun-, retry- and cluster-size-stable; adding rows to the
+    table never flips the membership of existing rows (the property
+    that makes frozen eval splits possible on a growing corpus)."""
+    return df.filter(_hash_u(id_col, seed) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict | float,
+    id_col: str,
+    seed: str = "sample42",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``fractions`` is either one
+    rate for every stratum or {stratum: rate} (missing strata → 0.0 —
+    an explicit contract, matching ``DataFrame.sampleBy``).
+
+    The per-stratum rates ride a broadcast of a tiny literal frame
+    (|strata| rows), so the plan stays one scan + one broadcast hash
+    join — no per-stratum passes, no collect. Unlike ``sampleBy``
+    (Bernoulli on ``rand()``), membership is a pure function of
+    (seed, id), so splits are reproducible across engines and stable
+    under repartitioning.
+    """
+    if not isinstance(fractions, dict):
+        return df.filter(_hash_u(id_col, seed) < float(fractions))
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(k, float(v)) for k, v in fractions.items()], f"{strata_col} string, __rate double"
+    )
+    return (
+        df.withColumn("__u", _hash_u(id_col, seed))
+        .join(F.broadcast(rates), strata_col, "left")
+        .filter(F.col("__u") < F.coalesce(F.col("__rate"), F.lit(0.0)))
+        .drop("__u", "__rate")
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str,
+    seed: str = "sample42",
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer iff the
+    stratum is smaller): rank rows within each stratum by the salted
+    hash and keep the first n — a deterministic reservoir. One shuffle
+    on the stratum key; the window never materializes more than a
+    partition at a time. Use for class-balanced eval sets where
+    approximate rates aren't acceptable."""
+    w = Window.partitionBy(strata_col).orderBy(_hash_u(id_col, seed).asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
