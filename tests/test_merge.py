@@ -1,0 +1,91 @@
+"""Incremental maintenance operators (operators/merge.py): SCD-1
+upsert semantics, CDC changelog collapse, idempotent replay."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from waterdata_spark.operators.merge import apply_changes, merge_upsert
+
+
+@pytest.fixture()
+def target(spark):
+    rows = [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+    return spark.createDataFrame(rows, "id long, name string, val double")
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+class TestMergeUpsert:
+    def test_update_insert_delete(self, spark, target):
+        src = spark.createDataFrame(
+            [(2, "B", 21.0, False), (4, "d", 40.0, False), (3, None, 0.0, True), (9, "x", 0.0, True)],
+            "id long, name string, val double, is_del boolean",
+        )
+        out = merge_upsert(target, src, ["id"], delete_col="is_del")
+        assert _rows(out) == {
+            (1, "a", 10.0),  # untouched
+            (2, "B", 21.0),  # updated
+            (4, "d", 40.0),  # inserted
+            # 3 deleted; delete of missing key 9 is a no-op
+        }
+
+    def test_update_subset_of_columns(self, spark, target):
+        src = spark.createDataFrame([(2, "IGNORED", 99.0)], "id long, name string, val double")
+        out = merge_upsert(target, src, ["id"], update_cols=["val"])
+        assert _rows(out) == {(1, "a", 10.0), (2, "b", 99.0), (3, "c", 30.0)}
+
+    def test_source_null_wins_on_update(self, spark, target):
+        """SCD-1 contract: the source VALUE wins, including NULL —
+        this is an overwrite, not a coalesce."""
+        src = spark.createDataFrame([(1, None, 11.0)], "id long, name string, val double")
+        out = merge_upsert(target, src, ["id"])
+        assert _rows(out) == {(1, None, 11.0), (2, "b", 20.0), (3, "c", 30.0)}
+
+    def test_null_key_matches_null_key(self, spark):
+        t = spark.createDataFrame([(None, "old")], "k string, v string")
+        s = spark.createDataFrame([(None, "new")], "k string, v string")
+        out = merge_upsert(t, s, ["k"])
+        assert _rows(out) == {(None, "new")}
+
+    def test_schema_is_target_schema(self, spark, target):
+        src = spark.createDataFrame(
+            [(5, "e", 1.0, "extra")], "id long, name string, val double, junk string"
+        )
+        out = merge_upsert(target, src, ["id"])
+        assert out.columns == target.columns
+
+
+class TestApplyChanges:
+    @pytest.fixture()
+    def changes(self, spark):
+        rows = [
+            (2, "b1", 21.0, "update", 1),
+            (2, "b2", 22.0, "update", 2),  # later seq wins
+            (3, None, 0.0, "delete", 1),
+            (4, "d", 40.0, "insert", 1),
+            (5, "e", 50.0, "insert", 1),
+            (5, None, 0.0, "delete", 2),  # inserted then deleted -> gone
+        ]
+        return spark.createDataFrame(rows, "id long, name string, val double, op string, seq long")
+
+    def test_latest_op_per_key_wins(self, spark, target, changes):
+        out = apply_changes(target, changes, ["id"])
+        assert _rows(out) == {(1, "a", 10.0), (2, "b2", 22.0), (4, "d", 40.0)}
+
+    def test_replay_is_idempotent(self, spark, target, changes):
+        once = apply_changes(target, changes, ["id"])
+        twice = apply_changes(once, changes, ["id"])
+        assert _rows(once) == _rows(twice)
+
+    def test_collapse_is_single_aggregation(self, spark, target, changes):
+        """The changelog collapse must be one hash aggregate (map-side
+        combinable), not a window over the full log."""
+        plan = (
+            apply_changes(target, changes, ["id"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
