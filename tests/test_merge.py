@@ -89,3 +89,43 @@ class TestApplyChanges:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Window" not in plan
+
+
+class TestStreamingCdc:
+    def test_changelog_stream_maintains_table(self, spark, tmp_path):
+        """End-to-end: a 2-file changelog stream (1 file per micro-batch)
+        incrementally maintains a versioned parquet table; the final
+        snapshot equals the batch apply_changes result applied in
+        sequence."""
+        from waterdata_spark.streaming.cdc import cdc_upsert_sink, init_table, read_table
+
+        schema = "id long, name string, val double, op string, seq long"
+        target0 = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, val double"
+        )
+        table_dir = str(tmp_path / "table")
+        init_table(target0, table_dir)
+
+        f1 = [(2, "b1", 21.0, "update", 1), (3, "c", 30.0, "insert", 1)]
+        f2 = [(1, None, 0.0, "delete", 2), (3, "c2", 31.0, "update", 2)]
+        changes_dir = tmp_path / "changes"
+        changes_dir.mkdir()
+        spark.createDataFrame(f1, schema).coalesce(1).write.parquet(str(changes_dir / "f1"))
+        spark.createDataFrame(f2, schema).coalesce(1).write.parquet(str(changes_dir / "f2"))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(changes_dir / "*"))
+        )
+        q = cdc_upsert_sink(stream, table_dir, ["id"], checkpoint_dir=str(tmp_path / "ckpt"))
+        q.awaitTermination()
+
+        got = _rows(read_table(spark, table_dir))
+        expected = apply_changes(
+            apply_changes(target0, spark.createDataFrame(f1, schema), ["id"]),
+            spark.createDataFrame(f2, schema),
+            ["id"],
+        )
+        assert got == _rows(expected)
+        assert got == {(2, "b1", 21.0), (3, "c2", 31.0)}
