@@ -131,6 +131,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tz-free). The helpers in functions/time.py then derive calendar
     fields with pure integer arithmetic, matching DuckDB's
     naive-wall-clock semantics under ANY driver session timezone.
+
+    Pushdown note: on layouts where ``ts`` is derived (NTZ/LTZ), a
+    range predicate on the derived long no longer reaches the parquet
+    scan as a pushed filter (Catalyst won't invert the expression).
+    None of the registered queries range-filter raw ``ts``; at
+    warehouse scale, time pruning should come from date partitioning
+    of the table (see the partition-pruning tests), not row-group
+    stats on a derived column.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
