@@ -129,3 +129,38 @@ class TestStreamingCdc:
         )
         assert got == _rows(expected)
         assert got == {(2, "b1", 21.0), (3, "c2", 31.0)}
+
+
+class TestBucketedMerge:
+    def test_bucketed_target_merges_without_target_exchange(self, spark, tmp_path):
+        """The incremental-maintenance scale contract: a target bucketed
+        on the merge keys full-outer-joins its change set with no
+        Exchange on the target side — repeated merges never re-shuffle
+        the big table. (Needs plain key equality: null-safe `<=>` keys
+        don't satisfy the bucketed output partitioning.)"""
+        from waterdata_spark.sources.bucketed import read_table, write_bucketed
+
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS mgtest LOCATION '{tmp_path}/wh'")
+        try:
+            target = spark.createDataFrame(
+                [(i, f"n{i}", float(i)) for i in range(100)], "id long, name string, val double"
+            )
+            write_bucketed(target, "mgtest.t_b", ["id"], n_buckets=4, sort_cols=["id"])
+            src = spark.createDataFrame(
+                [(1, "X", -1.0, False), (200, "new", 0.5, False), (2, None, 0.0, True)],
+                "id long, name string, val double, is_del boolean",
+            )
+            out = merge_upsert(
+                read_table(spark, "mgtest.t_b"), src, ["id"],
+                delete_col="is_del", null_safe_keys=False,
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            # exactly one Exchange: the small source side
+            assert plan.count("Exchange") == 1, plan
+            rows = {tuple(r) for r in out.collect()}
+            assert (1, "X", -1.0) in rows and (200, "new", 0.5) in rows
+            assert not any(r[0] == 2 for r in rows)
+            assert len(rows) == 100  # 100 - 1 delete + 1 insert
+        finally:
+            spark.sql("DROP TABLE IF EXISTS mgtest.t_b")
+            spark.sql("DROP DATABASE IF EXISTS mgtest")

@@ -30,6 +30,7 @@ def merge_upsert(
     keys: list[str],
     update_cols: list[str] | None = None,
     delete_col: str | None = None,
+    null_safe_keys: bool = True,
 ) -> DataFrame:
     """SCD-1 MERGE: rows of ``source`` update matching ``target`` rows
     (source value wins for ``update_cols`` — default: every non-key
@@ -39,6 +40,13 @@ def merge_upsert(
     ``source`` must be unique on ``keys`` (collapse a changelog first —
     :func:`apply_changes`); enforced lazily by the join semantics (a
     duplicate source key would duplicate the matched output row).
+
+    ``null_safe_keys``: by default a NULL key matches its NULL twin
+    (``<=>``). Pass False when keys are guaranteed non-null (the normal
+    warehouse fact case): plain equality lets a target bucketed on the
+    keys (sources/bucketed.py) join with NO target-side Exchange, so
+    repeated merges never re-shuffle the big table (plan-pinned in
+    tests/test_merge.py).
     """
     update_cols = update_cols or [
         c for c in source.columns if c in target.columns and c not in keys and c != delete_col
@@ -60,7 +68,11 @@ def merge_upsert(
         "__del",
     )
     t = target.withColumn("__in_t", F.lit(True))
-    joined = t.join(s, [t[k].eqNullSafe(s[f"__k_{k}"]) for k in keys], "full_outer")
+    cond = [
+        t[k].eqNullSafe(s[f"__k_{k}"]) if null_safe_keys else t[k] == s[f"__k_{k}"]
+        for k in keys
+    ]
+    joined = t.join(s, cond, "full_outer")
     # presence markers, NOT key-null tests: eqNullSafe admits NULL key
     # values, so a present row can still have a NULL key column
     in_s = F.col("__in_s").isNotNull()
