@@ -164,3 +164,21 @@ class TestBucketedMerge:
         finally:
             spark.sql("DROP TABLE IF EXISTS mgtest.t_b")
             spark.sql("DROP DATABASE IF EXISTS mgtest")
+
+    def test_vacuum_keeps_live_and_n_newest(self, spark, tmp_path):
+        from waterdata_spark.streaming.cdc import init_table, read_table, vacuum_table
+        import os
+
+        t = spark.createDataFrame([(1, "a")], "id long, v string")
+        table_dir = str(tmp_path / "t")
+        init_table(t, table_dir)
+        # publish three more versions by hand
+        from waterdata_spark.streaming.cdc import _publish
+
+        for i in (1, 2, 3):
+            _publish(t.withColumn("v", F.lit(f"v{i}")), table_dir, f"v{i}")
+        removed = vacuum_table(table_dir, keep=2)
+        assert removed == ["v0", "v1"]
+        left = sorted(d for d in os.listdir(table_dir) if d.startswith("v") and d[1:].isdigit())
+        assert left == ["v2", "v3"]
+        assert {tuple(r) for r in read_table(spark, table_dir).collect()} == {(1, "v3")}

@@ -138,3 +138,12 @@ class TestSampling:
         assert by == {"en": 50, "es": 50, "fr": 50}
         again = stratified_sample_exact(ids.repartition(9), "lang", 50, id_col="doc_id")
         assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
+
+    def test_stratified_int_keys(self, spark):
+        """Integer stratum labels must not be coerced through strings."""
+        df = spark.range(300).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 2).cast("int").alias("label")
+        )
+        out = stratified_sample(df, "label", {0: 1.0, 1: 0.0}, id_col="doc_id")
+        got = {r["label"] for r in out.collect()}
+        assert got == {0} and out.count() == 150

@@ -50,8 +50,10 @@ def stratified_sample(
     if not isinstance(fractions, dict):
         return df.filter(_hash_u(id_col, seed) < float(fractions))
     spark = df.sparkSession
+    # infer the stratum key type from the dict keys (int labels stay
+    # ints — forcing string here would make the join silently coerce)
     rates = spark.createDataFrame(
-        [(k, float(v)) for k, v in fractions.items()], f"{strata_col} string, __rate double"
+        [(k, float(v)) for k, v in fractions.items()], [strata_col, "__rate"]
     )
     return (
         df.withColumn("__u", _hash_u(id_col, seed))

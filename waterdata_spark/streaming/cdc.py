@@ -48,6 +48,27 @@ def init_table(df: DataFrame, table_dir: str) -> None:
     _publish(df, table_dir, "v0")
 
 
+def vacuum_table(table_dir: str, keep: int = 2) -> list[str]:
+    """Drop all but the newest ``keep`` version directories (the live
+    one always survives). Returns the removed version names. Run it
+    out-of-band — a reader that resolved the pointer before a vacuum
+    still needs its snapshot, so ``keep >= 2`` is the safe floor while
+    queries are in flight."""
+    import shutil
+
+    ptr = os.path.join(table_dir, _POINTER)
+    with open(ptr) as f:
+        live = f.read().strip()
+    versions = sorted(
+        (d for d in os.listdir(table_dir) if d.startswith("v") and d[1:].isdigit()),
+        key=lambda d: int(d[1:]),
+    )
+    doomed = [v for v in versions[:-max(keep, 1)] if v != live]
+    for v in doomed:
+        shutil.rmtree(os.path.join(table_dir, v))
+    return doomed
+
+
 def cdc_upsert_sink(
     changes_stream: DataFrame,
     table_dir: str,
