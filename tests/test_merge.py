@@ -182,3 +182,40 @@ class TestBucketedMerge:
         left = sorted(d for d in os.listdir(table_dir) if d.startswith("v") and d[1:].isdigit())
         assert left == ["v2", "v3"]
         assert {tuple(r) for r in read_table(spark, table_dir).collect()} == {(1, "v3")}
+
+
+class TestReviewRegressions:
+    def test_update_cols_empty_means_insert_delete_only(self, spark, target):
+        """An EXPLICIT update_cols=[] must not fall through to the
+        all-shared-columns default: matched rows stay untouched."""
+        src = spark.createDataFrame(
+            [(2, "CHANGED", 99.0, False), (7, "new", 70.0, False)],
+            "id long, name string, val double, is_del boolean",
+        )
+        out = merge_upsert(target, src, ["id"], update_cols=[], delete_col="is_del")
+        assert _rows(out) == {
+            (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0),  # 2 NOT modified
+            (7, "new", 70.0),  # insert still lands
+        }
+
+    def test_cdc_batch_replay_is_safe_and_content_stable(self, spark, tmp_path):
+        """Checkpoint replay re-runs a committed batch: the merge must
+        read the already-advanced snapshot and publish a fresh version
+        with identical content — never overwrite the directory it is
+        reading (the failure mode of batch-id-named versions)."""
+        from waterdata_spark.streaming.cdc import apply_cdc_batch, init_table, read_table
+
+        init_table(
+            spark.createDataFrame([(1, "a", 10.0)], "id long, name string, val double"),
+            str(tmp_path / "t"),
+        )
+        batch = spark.createDataFrame(
+            [(1, "a2", 11.0, "update", 1), (2, "b", 20.0, "insert", 1)],
+            "id long, name string, val double, op string, seq long",
+        )
+        v1 = apply_cdc_batch(batch, str(tmp_path / "t"), ["id"])
+        first = _rows(read_table(spark, str(tmp_path / "t")))
+        v2 = apply_cdc_batch(batch, str(tmp_path / "t"), ["id"])  # replay
+        second = _rows(read_table(spark, str(tmp_path / "t")))
+        assert (v1, v2) == ("v1", "v2")
+        assert first == second == {(1, "a2", 11.0), (2, "b", 20.0)}

@@ -327,3 +327,32 @@ class TestLoadTableTimestampLayouts:
         finally:
             spark.conf.set("spark.sql.session.timeZone", prev_tz)
         assert got == [us * 1000 for us in self.TS_US]
+
+    @pytest.mark.parametrize(
+        "arrow_type_name", ["timestamp[ns]", "timestamp[us]", "timestamp[us, tz=UTC]"]
+    )
+    def test_streaming_reader_matches_batch_contract(self, spark, tmp_path, arrow_type_name):
+        """read_events_stream must emit the SAME epoch-ns longs as
+        schemas.load_table for every physical layout (the stream probes
+        the footer and adapts its declared schema + conversion)."""
+        import pyarrow as pa
+
+        from waterdata_spark.streaming.ops import read_events_stream, run_stream_to_memory
+
+        arrow_type = {
+            "timestamp[ns]": pa.timestamp("ns"),
+            "timestamp[us]": pa.timestamp("us"),
+            "timestamp[us, tz=UTC]": pa.timestamp("us", tz="UTC"),
+        }[arrow_type_name]
+        import shutil
+
+        safe = "st_" + arrow_type_name.translate(str.maketrans("", "", "[], ="))
+        sf_dir = self._write(tmp_path, safe, arrow_type)
+        # file streams require a DIRECTORY source
+        stream_dir = tmp_path / safe / "events_stream"
+        stream_dir.mkdir()
+        shutil.copy(f"{sf_dir}/events.parquet", str(stream_dir / "part-0.parquet"))
+        stream = read_events_stream(spark, str(stream_dir))
+        got = run_stream_to_memory(stream.select("event_id", "ts"), f"layout_{safe}")
+        vals = {r["event_id"]: r["ts"] for r in got.collect()}
+        assert vals == {1: self.TS_US[0] * 1000, 2: self.TS_US[1] * 1000}

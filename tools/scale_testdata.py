@@ -127,14 +127,29 @@ def scale_dir(spark: SparkSession, src: str, dst: str, factor: int = 10) -> None
             out = out.repartition(spark.sparkContext.defaultParallelism)
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{table}.parquet"))
     with open(os.path.join(dst, "_SCALED"), "w") as f:
-        f.write(f"src={src} factor={factor}\n")
+        f.write(_marker_line(src, factor))
+
+
+# bump when the generated LAYOUT changes (not just the data): v2 =
+# one-file-per-core repartition of scaled tables, v3 = normalized
+# epoch-ns events.ts + embedding rotation. A stale-layout cache must
+# regenerate — the marker's existence alone once let a 1-file-layout
+# sf1 dir survive the repartition fix and keep distorting scale ratios.
+LAYOUT_VERSION = 3
+
+
+def _marker_line(src: str, factor: int) -> str:
+    return f"src={src} factor={factor} layout={LAYOUT_VERSION}\n"
 
 
 def ensure_scaled(spark: SparkSession, src: str, dst: str, factor: int = 10) -> bool:
-    """Generate once, cache on disk; True when the data is ready."""
+    """Generate once, cache on disk; regenerate when the marker doesn't
+    match the current (src, factor, layout) — True when data is ready."""
     marker = os.path.join(dst, "_SCALED")
     if os.path.exists(marker):
-        return True
+        with open(marker) as f:
+            if f.read() == _marker_line(src, factor):
+                return True
     try:
         scale_dir(spark, src, dst, factor)
         return True

@@ -48,9 +48,15 @@ def merge_upsert(
     repeated merges never re-shuffle the big table (plan-pinned in
     tests/test_merge.py).
     """
-    update_cols = update_cols or [
+    # every shared non-key column rides the source projection — INSERTS
+    # always take source values; update_cols only governs MATCHED rows
+    # (None → all shared; an EXPLICIT [] means never modify matched rows
+    # and must not fall through to the default)
+    shared = [
         c for c in source.columns if c in target.columns and c not in keys and c != delete_col
     ]
+    if update_cols is None:
+        update_cols = shared
     s = source
     if delete_col is None:
         s = s.withColumn("__del", F.lit(False))
@@ -63,7 +69,7 @@ def merge_upsert(
         )
     s = s.select(
         *[F.col(k).alias(f"__k_{k}") for k in keys],
-        *[F.col(c).alias(f"__s_{c}") for c in update_cols],
+        *[F.col(c).alias(f"__s_{c}") for c in shared],
         F.lit(True).alias("__in_s"),
         "__del",
     )
@@ -83,8 +89,14 @@ def merge_upsert(
             # key survives from whichever side has it (insert path has
             # only the source key)
             out_cols.append(F.when(in_t, t[c]).otherwise(F.col(f"__k_{c}")).alias(c))
-        elif c in update_cols:
-            out_cols.append(F.when(in_s, F.col(f"__s_{c}")).otherwise(t[c]).alias(c))
+        elif c in shared:
+            upd = F.col(f"__s_{c}") if c in update_cols else t[c]
+            out_cols.append(
+                F.when(in_t & in_s, upd)  # matched: update_cols rule
+                .when(~in_t, F.col(f"__s_{c}"))  # insert: source value
+                .otherwise(t[c])  # target-only row
+                .alias(c)
+            )
         else:
             out_cols.append(t[c])
     # keep: matched-not-deleted updates, untouched target rows, and

@@ -74,10 +74,25 @@ def pil_image_codec(content: bytes) -> dict:
     histogram (mass-normalized) as the feature — deterministic, no ML
     dependency. Same contract as :func:`fake_image_codec`, so the two
     are drop-in interchangeable and every downstream test/plan holds
-    on either."""
+    on either.
+
+    PIL is imported HERE, not from the module-global probe: the probe
+    runs on the driver, but this function executes inside executor
+    tasks — on a cluster whose executor images lack PIL the global
+    would be None and every task would die with a bare AttributeError
+    deep in the Arrow loop. The local import turns that into one clear
+    error naming the real problem."""
     import io
 
-    with _PILImage.open(io.BytesIO(content)) as img:
+    try:
+        from PIL import Image  # noqa: N817 — executor-side import
+    except ImportError as e:  # driver had PIL, this executor does not
+        raise RuntimeError(
+            "pil_image_codec needs PIL on the EXECUTORS (the driver-side "
+            "probe saw it, this task's environment does not); install "
+            "Pillow in the executor image or pass codec=fake_image_codec."
+        ) from e
+    with Image.open(io.BytesIO(content)) as img:
         width, height = img.size
         hist = img.convert("L").histogram()  # 256 luminance bins
     total = float(sum(hist)) or 1.0

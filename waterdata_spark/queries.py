@@ -736,7 +736,7 @@ def x05_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "x06_ngram_jaccard_pairs",
-    """
+    f"""
     WITH tok0 AS (
       SELECT doc_id, lang, unnest(list_distinct(
         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')
@@ -744,7 +744,7 @@ def x05_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
       FROM documents WHERE doc_id < 120
     ),
     hi AS (
-      SELECT lang, tok FROM tok0 GROUP BY lang, tok HAVING COUNT(*) > 128
+      SELECT lang, tok FROM tok0 GROUP BY lang, tok HAVING COUNT(*) > {X06_DF_CAP}
     ),
     tok AS (
       SELECT t.doc_id, t.lang, t.tok FROM tok0 t

@@ -81,20 +81,21 @@ def cdc_upsert_sink(
     changelog micro-batch to the versioned table. Returns the
     StreamingQuery (caller awaits termination).
 
-    Batch N writes version ``v{N+1}`` then swaps the pointer, so a
-    failure mid-write leaves the previous version live — the merge is
-    all-or-nothing per batch, and the streaming checkpoint replays the
-    batch on restart (idempotent by apply_changes' latest-seq-wins).
+    Each batch writes version ``v{live+1}`` (live = the POINTER's
+    version, never the batch id) then swaps the pointer, so a failure
+    mid-write leaves the previous version live — the merge is
+    all-or-nothing per batch. Versioning off the pointer is what makes
+    checkpoint REPLAY safe: a replayed batch reads the already-merged
+    live snapshot and writes a fresh next version (content-identical,
+    by apply_changes' latest-seq-wins idempotence) instead of
+    overwriting the very directory it is lazily reading — batch-id
+    naming deadlocks there ('cannot overwrite a path being read
+    from'). A fresh checkpoint against an existing table composes for
+    the same reason.
     """
-    from waterdata_spark.operators.merge import apply_changes
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        target = read_table(spark, table_dir)
-        if target is None:
-            raise RuntimeError(f"CDC table not initialized: {table_dir} (call init_table)")
-        merged = apply_changes(target, batch_df, keys, op_col=op_col, seq_col=seq_col)
-        _publish(merged, table_dir, f"v{batch_id + 1}")
+        apply_cdc_batch(batch_df, table_dir, keys, op_col=op_col, seq_col=seq_col)
 
     return (
         changes_stream.writeStream.foreachBatch(_apply)
@@ -102,3 +103,27 @@ def cdc_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_cdc_batch(
+    batch_df: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> str:
+    """One CDC merge step against the versioned table (the foreachBatch
+    body, callable directly — e.g. to test replay semantics). Returns
+    the published version name."""
+    from waterdata_spark.operators.merge import apply_changes
+
+    spark = batch_df.sparkSession
+    target = read_table(spark, table_dir)
+    if target is None:
+        raise RuntimeError(f"CDC table not initialized: {table_dir} (call init_table)")
+    with open(os.path.join(table_dir, _POINTER)) as f:
+        live_n = int(f.read().strip().lstrip("v"))
+    merged = apply_changes(target, batch_df, keys, op_col=op_col, seq_col=seq_col)
+    version = f"v{live_n + 1}"
+    _publish(merged, table_dir, version)
+    return version

@@ -18,16 +18,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampNTZType()),  # physical parquet layout (timestamp[us])
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),  # physical layout, probed per path
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 4) -> DataFrame:
@@ -37,16 +38,28 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
 
     Emits the same columns as schemas.load_table plus ``event_ts``:
     ``ts`` normalized to epoch-ns long (the engine contract) and
-    ``event_ts`` a proper TIMESTAMP for watermarks/windows. The NTZ→
-    epoch conversion uses an NTZ epoch literal so it is independent
-    of the session timezone."""
-    ns = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)") * F.lit(1000).cast("long")
+    ``event_ts`` a proper TIMESTAMP for watermarks/windows. A stream
+    needs a DECLARED schema, so the physical ``ts`` layout is probed
+    from the path with one batch-read of the footer and the schema +
+    conversion chosen to match — the same three layouts load_table
+    supports (nanos-as-long, NTZ, LTZ), all converted timezone-free
+    (NTZ epoch literal / unix_micros on instants)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    if isinstance(ts_type, T.TimestampNTZType):
+        us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    elif isinstance(ts_type, T.TimestampType):
+        us = F.unix_micros(F.col("ts"))
+    else:  # nanos-as-long physical layout: already epoch-ns
+        us = F.expr("ts div 1000")
     return (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(ts_type))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
-        .withColumn("event_ts", F.timestamp_micros(F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")))
-        .withColumn("ts", ns)
+        .withColumn("__us", us)
+        .withColumn("event_ts", F.timestamp_micros(F.col("__us")))
+        .withColumn("ts", F.col("__us") * F.lit(1000).cast("long"))
+        .drop("__us")
     )
 
 
