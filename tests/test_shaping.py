@@ -147,3 +147,24 @@ class TestSampling:
         out = stratified_sample(df, "label", {0: 1.0, 1: 0.0}, id_col="doc_id")
         got = {r["label"] for r in out.collect()}
         assert got == {0} and out.count() == 150
+
+    def test_mixture_rates_alpha(self, spark, ids):
+        from waterdata_spark.operators.sampling import mixture_rates
+
+        counts = {"en": 1000, "es": 100, "fr": 10}
+        natural = mixture_rates(counts)  # alpha=1: keep everything
+        assert all(abs(v - 1.0) < 1e-9 for v in natural.values())
+        flat = mixture_rates(counts, target_rows=300, alpha=0.0)  # uniform weights
+        # equal weights -> 100 expected rows per source, capped at fr's size
+        assert abs(flat["en"] - 0.1) < 1e-9 and abs(flat["es"] - 1.0) < 1e-9 and flat["fr"] == 1.0
+        # alpha between: small sources upweighted relative to natural
+        mid = mixture_rates(counts, target_rows=200, alpha=0.5)
+        assert mid["fr"] > mid["es"] > mid["en"]
+        # composes with the deterministic stratified sampler
+        df = spark.range(1110).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 1000, "en").when(F.col("id") < 1100, "es").otherwise("fr").alias("lang"),
+        )
+        out = stratified_sample(df, "lang", mixture_rates(counts, 300, 0.0), id_col="doc_id")
+        by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert by["fr"] == 10 and by["es"] == 100 and 70 < by["en"] < 130

@@ -82,3 +82,30 @@ def stratified_sample_exact(
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def mixture_rates(
+    counts: dict, target_rows: int | None = None, alpha: float = 1.0
+) -> dict:
+    """Per-source sampling rates for a temperature-weighted data mix:
+    source weights ∝ count^alpha (alpha=1 → natural proportions,
+    alpha<1 → upweight small sources — the standard multilingual /
+    multi-domain rebalancing), scaled so the expected total is
+    ``target_rows`` (default: the natural total). Rates are capped at
+    1.0 — sampling can't manufacture rows; repeat-epoch upsampling is
+    a training-loop concern, not a sampling one.
+
+    Driver-side arithmetic on |sources| numbers (the counts come from
+    one groupBy-count of the corpus); feed the result to
+    :func:`stratified_sample` for the deterministic row selection.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    total = sum(counts.values())
+    target = total if target_rows is None else target_rows
+    weights = {k: (v**alpha if v else 0.0) for k, v in counts.items()}
+    wsum = sum(weights.values()) or 1.0
+    return {
+        k: min(1.0, (weights[k] / wsum) * target / counts[k]) if counts[k] else 0.0
+        for k in counts
+    }
