@@ -180,3 +180,76 @@ class TestPdfRoundtripLaw:
         for got, want in zip(rows, recs):
             for c in ALL_COLUMNS:
                 assert got.get(c) == want.get(c), (c, got.get(c), want.get(c))
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert / apply_changes laws vs a Python dict reference model
+# ---------------------------------------------------------------------------
+
+changes_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),  # id (small → collisions)
+        st.text(alphabet="xyz", min_size=0, max_size=3),  # payload
+        st.sampled_from(["insert", "update", "delete"]),
+        st.integers(min_value=0, max_value=20),  # seq
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+target_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=8), st.text(alphabet="abc", min_size=0, max_size=3)),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda r: r[0],
+)
+
+
+def _model_apply(target_rows, changes):
+    """Dict reference model of apply_changes: latest (seq, is_delete)
+    per key wins; delete preferred at seq ties; upserts set the value."""
+    table = dict(target_rows)
+    best = {}
+    for cid, val, op, seq in changes:
+        rank = (seq, 1 if op == "delete" else 0)
+        if cid not in best or rank > best[cid][0]:
+            best[cid] = (rank, val, op)
+    for cid, (_, val, op) in best.items():
+        if op == "delete":
+            table.pop(cid, None)
+        else:
+            table[cid] = val
+    return set(table.items())
+
+
+class TestMergeLaws:
+    @SLOW
+    @given(target=target_strategy, changes=changes_strategy)
+    def test_apply_changes_matches_dict_model(self, spark, target, changes):
+        from waterdata_spark.operators.merge import apply_changes
+
+        t = spark.createDataFrame(target or [(99, "z")], "id long, v string")
+        if not target:
+            t = t.filter(F.lit(False))
+        c = spark.createDataFrame(
+            changes or [(99, "z", "insert", 0)], "id long, v string, op string, seq long"
+        )
+        if not changes:
+            c = c.filter(F.lit(False))
+        got = {(r["id"], r["v"]) for r in apply_changes(t, c, ["id"]).collect()}
+        assert got == _model_apply(target, changes)
+
+    @SLOW
+    @given(target=target_strategy, changes=changes_strategy)
+    def test_apply_changes_idempotent(self, spark, target, changes):
+        from waterdata_spark.operators.merge import apply_changes
+
+        if not changes:
+            return
+        t = spark.createDataFrame(target or [(99, "z")], "id long, v string")
+        if not target:
+            t = t.filter(F.lit(False))
+        c = spark.createDataFrame(changes, "id long, v string, op string, seq long")
+        once = apply_changes(t, c, ["id"])
+        twice = apply_changes(once, c, ["id"])
+        assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
