@@ -168,3 +168,18 @@ class TestSampling:
         out = stratified_sample(df, "lang", mixture_rates(counts, 300, 0.0), id_col="doc_id")
         by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
         assert by["fr"] == 10 and by["es"] == 100 and 70 < by["en"] < 130
+
+
+class TestTokenizerPlugin:
+    def test_bpe_tokenizer_chunking(self, spark):
+        """Chunk budgets follow the pluggable tokenizer: 'a1-b2' is one
+        whitespace token but five BPE-ish pieces."""
+        from waterdata_spark.functions.text import bpe_tokens
+
+        df = spark.createDataFrame([(1, "a1-b2 c3")], "doc_id long, text string")
+        ws = chunk_documents(df, max_tokens=4).collect()
+        assert len(ws) == 1 and ws[0]["n_chunk_tokens"] == 2  # 2 whitespace tokens
+        bpe = chunk_documents(df, max_tokens=4, tokenizer=bpe_tokens).orderBy("chunk_idx").collect()
+        # pieces: a 1 - b 2 c 3 → windows of 4: [a 1 - b], [2 c 3]
+        assert [r["n_chunk_tokens"] for r in bpe] == [4, 3]
+        assert bpe[0]["chunk_text"] == "a 1 - b"

@@ -22,6 +22,7 @@ def chunk_documents(
     text_col: str = "text",
     max_tokens: int = 256,
     overlap: int = 0,
+    tokenizer=tokens,
 ) -> DataFrame:
     """Split each document into whitespace-token windows of at most
     ``max_tokens`` tokens, consecutive chunks overlapping by
@@ -43,11 +44,16 @@ def chunk_documents(
     whitespace-only documents produce zero rows (nothing to train on).
     Stride is ``max_tokens - overlap``; ``overlap`` must be smaller
     than ``max_tokens``.
+
+    ``tokenizer`` maps a column to array<string> (default: whitespace
+    ``tokens``; pass ``functions.text.bpe_tokens`` to budget in BPE-ish
+    pieces — closer to what a model tokenizer charges). Chunk text
+    re-joins the pieces with single spaces either way.
     """
     if not 0 <= overlap < max_tokens:
         raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap=} {max_tokens=}")
     stride = max_tokens - overlap
-    toks = tokens(text_col)
+    toks = tokenizer(text_col)
     n = F.size(toks)
     # number of stride-aligned windows covering all n tokens:
     # ceil((n - overlap) / stride), at least 1 for any non-empty doc
@@ -84,6 +90,7 @@ def pack_sequences(
     text_col: str = "text",
     budget_tokens: int = 512,
     n_streams: int | None = None,
+    tokenizer=tokens,
 ) -> DataFrame:
     """Assign each document to a fixed-token-budget training sequence
     (bin): output adds ``stream_id``, ``bin_id``, ``bin_tokens``.
@@ -112,7 +119,7 @@ def pack_sequences(
         F.col("n_tokens").desc(), F.col(id_col).asc()
     )
     out = (
-        df.withColumn("n_tokens", F.size(tokens(text_col)).cast("long"))
+        df.withColumn("n_tokens", F.size(tokenizer(text_col)).cast("long"))
         .filter(F.col("n_tokens") > 0)
         .withColumn(
             "stream_id",
