@@ -253,3 +253,69 @@ class TestMergeLaws:
         once = apply_changes(t, c, ["id"])
         twice = apply_changes(once, c, ["id"])
         assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
+
+
+# ---------------------------------------------------------------------------
+# chunking / packing laws on random corpora
+# ---------------------------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.lists(st.sampled_from(["tok", "x", "yy", "z9"]), min_size=0, max_size=30).map(" ".join),
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+class TestShapingLaws:
+    @SLOW
+    @given(docs=docs_strategy, max_tokens=st.integers(min_value=1, max_value=8),
+           overlap=st.integers(min_value=0, max_value=7))
+    def test_chunking_partitions_tokens_exactly(self, spark, docs, max_tokens, overlap):
+        """Laws: every chunk ≤ max_tokens; zero-overlap chunks
+        concatenate back to the exact token sequence; with overlap the
+        stride-aligned windows cover every token."""
+        from waterdata_spark.operators.chunking import chunk_documents
+
+        if overlap >= max_tokens:
+            return
+        df = spark.createDataFrame(docs or [(99, "")], "doc_id long, text string")
+        rows = chunk_documents(df, max_tokens=max_tokens, overlap=overlap).collect()
+        by_doc = {}
+        for r in sorted(rows, key=lambda x: (x["doc_id"], x["chunk_idx"])):
+            assert 1 <= r["n_chunk_tokens"] <= max_tokens
+            by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"].split())
+        for doc_id, text in docs:
+            toks = text.split()
+            if not toks:
+                assert doc_id not in by_doc
+                continue
+            chunks = by_doc[doc_id]
+            if overlap == 0:
+                flat = [t for c in chunks for t in c]
+                assert flat == toks
+            else:
+                stride = max_tokens - overlap
+                for i, c in enumerate(chunks):
+                    assert c == toks[i * stride : i * stride + max_tokens]
+                assert (len(chunks) - 1) * stride + len(chunks[-1]) == len(toks)
+
+    @SLOW
+    @given(docs=docs_strategy, budget=st.integers(min_value=2, max_value=20))
+    def test_packing_covers_all_docs_within_waste_bound(self, spark, docs, budget):
+        from waterdata_spark.operators.chunking import pack_sequences
+
+        df = spark.createDataFrame(docs or [(99, "")], "doc_id long, text string")
+        rows = pack_sequences(df, budget_tokens=budget, n_streams=3).collect()
+        nonempty = {d for d, t in docs if t.split()}
+        assert {r["doc_id"] for r in rows} == nonempty
+        bins = {}
+        for r in rows:
+            bins.setdefault((r["stream_id"], r["bin_id"]), []).append(r["n_tokens"])
+        for sizes in bins.values():
+            # the boundary-crossing doc is the bin's LAST-placed (smallest,
+            # FFD order), so total < budget + min(sizes)
+            assert sum(sizes) < budget + min(sizes)

@@ -183,3 +183,16 @@ class TestTokenizerPlugin:
         # pieces: a 1 - b 2 c 3 → windows of 4: [a 1 - b], [2 c 3]
         assert [r["n_chunk_tokens"] for r in bpe] == [4, 3]
         assert bpe[0]["chunk_text"] == "a 1 - b"
+
+
+class TestSamplingPlans:
+    def test_stratified_rates_join_is_broadcast(self, spark):
+        """The per-stratum rates frame is |strata| rows — it must ride a
+        broadcast, never shuffle the corpus."""
+        df = spark.range(10000).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 5).cast("int").alias("label")
+        )
+        out = stratified_sample(df, "label", {i: 0.5 for i in range(5)}, id_col="doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
