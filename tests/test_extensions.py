@@ -409,6 +409,40 @@ class TestStreaming:
         assert out.select("event_id").distinct().count() == n_distinct
 
 
+class TestStreamNsPrecision:
+    def test_ns_layout_ts_survives_untruncated(self, spark, tmp_path):
+        """On the nanos-as-long physical layout, read_events_stream must
+        NOT rewrite ts through a µs intermediate: genuinely sub-µs
+        values survive, so a stream-vs-batch equality check on ts holds
+        (ADVICE r4 — batch load_table preserves raw ns; the stream
+        must too)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from waterdata_spark.streaming.ops import read_events_stream, run_stream_to_memory
+
+        ns_vals = [1_700_000_000_123_456_789, 1_700_000_003_000_000_001]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(ns_vals, pa.timestamp("ns")),
+                "user_id": pa.array([10, 11], pa.int64()),
+                "event_type": pa.array(["click", "view"]),
+                "value": pa.array([1.0, 2.0]),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        d = tmp_path / "nsstream"
+        d.mkdir()
+        pq.write_table(tbl, d / "part-0.parquet", coerce_timestamps=None)
+        out = run_stream_to_memory(read_events_stream(spark, str(d)), "t_ns")
+        got = {r["event_id"]: r["ts"] for r in out.collect()}
+        assert got == {1: ns_vals[0], 2: ns_vals[1]}  # exact ns, no µs truncation
+        # event_ts is necessarily µs-truncated (Spark TIMESTAMP) — floor
+        ev = {r["event_id"]: r["event_ts"] for r in out.collect()}
+        assert ev[1].microsecond == 123456
+
+
 class TestStatefulStreaming:
     def test_running_totals_accumulate_across_batches(self, spark, tmp_path):
         """Two files × maxFilesPerTrigger=1 → two micro-batches; the

@@ -184,6 +184,30 @@ class TestBucketedMerge:
         assert {tuple(r) for r in read_table(spark, table_dir).collect()} == {(1, "v3")}
 
 
+    def test_vacuum_uninitialized_raises_consistent_error(self, tmp_path):
+        """vacuum_table on a never-initialized dir must raise the same
+        'CDC table not initialized' RuntimeError apply_cdc_batch does —
+        not a raw FileNotFoundError."""
+        from waterdata_spark.streaming.cdc import vacuum_table
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="CDC table not initialized"):
+            vacuum_table(str(tmp_path / "nope"))
+
+    def test_assert_unique_rejects_duplicate_source_keys(self, spark, target):
+        import pytest as _pytest
+
+        src = spark.createDataFrame(
+            [(2, "x", 1.0), (2, "y", 2.0), (9, "new", 9.0)],
+            "id long, name string, val double",
+        )
+        with _pytest.raises(ValueError, match="not unique"):
+            merge_upsert(target, src, ["id"], assert_unique=True)
+        # unique source passes the gate unchanged
+        ok = merge_upsert(target, src.filter("name <> 'y'"), ["id"], assert_unique=True)
+        assert any(r["id"] == 9 for r in ok.collect())
+
+
 class TestReviewRegressions:
     def test_update_cols_empty_means_insert_delete_only(self, spark, target):
         """An EXPLICIT update_cols=[] must not fall through to the

@@ -96,6 +96,31 @@ class TestPacking:
         }
         assert a == b
 
+    def test_default_args_deterministic(self, spark, corpus):
+        # the default n_streams is a FIXED constant (DEFAULT_PACK_STREAMS),
+        # not a function of cluster parallelism — so a default-argument
+        # call must give identical assignments regardless of how the
+        # input is partitioned (the observable proxy for cluster size in
+        # a single-JVM test; defaultParallelism is pinned per JVM, so
+        # cluster-size independence reduces to: no sparkContext lookup
+        # in the default + partitioning independence, both pinned here)
+        from waterdata_spark.operators.chunking import DEFAULT_PACK_STREAMS
+
+        a = {
+            r["doc_id"]: (r["stream_id"], r["bin_id"])
+            for r in pack_sequences(corpus.repartition(2)).collect()
+        }
+        b = {
+            r["doc_id"]: (r["stream_id"], r["bin_id"])
+            for r in pack_sequences(corpus.repartition(13)).collect()
+        }
+        c = {
+            r["doc_id"]: (r["stream_id"], r["bin_id"])
+            for r in pack_sequences(corpus, n_streams=DEFAULT_PACK_STREAMS).collect()
+        }
+        assert a == b == c
+        assert DEFAULT_PACK_STREAMS == 256  # the documented contract value
+
     def test_oversized_doc_gets_own_bin(self, spark):
         rows = [(1, " ".join("w" for _ in range(100))), (2, "w w"), (3, "w w w")]
         df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -111,6 +136,13 @@ class TestSampling:
             F.col("id").alias("doc_id"),
             F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "es").otherwise("fr").alias("lang"),
         )
+
+    def test_empty_fractions_dict_selects_nothing(self, spark, ids):
+        """{} means every stratum is missing → rate 0.0 → empty result
+        (not a createDataFrame schema-inference crash)."""
+        out = stratified_sample(ids, "lang", {}, id_col="doc_id")
+        assert out.count() == 0
+        assert out.columns == ids.columns
 
     def test_fraction_and_repartition_stability(self, spark, ids):
         got = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.25).collect()}

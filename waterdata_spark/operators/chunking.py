@@ -84,25 +84,42 @@ def chunk_documents(
     )
 
 
+#: Default stream count for :func:`pack_sequences`. A fixed constant —
+#: NOT derived from cluster parallelism — so the default-argument
+#: packing is identical on a laptop and a 1000-executor cluster. 256
+#: streams keep every executor busy at any realistic size while the
+#: per-stream window state stays tiny.
+DEFAULT_PACK_STREAMS = 256
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     budget_tokens: int = 512,
-    n_streams: int | None = None,
+    n_streams: int = DEFAULT_PACK_STREAMS,
     tokenizer=tokens,
+    stream_hash=None,
 ) -> DataFrame:
     """Assign each document to a fixed-token-budget training sequence
     (bin): output adds ``stream_id``, ``bin_id``, ``bin_tokens``.
 
     Distributed sequential packing — the standard scale approximation
     of bin packing: documents are hash-partitioned into ``n_streams``
-    independent streams (default: 2× shuffle parallelism), each stream
-    orders its documents deterministically (token count DESC, id ASC —
-    first-fit-decreasing order) and fills bins by running token count:
+    independent streams (default ``DEFAULT_PACK_STREAMS`` = 256, a
+    fixed constant), each stream orders its documents deterministically
+    (token count DESC, id ASC — first-fit-decreasing order) and fills
+    bins by running token count:
     ``bin_id = floor((cumsum - n_tokens) / budget)``. Each bin's
-    content is deterministic under any cluster size because streams
-    are content-hash partitions, not task partitions.
+    content is deterministic under any cluster size — including with
+    default arguments — because streams are content-hash partitions
+    with a fixed count, not task partitions.
+
+    ``stream_hash``: optional function mapping the id column name to a
+    non-negative long Column used for stream assignment (default:
+    ``xxhash64`` — fastest). Pass a portable hash (e.g. md5-based) when
+    the packing must be reproducible on a non-Spark engine; the oracle
+    twin of the registered x18 query does exactly that.
 
     Waste bound: a bin overflows only by the document that crosses the
     boundary, so per-bin padding waste is < max_doc_tokens/budget of
@@ -114,7 +131,8 @@ def pack_sequences(
     first-fit-decreasing packing is inherently sequential; this is the
     scalable form used by large training-data pipelines.
     """
-    n_streams = n_streams or df.sparkSession.sparkContext.defaultParallelism * 2
+    if stream_hash is None:
+        stream_hash = lambda c: F.xxhash64(F.col(c).cast("string"))  # noqa: E731
     w = Window.partitionBy("stream_id").orderBy(
         F.col("n_tokens").desc(), F.col(id_col).asc()
     )
@@ -123,7 +141,7 @@ def pack_sequences(
         .filter(F.col("n_tokens") > 0)
         .withColumn(
             "stream_id",
-            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_streams)).cast("int"),
+            F.pmod(stream_hash(id_col), F.lit(n_streams)).cast("int"),
         )
         .withColumn("__cum", F.sum("n_tokens").over(w))
         .withColumn(

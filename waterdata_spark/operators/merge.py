@@ -31,6 +31,7 @@ def merge_upsert(
     update_cols: list[str] | None = None,
     delete_col: str | None = None,
     null_safe_keys: bool = True,
+    assert_unique: bool = False,
 ) -> DataFrame:
     """SCD-1 MERGE: rows of ``source`` update matching ``target`` rows
     (source value wins for ``update_cols`` — default: every non-key
@@ -38,8 +39,12 @@ def merge_upsert(
     whose ``delete_col`` flag is true delete their match instead.
 
     ``source`` must be unique on ``keys`` (collapse a changelog first —
-    :func:`apply_changes`); enforced lazily by the join semantics (a
-    duplicate source key would duplicate the matched output row).
+    :func:`apply_changes`). With ``assert_unique=True`` a duplicate
+    source key raises ``ValueError`` up front (one groupBy-count over
+    the source — cheap next to the full-outer join; Delta's MERGE
+    raises on multiple source matches for the same reason). With the
+    default False the duplicate silently fans out the matched target
+    row — direct callers who can't prove uniqueness should opt in.
 
     ``null_safe_keys``: by default a NULL key matches its NULL twin
     (``<=>``). Pass False when keys are guaranteed non-null (the normal
@@ -52,6 +57,20 @@ def merge_upsert(
     # always take source values; update_cols only governs MATCHED rows
     # (None → all shared; an EXPLICIT [] means never modify matched rows
     # and must not fall through to the default)
+    if assert_unique:
+        dup = (
+            source.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .select(*keys)
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_upsert: source is not unique on keys {keys}; "
+                f"first duplicate key rows: {[r.asDict() for r in dup]}"
+            )
     shared = [
         c for c in source.columns if c in target.columns and c not in keys and c != delete_col
     ]

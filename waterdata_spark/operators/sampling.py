@@ -49,6 +49,11 @@ def stratified_sample(
     """
     if not isinstance(fractions, dict):
         return df.filter(_hash_u(id_col, seed) < float(fractions))
+    if not fractions:
+        # missing-stratum-means-0.0 ⇒ an empty dict selects nothing
+        # (createDataFrame can't infer a schema from zero rows, so
+        # short-circuit rather than build an empty rates frame)
+        return df.filter(F.lit(False))
     spark = df.sparkSession
     # infer the stratum key type from the dict keys (int labels stay
     # ints — forcing string here would make the join silently coerce)

@@ -57,6 +57,9 @@ def vacuum_table(table_dir: str, keep: int = 2) -> list[str]:
     import shutil
 
     ptr = os.path.join(table_dir, _POINTER)
+    if not os.path.exists(ptr):
+        # same error surface as apply_cdc_batch on the same condition
+        raise RuntimeError(f"CDC table not initialized: {table_dir} (call init_table)")
     with open(ptr) as f:
         live = f.read().strip()
     versions = sorted(

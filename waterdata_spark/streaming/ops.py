@@ -46,21 +46,29 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     (NTZ epoch literal / unix_micros on instants)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ts_type = spark.read.parquet(path).schema["ts"].dataType
+    ns_layout = False
     if isinstance(ts_type, T.TimestampNTZType):
         us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
     elif isinstance(ts_type, T.TimestampType):
         us = F.unix_micros(F.col("ts"))
     else:  # nanos-as-long physical layout: already epoch-ns
         us = F.expr("ts div 1000")
-    return (
+        ns_layout = True
+    out = (
         spark.readStream.schema(_events_stream_schema(ts_type))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
         .withColumn("__us", us)
         .withColumn("event_ts", F.timestamp_micros(F.col("__us")))
-        .withColumn("ts", F.col("__us") * F.lit(1000).cast("long"))
-        .drop("__us")
     )
+    if not ns_layout:
+        # timestamp layouts carry at most µs precision — synthesize the
+        # epoch-ns contract column. The ns-as-long layout already IS
+        # epoch-ns; leave ts untouched so genuinely sub-µs values
+        # survive and stream≡batch equality holds on ts (only event_ts
+        # is µs-truncated, as any Spark TIMESTAMP must be).
+        out = out.withColumn("ts", F.col("__us") * F.lit(1000).cast("long"))
+    return out.drop("__us")
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
