@@ -124,18 +124,27 @@ def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     "q02_filter_project",
     """
     SELECT l_orderkey, l_linenumber,
-           l_extendedprice * (1 - l_discount) AS revenue
+           l_extendedprice * (1 - l_discount) AS revenue,
+           CASE l_returnflag WHEN 'R' THEN 'returned' WHEN 'A' THEN 'accepted'
+                ELSE 'none' END AS flag_desc,
+           substr(strftime(l_shipdate, '%Y-%m-%d'), 1, 7) AS ship_month,
+           CASE WHEN trim(l_linestatus) IN ('.', 'nan', 'NaN', '')
+                THEN NULL ELSE l_linestatus END AS status_clean
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
-    doc="C8 projection + C11/C12 compound predicate; filters and the 4-column "
-    "ReadSchema push down to the parquet scan.",
-    tags=["filter", "project"],
+    doc="C8 projection + C11/C12 compound predicate (filters and ReadSchema "
+    "push down to the parquet scan) + the q10 scalar-cleaning family "
+    "consolidated here to free a registry slot: C13 conditional update "
+    "(CASE), C34 substring, C39 sentinel→NULL via clean_sentinels.",
+    tags=["filter", "project", "scalar"],
 )
 def q02_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.functions.cleaning import clean_sentinels
+
     li = load_table(spark, sf, "lineitem")
     return (
         li.filter(
@@ -149,6 +158,12 @@ def q02_filter_project(spark: SparkSession, sf: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.when(F.col("l_returnflag") == "R", "returned")
+            .when(F.col("l_returnflag") == "A", "accepted")
+            .otherwise("none")
+            .alias("flag_desc"),
+            F.substring(F.date_format("l_shipdate", "yyyy-MM-dd"), 1, 7).alias("ship_month"),
+            clean_sentinels("l_linestatus").alias("status_clean"),
         )
     )
 
@@ -315,36 +330,6 @@ def q09_key_expansion(spark: SparkSession, sf: str) -> DataFrame:
     p = load_table(spark, sf, "part").filter(F.col("p_partkey") < 100)
     out = expand_keys(p, ["p_brand", "p_type"], "key_value", "key_name")
     return out.select("p_partkey", "key_name", "key_value")
-
-
-@query(
-    "q10_case_when_cleaning",
-    """
-    SELECT o_orderkey,
-           CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
-                ELSE 'partial' END AS status_desc,
-           substr(o_orderpriority, 1, 1) AS priority_class,
-           CASE WHEN trim(o_orderpriority) IN ('', '.', 'nan', 'NaN') THEN NULL
-                ELSE o_orderpriority END AS priority_clean
-    FROM orders
-    """,
-    doc="C13 conditional update (CASE) + C34 substring + C39 sentinel→NULL "
-    "cleaning, all JVM-side expressions.",
-    tags=["scalar"],
-)
-def q10_case_when_cleaning(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.functions.cleaning import clean_sentinels
-
-    o = load_table(spark, sf, "orders")
-    return o.select(
-        "o_orderkey",
-        F.when(F.col("o_orderstatus") == "O", "open")
-        .when(F.col("o_orderstatus") == "F", "finished")
-        .otherwise("partial")
-        .alias("status_desc"),
-        F.substring("o_orderpriority", 1, 1).alias("priority_class"),
-        clean_sentinels("o_orderpriority").alias("priority_clean"),
-    )
 
 
 @query(
@@ -604,56 +589,37 @@ def x01_exact_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "x02_token_stats",
     """
-    SELECT doc_id,
-           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS BIGINT) AS n_bpe_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars_measured
-    FROM documents
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_measured,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS BIGINT) AS n_bpe_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_chars_measured, n_bpe_tokens,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / greatest(len(toks), 1) AS mean_token_len
+    FROM t
     """,
-    doc="X4 token counting: whitespace tokenizer + BPE-ish regex "
-    "pre-tokenizer (letter runs / digit runs / single symbols), both "
-    "JVM-side.",
+    doc="X4 token counting + quality scoring (x03 consolidated here to "
+    "free a registry slot): whitespace tokenizer, BPE-ish regex "
+    "pre-tokenizer (letter runs / digit runs / single symbols), char "
+    "length, mean token length — the building blocks of an LLM-data "
+    "quality filter, all JVM-side.",
     tags=["text", "llm"],
 )
 def x02_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     from waterdata_spark.functions.text import bpe_tokens
 
     d = load_table(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        token_count("text").cast("long").alias("n_tokens"),
-        F.size(bpe_tokens("text")).cast("long").alias("n_bpe_tokens"),
-        F.length("text").cast("long").alias("n_chars_measured"),
-    )
-
-
-@query(
-    "x03_quality_score",
-    """
-    WITH t AS (
-      SELECT doc_id,
-             CAST(length(text) AS BIGINT) AS n_chars,
-             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
-      FROM documents
-    )
-    SELECT doc_id, n_chars,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-             / greatest(len(toks), 1) AS mean_token_len
-    FROM t
-    """,
-    doc="X4 quality scoring: length, token count, mean token length — "
-    "building blocks of an LLM-data quality filter.",
-    tags=["text", "llm"],
-)
-def x03_quality_score(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
     toks = tokens("text")
     n_tok = F.size(toks).cast("long")
     tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
     return d.select(
         "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.size(bpe_tokens("text")).cast("long").alias("n_bpe_tokens"),
         n_tok.alias("n_tokens"),
         (tok_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")).alias("mean_token_len"),
     )
@@ -1019,29 +985,6 @@ def q20_rollup_cube_gsets(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q21_pivot",
-    """
-    SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
-           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    doc="Pivot (wide aggregation) with explicit value list — Catalyst "
-    "rewrites to one-pass conditional aggregation, no extra shuffle.",
-    tags=["agg", "pivot"],
-)
-def q21_pivot(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem")
-    out = (
-        li.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
-    )
-    return out.withColumnRenamed("O", "qty_O").withColumnRenamed("F", "qty_F")
-
-
-@query(
     "q36_unpivot",
     """
     WITH wide AS (
@@ -1053,10 +996,13 @@ def q21_pivot(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_returnflag, status, qty FROM wide
     UNPIVOT (qty FOR status IN (qty_O AS 'O', qty_F AS 'F'))
     """,
-    doc="Unpivot / melt (the pivot inverse): wide per-status quantity "
-    "columns back to long form via the native UNPIVOT operator — a "
-    "zero-shuffle Expand over the wide rows, not a union of per-column "
-    "scans. Round-trips q21's pivot.",
+    doc="Pivot + unpivot in one round-trip (the former q21_pivot is this "
+    "query's first stage — consolidated to free a registry slot): "
+    "groupBy().pivot() with an explicit value list (Catalyst rewrites "
+    "to one-pass conditional aggregation, no extra shuffle), then the "
+    "native UNPIVOT operator melts the wide columns back to long form — "
+    "a zero-shuffle Expand over the wide rows, not a union of "
+    "per-column scans.",
     tags=["reshape"],
 )
 def q36_unpivot(spark: SparkSession, sf: str) -> DataFrame:
@@ -1625,49 +1571,6 @@ def q28_json_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q29_correlation",
-    """
-    WITH s AS (
-      SELECT l_returnflag,
-             CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-      FROM lineitem
-      GROUP BY l_returnflag
-    )
-    SELECT l_returnflag,
-           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS qty_price_corr
-    FROM s
-    """,
-    doc="Pearson correlation from exact decimal moment sums: the moments "
-    "are order-independent (decimal), the final formula is a fixed IEEE "
-    "expression — bit-identical across engines, unlike native corr() "
-    "whose float accumulation is order-dependent.",
-    tags=["agg", "stats"],
-)
-def q29_correlation(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem")
-    dx = F.col("l_quantity").cast("decimal(18,2)")
-    dy = F.col("l_extendedprice").cast("decimal(18,2)")
-    s = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(dx).cast("double").alias("sx"),
-        F.sum(dy).cast("double").alias("sy"),
-        F.sum(dx * dx).cast("double").alias("sxx"),
-        F.sum(dy * dy).cast("double").alias("syy"),
-        F.sum(dx * dy).cast("double").alias("sxy"),
-    )
-    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
-    return s.select("l_returnflag", corr.alias("qty_price_corr"))
-
-
-@query(
     "q31_set_ops",
     """
     SELECT c_nationkey AS nationkey, 'both' AS src FROM customer
@@ -1694,26 +1597,55 @@ def q31_set_ops(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q32_quantiles",
     """
-    SELECT l_returnflag,
-           round(quantile_cont(l_quantity, 0.25), 4) AS q25,
-           round(quantile_cont(l_quantity, 0.50), 4) AS q50,
-           round(quantile_cont(l_quantity, 0.75), 4) AS q75
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+             round(quantile_cont(l_quantity, 0.50), 4) AS q50,
+             round(quantile_cont(l_quantity, 0.75), 4) AS q75
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, q25, q50, q75,
+           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS qty_price_corr
+    FROM m
     """,
-    doc="Exact interpolated quantiles (percentile in Spark, quantile_cont "
-    "in DuckDB — same linear-interpolation definition; rounded to 4dp, "
-    "exact for 2dp inputs). approx_percentile is the 100 TB variant — "
-    "sketch-based, not oracle-comparable.",
+    doc="Grouped statistical aggregates (q29 correlation consolidated "
+    "here to free a registry slot): exact interpolated quantiles "
+    "(percentile in Spark, quantile_cont in DuckDB — same linear-"
+    "interpolation definition; rounded to 4dp, exact for 2dp inputs) "
+    "plus Pearson correlation from exact decimal moment sums (order-"
+    "independent decimals, one fixed IEEE final expression — bit-"
+    "identical across engines, unlike native corr() whose float "
+    "accumulation is order-dependent). approx_percentile is the 100 TB "
+    "quantile variant — sketch-based, not oracle-comparable.",
     tags=["agg", "stats"],
 )
 def q32_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    dx = F.col("l_quantity").cast("decimal(18,2)")
+    dy = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
         F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
         F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("q50"),
         F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q75"),
     )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("l_returnflag", "q25", "q50", "q75", corr.alias("qty_price_corr"))
 
 
 @query(
@@ -1836,3 +1768,198 @@ def x13_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     h = F.md5(F.concat(F.lit("sample42:"), F.col("doc_id").cast("string")))
     return d.filter(h < "40000000000000000000000000000000").select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 shaping / maintenance operators, oracle-backed (VERDICT r4 #1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x17_chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), n AS (
+      SELECT doc_id, toks,
+             greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT)) AS n_chunks
+      FROM t WHERE len(toks) > 0
+    ), e AS (
+      SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS g FROM n
+    )
+    SELECT doc_id,
+           CAST(g AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(toks, g * 24 + 1, g * 24 + 32), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, g * 24 + 1, g * 24 + 32)) AS BIGINT) AS n_chunk_tokens
+    FROM e
+    """,
+    doc="Token-window document chunking (operators/chunking.chunk_documents): "
+    "max 32 tokens per chunk, 8-token overlap (stride 24) — the "
+    "context-preserving split for training/RAG ingestion. Spark plan is "
+    "one narrow stage (tokens → sequence → posexplode → slice, no "
+    "shuffle, no UDF); the oracle reproduces the same windows with "
+    "DuckDB list slicing over generate_series.",
+    tags=["llm", "shaping"],
+)
+def x17_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.chunking import chunk_documents
+
+    d = load_table(spark, sf, "documents")
+    return chunk_documents(d, id_col="doc_id", text_col="text", max_tokens=32, overlap=8)
+
+
+def _portable_stream_hash(c: str) -> F.Column:
+    """Engine-portable stream assignment for x18's oracle twin: the
+    first 60 bits of a salted md5 as a long (DuckDB: CAST('0x'||substr
+    AS UBIGINT)). xxhash64 (the default) is faster but Spark-only."""
+    h = F.md5(F.concat(F.lit("pack:"), F.col(c).cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+@query(
+    "x18_pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) % 8 AS INT) AS stream_id
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens, stream_id,
+             SUM(n_tokens) OVER (
+               PARTITION BY stream_id
+               ORDER BY n_tokens DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t WHERE n_tokens > 0
+    ), b AS (
+      SELECT doc_id, n_tokens, stream_id,
+             CAST(floor((cum - n_tokens) / 128.0) AS BIGINT) AS bin_id
+      FROM c
+    )
+    SELECT doc_id, n_tokens, stream_id, bin_id,
+           CAST(SUM(n_tokens) OVER (PARTITION BY stream_id, bin_id) AS BIGINT) AS bin_tokens
+    FROM b
+    """,
+    doc="Fixed-budget sequence packing (operators/chunking.pack_sequences): "
+    "documents hash-partitioned into 8 content-hash streams, each stream "
+    "first-fit-decreasing packed into 128-token bins by running cumsum — "
+    "the scalable approximation of bin packing used by training-data "
+    "pipelines (one shuffle, one window, no driver state). The "
+    "registered variant uses the portable md5 stream hash so the DuckDB "
+    "twin reproduces bin assignments bit-for-bit.",
+    tags=["llm", "shaping"],
+)
+def x18_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.chunking import pack_sequences
+
+    d = load_table(spark, sf, "documents")
+    out = pack_sequences(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        budget_tokens=128,
+        n_streams=8,
+        stream_hash=_portable_stream_hash,
+    )
+    return out.select("doc_id", "n_tokens", "stream_id", "bin_id", "bin_tokens")
+
+
+@query(
+    "x19_stratified_sample",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CAST(CAST('0x' || substr(md5('strat7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) AS DOUBLE)
+               / 1152921504606846976.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM t
+    WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                        WHEN 'fr' THEN 0.75 ELSE 0.0 END
+    """,
+    doc="Per-stratum deterministic sampling (operators/sampling."
+    "stratified_sample): rates {en: 0.5, de: 0.25, fr: 0.75}, missing "
+    "strata (es, zh) drop to 0.0 per the documented contract. Membership "
+    "is a pure function of (seed, doc_id) — the salted-md5 uniform — so "
+    "the split is reproducible across engines and cluster sizes; the "
+    "rates ride one broadcast of a |strata|-row literal frame.",
+    tags=["llm", "sampling"],
+)
+def x19_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf, "documents")
+    out = stratified_sample(
+        d, "lang", {"en": 0.5, "de": 0.25, "fr": 0.75}, id_col="doc_id", seed="strat7"
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+@query(
+    "x20_apply_changes",
+    """
+    WITH tgt AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ), chg AS (
+      SELECT o_orderkey, 1 AS seq, 'update' AS op, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 2 AS seq,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'delete' ELSE 'update' END AS op,
+             o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), latest AS (
+      SELECT o_orderkey, o_totalprice, (op = 'delete') AS is_del
+      FROM chg
+      QUALIFY row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY seq DESC, (op = 'delete') DESC) = 1
+    )
+    SELECT COALESCE(t.o_orderkey, l.o_orderkey) AS o_orderkey,
+           t.o_orderstatus AS o_orderstatus,
+           CASE WHEN l.o_orderkey IS NOT NULL THEN l.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM tgt t FULL OUTER JOIN latest l ON t.o_orderkey = l.o_orderkey
+    WHERE (t.o_orderkey IS NOT NULL AND NOT (l.o_orderkey IS NOT NULL AND l.is_del))
+       OR (t.o_orderkey IS NULL AND NOT l.is_del)
+    """,
+    doc="CDC changelog apply (operators/merge.apply_changes → "
+    "merge_upsert): a synthetic two-generation changelog over orders "
+    "(seq 1 superseded by seq 2; every 5th changed key a delete) "
+    "collapses via one map-side-combinable max_by — latest-seq-wins, "
+    "delete-on-tie — then SCD-1 full-outer merges into a target missing "
+    "every 4th key, exercising update, insert and delete paths in one "
+    "oracle row. Inserted keys carry NULL for columns absent from the "
+    "feed (o_orderstatus).",
+    tags=["merge", "cdc"],
+)
+def x20_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.merge import apply_changes
+
+    o = load_table(spark, sf, "orders")
+    tgt = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 3 == 0)
+    chg = base.select(
+        "o_orderkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("seq"),
+                    F.lit("update").alias("op"),
+                    (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+                ),
+                F.struct(
+                    F.lit(2).alias("seq"),
+                    F.when(F.col("o_orderkey") % 5 == 0, "delete")
+                    .otherwise("update")
+                    .alias("op"),
+                    (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                ),
+            )
+        ).alias("c"),
+    ).select("o_orderkey", "c.seq", "c.op", "c.o_totalprice")
+    return apply_changes(tgt, chg, ["o_orderkey"])
