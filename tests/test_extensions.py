@@ -591,6 +591,54 @@ class TestAnnSearch:
         )
         assert sorted(map(tuple, sbf.collect())) == sorted(map(tuple, sivf.collect()))
 
+    def test_multi_assign_probe_all_equals_bruteforce(self, spark):
+        """n_assign > 1 duplicates data vectors across cells; with
+        probe-all the result must STILL equal brute force — i.e. the
+        cross-cell duplicate pairs collapse exactly (no neighbor ever
+        appears twice in a query's top-k, no rank gaps)."""
+        from waterdata_spark.operators.similarity import (
+            cosine_search_bruteforce,
+            cosine_search_ivf,
+            cosine_topk_bruteforce,
+            cosine_topk_ivf_blocked,
+        )
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings").limit(60)
+        bf = cosine_topk_bruteforce(e, k=3, sim_col=None)
+        ivf = cosine_topk_ivf_blocked(
+            e, k=3, n_cells=4, n_probe=4, n_assign=2, sim_col=None
+        )
+        assert sorted(map(tuple, bf.collect())) == sorted(map(tuple, ivf.collect()))
+
+        data = e.filter(F.col("vec_id") % 5 != 0)
+        queries = e.filter(F.col("vec_id") % 5 == 0).withColumnRenamed("vec_id", "qid")
+        sbf = cosine_search_bruteforce(data, queries, query_id_col="qid", k=3, sim_col=None)
+        sivf = cosine_search_ivf(
+            data, queries, query_id_col="qid", k=3, n_cells=4, n_probe=4, n_assign=2, sim_col=None
+        )
+        assert sorted(map(tuple, sbf.collect())) == sorted(map(tuple, sivf.collect()))
+
+    def test_multi_assign_no_duplicate_pairs_partial_probe(self, spark):
+        """Under PARTIAL probing with n_assign=2 a (query, neighbor)
+        pair can surface via two different shared cells — the collapse
+        must leave exactly one row per (vec_id, neighbor_id) and dense
+        ranks 1..k."""
+        from waterdata_spark.operators.similarity import cosine_topk_ivf_blocked
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings").limit(120)
+        out = cosine_topk_ivf_blocked(
+            e, k=4, n_cells=8, n_probe=3, n_assign=2, sim_col=None
+        )
+        rows = out.collect()
+        pairs = [(r["vec_id"], r["neighbor_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs))
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["vec_id"], []).append(r["rank"])
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
     def test_query_ids_disjoint_from_data(self, spark):
         """The search shape must not self-exclude: a query searching a
         corpus that contains an identical vector should return it."""

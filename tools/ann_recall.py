@@ -4,8 +4,10 @@ Usage: python tools/ann_recall.py [sf_dir] [centroids_method ...]
 
 For each requested centroid method ('kmeans', 'seeded') prints
 recall@5 of cosine_topk_ivf_blocked at the default geometry
-(n_cells=16, n_probe=4) plus a probe=8 variant, measured on the
-embeddings table: |approx ∩ exact| / |exact|.
+(n_cells=16, n_probe=4), a probe=8 variant, and the documented
+high-recall operating point (probe=8, n_assign=2 — data-side
+multi-assignment), measured on the embeddings table:
+|approx ∩ exact| / |exact|.
 """
 
 from __future__ import annotations
@@ -38,12 +40,20 @@ def main() -> None:
     exact = cosine_topk_bruteforce(emb, k=5, sim_col=None).filter(F.col("rank") <= 5)
     exact = exact.localCheckpoint()
     for method in methods:
-        for n_probe in (4, 8):
+        for n_probe, n_assign in ((4, 1), (8, 1), (8, 2)):
             approx = cosine_topk_ivf_blocked(
-                emb, k=5, n_cells=16, n_probe=n_probe, sim_col=None, centroids=method
+                emb,
+                k=5,
+                n_cells=16,
+                n_probe=n_probe,
+                sim_col=None,
+                centroids=method,
+                n_assign=n_assign,
             )
             r = recall_at_k(exact, approx)
-            print(f"recall@5 centroids={method} cells=16 probe={n_probe}: {r:.3f}")
+            print(
+                f"recall@5 centroids={method} cells=16 probe={n_probe} assign={n_assign}: {r:.3f}"
+            )
 
 
 if __name__ == "__main__":

@@ -246,6 +246,7 @@ def star_contraction_components(
     edges: DataFrame,
     max_rounds: int = 50,
     checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -273,6 +274,10 @@ def star_contraction_components(
 
     Raises ``RuntimeError`` if not converged within ``max_rounds`` —
     with the O(log^2 n) bound, hitting 50 means something is broken.
+
+    ``stats``: optional dict the function fills with ``{'rounds': k}``
+    (contraction rounds actually executed) so tests can assert the
+    round bound holds, not just that convergence happened.
     """
 
     def persist(df: DataFrame, slot: int) -> DataFrame:
@@ -291,9 +296,11 @@ def star_contraction_components(
     e = persist(e, 0)
 
     converged = e.isEmpty()
+    rounds_run = 0
     for rnd in range(max_rounds):
         if converged:
             break
+        rounds_run = rnd + 1
         prev_ckpt = e  # this round reads it; the next checkpoint replaces it
         # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m(u)) for v > u
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -323,6 +330,8 @@ def star_contraction_components(
         if not converged:
             raise RuntimeError(f"star contraction did not converge in {max_rounds} rounds")
 
+    if stats is not None:
+        stats["rounds"] = rounds_run
     return nodes.join(
         e.select(F.col("u").alias("node"), F.col("v").alias("__parent")), "node", "left"
     ).select(F.col("node"), F.coalesce(F.col("__parent"), F.col("node")).alias("label"))

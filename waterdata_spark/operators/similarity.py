@@ -423,6 +423,7 @@ def cosine_topk_ivf_blocked(
     seed: int = 42,
     sim_col: str | None = "similarity",
     centroids: str = "kmeans",
+    n_assign: int = 1,
 ) -> DataFrame:
     """IVF top-k with numpy block-matmul rerank — the production path.
 
@@ -433,19 +434,33 @@ def cosine_topk_ivf_blocked(
     of a JVM fold per PAIR — measured ~10× faster at sf0.1 than the
     pure-expression rerank, with identical results (same top-k ranks).
 
+    ``n_assign``: index each DATA vector under its ``n_assign`` nearest
+    cells (default 1 — classic IVF). Multi-assignment is the recall
+    lever that composes with multi-probe: a true neighbor is missed
+    only if NONE of its n_assign cells is among the query's n_probe
+    probes. Measured on the adversarially-uniform synthetic embeddings
+    (tools/ann_recall.py, sf0.01, cells=16): probe=8/assign=1 → 0.837,
+    probe=8/assign=2 → **0.956** recall@5 — the documented ≥0.9
+    operating point. Cost: the data side grows
+    ×n_assign (candidate volume ∝ n_probe·n_assign/n_cells), and
+    duplicate (query, neighbor) pairs across shared cells are collapsed
+    by one map-side-combinable max aggregation before ranking.
+
     Scale: the shuffle key is the cell id; per-cell blocks are bounded
-    by n/n_cells (pick n_cells so a cell's matrix fits an executor —
-    at 100 TB that means ~sqrt-ish scaling of n_cells). Centroids come
-    from pyspark.ml k-means on a deterministic hash-sample and ride the
-    assignment UDF's closure (one executor broadcast), never the plan.
+    by n·n_assign/n_cells (pick n_cells so a cell's matrix fits an
+    executor — at 100 TB that means ~sqrt-ish scaling of n_cells).
+    Centroids come from pyspark.ml k-means on a deterministic
+    hash-sample and ride the assignment UDF's closure (one executor
+    broadcast), never the plan.
     """
     from pyspark.sql import types as T
 
+    n_assign = max(1, n_assign)
     unit = with_unit_vector(df.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("vec_id"), F.col("__unit")
     )
     n_cells, C = _build_index(unit, n_cells, seed, centroids)
-    probe = _probe_cells_udf(C, max(1, n_probe))
+    probe = _probe_cells_udf(C, max(1, n_probe, n_assign))
     # materialize the index once: both cogroup sides read it, and the
     # assignment (an Arrow round-trip per row batch) is the expensive
     # part — recomputing it per side doubles the work. At real scale
@@ -465,7 +480,7 @@ def cosine_topk_ivf_blocked(
     data_side = indexed.select(
         F.col("vec_id").alias("d_id"),
         F.col("__unit").alias("d_unit"),
-        F.col("__cells").getItem(0).alias("cell"),
+        F.explode(F.slice(F.col("__cells"), 1, n_assign)).alias("cell"),
     )
     query_side = indexed.select(
         F.col("vec_id").alias("q_id"),
@@ -508,6 +523,11 @@ def cosine_topk_ivf_blocked(
         .cogroup(data_side.groupBy("cell"))
         .applyInPandas(rerank, schema=out_schema)
     )
+    if n_assign > 1:
+        # a pair surfacing in several shared cells carries the SAME
+        # exact dot product — collapse via a map-side-combinable max
+        # (classic IVF keeps the single-assignment no-dedup fast path)
+        cand = cand.groupBy("vec_id", "neighbor_id").agg(F.max("__sim").alias("__sim"))
     w = Window.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id").asc())
     out = cand.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
     cols = ["vec_id", "neighbor_id", "rank"]
@@ -563,6 +583,7 @@ def cosine_search_ivf(
     seed: int = 42,
     sim_col: str | None = "similarity",
     centroids: str = "kmeans",
+    n_assign: int = 1,
 ) -> DataFrame:
     """IVF ANN search of a QUERY table against a DATA corpus — the
     production retrieval shape (embed a batch of prompts, search the
@@ -570,14 +591,17 @@ def cosine_search_ivf(
 
     The coarse quantizer is fit on the DATA side only (queries must
     not shift the index); data vectors are indexed under their nearest
-    cell, each query probes its ``n_probe`` nearest cells, and the
-    within-cell rerank is the same per-cell cogroup block matmul as
-    ``cosine_topk_ivf_blocked``. With ``n_probe >= n_cells`` every
-    cell is probed and the result EQUALS the brute-force search
-    (equivalence-tested) — recall tuning only ever removes cells.
+    ``n_assign`` cells (default 1), each query probes its ``n_probe``
+    nearest cells, and the within-cell rerank is the same per-cell
+    cogroup block matmul as ``cosine_topk_ivf_blocked`` (which also
+    documents the multi-assignment recall/cost trade). With
+    ``n_probe >= n_cells`` every cell is probed and the result EQUALS
+    the brute-force search (equivalence-tested) — recall tuning only
+    ever removes cells.
     """
     from pyspark.sql import types as T
 
+    n_assign = max(1, n_assign)
     qid = query_id_col or id_col
     d_unit = with_unit_vector(data.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("vec_id"), F.col("__unit")
@@ -587,13 +611,14 @@ def cosine_search_ivf(
     )
     n_cells, C = _build_index(d_unit, n_cells, seed, centroids)
     n_probe = min(max(1, n_probe), n_cells)
+    n_assign = min(n_assign, n_cells)
 
-    assign = _probe_cells_udf(C, 1)
+    assign = _probe_cells_udf(C, n_assign)
     probe = _probe_cells_udf(C, n_probe)
     data_side = d_unit.select(
         F.col("vec_id").alias("d_id"),
         F.col("__unit").alias("d_unit"),
-        assign(F.col("__unit").cast("array<double>")).getItem(0).alias("cell"),
+        F.explode(assign(F.col("__unit").cast("array<double>"))).alias("cell"),
     )
     query_side = q_unit.select(
         F.col("vec_id").alias("q_id"),
@@ -634,10 +659,14 @@ def cosine_search_ivf(
         .cogroup(data_side.groupBy("cell"))
         .applyInPandas(rerank, schema=out_schema)
     )
-    # no pair-dedup needed: each data vector is indexed under exactly
-    # ONE cell and a query's probed cells are distinct, so a (query,
-    # neighbor) pair can only surface once — the rank window below is
-    # the single post-rerank shuffle
+    if n_assign > 1:
+        # multi-assigned data vectors can meet a query in several
+        # shared cells; identical sims collapse via map-side max
+        cand = cand.groupBy("query_id", "neighbor_id").agg(F.max("__sim").alias("__sim"))
+    # with n_assign=1 no pair-dedup is needed: each data vector is
+    # indexed under exactly ONE cell and a query's probed cells are
+    # distinct, so a (query, neighbor) pair can only surface once —
+    # the rank window below is the single post-rerank shuffle
     w = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id").asc())
     out = cand.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
     cols = ["query_id", "neighbor_id", "rank"]
