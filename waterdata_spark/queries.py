@@ -1650,14 +1650,100 @@ def q32_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "w01_down_pipeline",
-    None,  # inputs are the reference's shipped CSV/xlsx fixtures — no DuckDB twin (xlsx)
+    # Oracle over the STAGED raw inputs (fixtures/w/*.parquet, produced
+    # once by tools/stage_w_fixtures.py through the engine's own CSV/
+    # xlsx readers): replicates SPI⟗BI on coalesced keys, the sites
+    # left join, the 'n'-marker key normalization, the per-tier
+    # priority-dedup windows, the 3-tier fallback with final-tier-left
+    # semantics, and the match summary. The dim side is projected to
+    # the columns the summary can observe — the tier-dedup order
+    # (Sample Location / SYSTEM NAME, ZIP_CODE, SITE_ID) plus ZIP_CODE
+    # itself — any dedup tie beyond those columns has equal ZIP on
+    # every candidate, so the matched counts are invariant.
+    """
+    WITH spi_bi AS (
+      SELECT
+        COALESCE(s."PWSID", b."PWSID") AS "PWSID",
+        COALESCE(s."SYSTEM NAME", b."SYSTEM NAME") AS "SYSTEM NAME",
+        COALESCE(s."SITE ID", b."SITE ID") AS "SITE_ID",
+        s."SAMPLE POINT ID"
+      FROM (SELECT * REPLACE (TRY_CAST("PWSID" AS BIGINT) AS "PWSID")
+            FROM read_parquet('/root/repo/fixtures/w/spi.parquet')) s
+      FULL OUTER JOIN (SELECT * REPLACE (TRY_CAST("PWSID" AS BIGINT) AS "PWSID")
+            FROM read_parquet('/root/repo/fixtures/w/bi.parquet')) b
+        ON s."PWSID" = b."PWSID" AND s."SYSTEM NAME" = b."SYSTEM NAME"
+       AND s."SITE ID" = b."SITE ID"
+    ), site_df AS (
+      SELECT sb.*, st."ZIP_CODE"
+      FROM (SELECT * REPLACE (trim("SYSTEM NAME") AS "SYSTEM NAME") FROM spi_bi) sb
+      LEFT JOIN read_parquet('/root/repo/fixtures/w/sites.parquet') st
+        ON sb."SITE_ID" = st."SITE_ID"
+    ), site_n AS (
+      SELECT "PWSID",
+             trim("SYSTEM NAME") AS "SYSTEM NAME",
+             'n' || trim(regexp_replace(
+               CASE WHEN "SAMPLE POINT ID" IS NULL OR "SAMPLE POINT ID" IN ('nan','NaN','')
+                    THEN 'X' ELSE "SAMPLE POINT ID" END, '\\.0$', '')) AS "Sample Location",
+             CASE WHEN "ZIP_CODE" IN ('nan','NaN','') THEN NULL ELSE "ZIP_CODE" END AS "ZIP_CODE",
+             "SITE_ID"
+      FROM site_df
+    ), t1 AS (
+      SELECT "PWSID", "SYSTEM NAME", "Sample Location", "ZIP_CODE" FROM site_n
+      QUALIFY row_number() OVER (PARTITION BY "PWSID", "SYSTEM NAME", "Sample Location"
+        ORDER BY "Sample Location" DESC NULLS LAST, "ZIP_CODE" ASC NULLS LAST,
+                 "SITE_ID" ASC NULLS LAST) = 1
+    ), t2 AS (
+      SELECT "PWSID", "SYSTEM NAME", "ZIP_CODE" FROM site_n
+      QUALIFY row_number() OVER (PARTITION BY "PWSID", "SYSTEM NAME"
+        ORDER BY "Sample Location" DESC NULLS LAST, "ZIP_CODE" ASC NULLS LAST,
+                 "SITE_ID" ASC NULLS LAST) = 1
+    ), t3 AS (
+      SELECT "PWSID", "ZIP_CODE" FROM site_n
+      QUALIFY row_number() OVER (PARTITION BY "PWSID"
+        ORDER BY "SYSTEM NAME" DESC NULLS LAST, "ZIP_CODE" ASC NULLS LAST,
+                 "SITE_ID" ASC NULLS LAST) = 1
+    ), raw AS (
+      SELECT DISTINCT * FROM read_parquet('/root/repo/fixtures/w/data.parquet')
+    ), fact_n AS (
+      SELECT TRY_CAST(trim("PWSID") AS BIGINT) AS "PWSID",
+             trim("SYSTEM NAME") AS "SYSTEM NAME",
+             'n' || trim(regexp_replace(
+               CASE WHEN "Sample Location" IS NULL OR "Sample Location" IN ('nan','NaN','')
+                    THEN 'Y' ELSE "Sample Location" END, '\\.0$', '')) AS "Sample Location"
+      FROM raw
+    ), joined AS (
+      SELECT t1."ZIP_CODE" AS z1, (t1."PWSID" IS NOT NULL) AS i1,
+             t2."ZIP_CODE" AS z2, (t2."PWSID" IS NOT NULL) AS i2,
+             t3."ZIP_CODE" AS z3, (t3."PWSID" IS NOT NULL) AS i3
+      FROM fact_n f
+      LEFT JOIN t1 ON f."PWSID" = t1."PWSID" AND f."SYSTEM NAME" = t1."SYSTEM NAME"
+                  AND f."Sample Location" = t1."Sample Location"
+      LEFT JOIN t2 ON f."PWSID" = t2."PWSID" AND f."SYSTEM NAME" = t2."SYSTEM NAME"
+      LEFT JOIN t3 ON f."PWSID" = t3."PWSID"
+    ), final AS (
+      SELECT CASE
+               WHEN i1 AND z1 IS NOT NULL AND z1 <> '' THEN z1
+               WHEN i2 AND z2 IS NOT NULL AND z2 <> '' THEN z2
+               WHEN i3 AND z3 IS NOT NULL AND z3 <> '' THEN z3
+               ELSE z3
+             END AS "ZIP_CODE"
+      FROM joined
+    )
+    SELECT CAST(("ZIP_CODE" IS NOT NULL AND "ZIP_CODE" <> '') AS INT) AS matched,
+           COUNT(*) AS n
+    FROM final GROUP BY 1
+    """,
     doc="The reference's flagship pipeline end-to-end on its own shipped "
     "data (144,595 fact rows): multi-file unionByName ingest, SPI⟗BI "
     "outer join + coalesce + consistency gate, fact cleaning, 3-tier "
     "hierarchical fallback join with row-count preservation. Returns "
-    "per-tier match counts (stable 4-row summary). Runs identically at "
-    "any sf_dir — the inputs are the reference fixtures.",
-    tags=["pipeline", "water", "rows-only", "composite"],
+    "per-tier match counts (stable summary). The Spark side ingests "
+    "the raw CSV/xlsx fixtures (C1-C3 stay exercised); the oracle "
+    "replays the full transform from the staged raw inputs "
+    "(fixtures/w, tools/stage_w_fixtures.py) — a hash-checked query "
+    "since r5 (VERDICT r4 item 4). Runs identically at any sf_dir — "
+    "the inputs are the reference fixtures.",
+    tags=["pipeline", "water", "composite"],
 )
 def w01_down_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     import glob
@@ -1688,7 +1774,85 @@ def w01_down_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "w02_compare_reconciliation",
-    None,  # inputs are the reference's shipped fixtures (xlsx in the loop) — no DuckDB twin
+    # Oracle over the staged raw fact (fixtures/w/data.parquet — see
+    # w01). Every one of the 7 reconciliation keys derives from FACT
+    # columns (the site dim contributes only payload the summary never
+    # reads), so the oracle needs no dim replay: clean fact → 'n'-key
+    # normalization → md5 25%-sample with every-4th-date perturbation →
+    # conform both channels (trims, M/d/yyyy parses, sentinel→1/9/1999
+    # compat on the down side only) → 7-key inner join → per-SAMPTYPE
+    # counts.
+    """
+    WITH raw AS (
+      SELECT DISTINCT * FROM read_parquet('/root/repo/fixtures/w/data.parquet')
+    ), fact0 AS (
+      SELECT * REPLACE (
+        CASE WHEN "Sample Type" = 'DISTRIBUTIO N' THEN 'DISTRIBUTION'
+             ELSE "Sample Type" END AS "Sample Type",
+        trim("SYSTEM NAME") AS "SYSTEM NAME",
+        regexp_replace("Sample Date", '\\s', '', 'g') AS "Sample Date"
+      ) FROM raw
+    ), fact_n AS (
+      SELECT * REPLACE (
+        'n' || trim(regexp_replace(
+          CASE WHEN "Sample Location" IS NULL OR "Sample Location" IN ('nan','NaN','')
+               THEN 'Y' ELSE "Sample Location" END, '\\.0$', '')) AS "Sample Location"
+      ) FROM fact0
+    ), down AS (
+      SELECT *, md5(concat_ws('|', CAST(TRY_CAST("PWSID" AS BIGINT) AS VARCHAR),
+                    "Contaminant ID", "Sample Location", "Sample Date")) AS h
+      FROM fact_n
+    ), direct AS (
+      SELECT TRY_CAST("PWSID" AS BIGINT) AS "PWSID",
+             "Contaminant ID" AS "CONTNAM",
+             substr("Sample Type", 1, 1) AS "SAMPTYPE",
+             CASE WHEN substr(h, 3, 1) IN ('0','4','8','c') THEN '12/31/2099'
+                  ELSE "Sample Date" END AS "SAMPDATE",
+             "Analysis Date" AS "ANALDATE",
+             "SYSTEM NAME" AS "SYSNAME",
+             regexp_replace("Sample Location", '^n', '') AS "LOC_EPID"
+      FROM down WHERE h < '40000000000000000000000000000000'
+    ), conf_down AS (
+      SELECT TRY_CAST("PWSID" AS BIGINT) AS "PWSID",
+             trim("SYSTEM NAME") AS sysname,
+             trim("Contaminant ID") AS cont,
+             try_strptime(CASE WHEN trim(regexp_replace("Sample Date",'\\s','','g'))
+                               IN ('.','nan','NaN','') THEN NULL
+                          ELSE regexp_replace("Sample Date",'\\s','','g') END,
+                          '%-m/%-d/%Y')::DATE AS sdate,
+             try_strptime(coalesce(
+               CASE WHEN trim(regexp_replace("Analysis Date",'\\s','','g'))
+                    IN ('.','nan','NaN','') THEN NULL
+               ELSE regexp_replace("Analysis Date",'\\s','','g') END,
+               '1/9/1999'), '%-m/%-d/%Y')::DATE AS adate,
+             substr("Sample Type", 1, 1) AS "SAMPTYPE",
+             "Sample Location" AS "LOC_EPID"
+      FROM down
+    ), conf_direct AS (
+      SELECT "PWSID",
+             trim("SYSNAME") AS sysname,
+             trim("CONTNAM") AS cont,
+             try_strptime(CASE WHEN trim(regexp_replace("SAMPDATE",'\\s','','g'))
+                               IN ('.','nan','NaN','') THEN NULL
+                          ELSE regexp_replace("SAMPDATE",'\\s','','g') END,
+                          '%-m/%-d/%Y')::DATE AS sdate,
+             try_strptime(CASE WHEN trim(regexp_replace("ANALDATE",'\\s','','g'))
+                               IN ('.','nan','NaN','') THEN NULL
+                          ELSE regexp_replace("ANALDATE",'\\s','','g') END,
+                          '%-m/%-d/%Y')::DATE AS adate,
+             "SAMPTYPE",
+             'n' || "LOC_EPID" AS "LOC_EPID"
+      FROM direct
+    ), j AS (
+      SELECT d."SAMPTYPE", d."PWSID"
+      FROM conf_down d JOIN conf_direct c
+        ON d."PWSID" = c."PWSID" AND d.cont = c.cont AND d.sysname = c.sysname
+       AND d.sdate = c.sdate AND d.adate = c.adate AND d."SAMPTYPE" = c."SAMPTYPE"
+       AND d."LOC_EPID" = c."LOC_EPID"
+    )
+    SELECT "SAMPTYPE", COUNT(*) AS n_matched, COUNT(DISTINCT "PWSID") AS n_systems
+    FROM j GROUP BY "SAMPTYPE"
+    """,
     doc="The reference's third entry point (compare.py:88-107) end-to-end "
     "on the shipped 144,595-row data: the down product (conform + "
     "3-tier fallback join) is reconciled against a deterministically "
@@ -1698,7 +1862,7 @@ def w01_down_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     "must NOT reconcile — the stable per-SAMPTYPE match counts prove "
     "key conformance (date parsing, trims, 'n'-prefix typing, sentinel "
     "handling) across both channels.",
-    tags=["pipeline", "water", "rows-only", "composite"],
+    tags=["pipeline", "water", "composite"],
 )
 def w02_compare_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
     import glob
