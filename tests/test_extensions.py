@@ -323,6 +323,145 @@ class TestMultimodal:
         assert "Python" not in plan and "mapInPandas" not in plan
 
 
+def _bmp24(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Hand-assemble an uncompressed 24-bit bottom-up BMP (the public
+    BITMAPINFOHEADER layout) from rows of (r, g, b), top to bottom."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    stride = (w * 3 + 3) // 4 * 4
+    raster = b""
+    for row in reversed(pixels):  # file stores bottom-up
+        rb = b"".join(bytes((b_, g, r)) for (r, g, b_) in row)
+        raster += rb + b"\x00" * (stride - len(rb))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + dib + raster
+
+
+def _wav(frames: bytes, n_channels: int, sampwidth: int, rate: int) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+class TestRealCodecsNoLibs:
+    """The REAL decode paths that execute in THIS environment — numpy
+    BMP/PNM image decode and stdlib-wave audio decode — closing X5's
+    'real codec never executed' gap for every format whose bit layout
+    needs no entropy decoder."""
+
+    # 2x2: white, black / red, green — ITU-R 601-2 luma 255,0,76,150
+    PIXELS = [[(255, 255, 255), (0, 0, 0)], [(255, 0, 0), (0, 255, 0)]]
+    EXPECT_HIST = [0.25, 0.0, 0.25, 0.0, 0.25, 0.0, 0.0, 0.25]  # bins 0,2,4,7
+
+    def test_bmp_decode_exact(self):
+        from waterdata_spark.operators.multimodal import numpy_image_codec
+
+        d = numpy_image_codec(_bmp24(self.PIXELS))
+        assert (d["width"], d["height"]) == (2, 2)
+        assert d["feature"] == self.EXPECT_HIST
+
+    def test_bmp_row_padding_and_3wide(self):
+        # width 3 -> 9-byte rows padded to 12; padding must not leak into pixels
+        from waterdata_spark.operators.multimodal import numpy_image_codec
+
+        pixels = [[(255, 255, 255)] * 3, [(0, 0, 0)] * 3]
+        d = numpy_image_codec(_bmp24(pixels))
+        assert (d["width"], d["height"]) == (3, 2)
+        assert d["feature"][0] == 0.5 and d["feature"][7] == 0.5
+
+    def test_ppm_equals_bmp_same_pixels(self):
+        """Cross-format differential: the P6 raster of the same pixels
+        must produce byte-identical features to the BMP decode."""
+        from waterdata_spark.operators.multimodal import numpy_image_codec
+
+        raw = b"".join(bytes(p) for row in self.PIXELS for p in row)
+        ppm = b"P6\n# a comment\n2 2\n255\n" + raw
+        assert numpy_image_codec(ppm) == numpy_image_codec(_bmp24(self.PIXELS))
+
+    def test_pgm_grayscale(self):
+        from waterdata_spark.operators.multimodal import numpy_image_codec
+
+        d = numpy_image_codec(b"P5\n4 1\n255\n" + bytes([0, 64, 128, 255]))
+        assert (d["width"], d["height"]) == (4, 1)
+        assert d["feature"] == [0.25, 0.0, 0.25, 0.0, 0.25, 0.0, 0.0, 0.25]
+
+    def test_compressed_format_still_errors_clearly(self):
+        from waterdata_spark.operators.multimodal import numpy_image_codec
+
+        with pytest.raises(ValueError, match="BMP/P6/P5 only"):
+            numpy_image_codec(b"\x89PNG\r\n\x1a\n")
+
+    def test_real_codec_dispatches_to_numpy_in_spark(self, spark):
+        """End-to-end: real_image_codec (NOT the fake) runs inside the
+        Arrow-batched Spark path on decodable formats, even with no PIL."""
+        from waterdata_spark.operators.multimodal import MEDIA_SCHEMA, real_image_codec
+
+        bmp = _bmp24(self.PIXELS)
+        media = spark.createDataFrame(
+            [(1, "image", bmp, len(bmp), "image/bmp", {})], MEDIA_SCHEMA
+        )
+        rows = extract_media_features(media, codec=real_image_codec).collect()
+        assert (rows[0]["width"], rows[0]["height"]) == (2, 2)
+        assert [round(v, 6) for v in rows[0]["feature"]] == self.EXPECT_HIST
+
+    def test_wav_16bit_mono(self):
+        import struct
+
+        from waterdata_spark.operators.multimodal import wav_audio_codec
+
+        # 1s at 8 kHz, constant half-scale -> every segment RMS = 0.5
+        frames = struct.pack("<8000h", *([16384] * 8000))
+        d = wav_audio_codec(_wav(frames, 1, 2, 8000))
+        assert (d["sample_rate"], d["n_channels"], d["n_frames"]) == (8000, 1, 8000)
+        assert d["duration_s"] == 1.0
+        assert all(abs(v - 0.5) < 1e-9 for v in d["feature"]) and len(d["feature"]) == 8
+
+    def test_wav_stereo_8bit_mixdown(self):
+        from waterdata_spark.operators.multimodal import wav_audio_codec
+
+        # L=+96, R=-96 around the 128 bias -> mono mixdown is exactly 0
+        frames = bytes([128 + 96, 128 - 96] * 400)
+        d = wav_audio_codec(_wav(frames, 2, 1, 400))
+        assert (d["n_channels"], d["duration_s"]) == (2, 1.0)
+        assert all(v == 0.0 for v in d["feature"])
+
+    def test_wav_24bit(self):
+        from waterdata_spark.operators.multimodal import wav_audio_codec
+
+        # constant +2^22 (half scale), little-endian 3-byte samples
+        one = (1 << 22).to_bytes(3, "little")
+        d = wav_audio_codec(_wav(one * 1600, 1, 3, 1600))
+        assert d["n_frames"] == 1600
+        assert all(abs(v - 0.5) < 1e-9 for v in d["feature"])
+
+    def test_extract_audio_features_spark(self, spark):
+        import struct
+
+        from waterdata_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_audio_features,
+        )
+
+        frames = struct.pack("<4000h", *([8192] * 4000))
+        wav = _wav(frames, 1, 2, 4000)
+        media = spark.createDataFrame(
+            [(7, "audio", wav, len(wav), "audio/wav", {})], MEDIA_SCHEMA
+        )
+        rows = extract_audio_features(media).collect()
+        assert rows[0]["media_id"] == 7
+        assert rows[0]["sample_rate"] == 4000 and rows[0]["duration_s"] == 1.0
+        assert all(abs(v - 0.25) < 1e-9 for v in rows[0]["feature"])
+
+
 @pytest.fixture()
 def events_stream_dir(tmp_path):
     """File streams read DIRECTORIES; stage the events table alone."""

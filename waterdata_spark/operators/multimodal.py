@@ -100,13 +100,94 @@ def pil_image_codec(content: bytes) -> dict:
     return {"width": width, "height": height, "feature": feature}
 
 
-def real_image_codec(content: bytes) -> dict:
-    if not HAS_PIL:
-        raise NotImplementedError(
-            "No image library in this environment; pass codec=fake_image_codec "
-            "or a PIL-backed callable returning {'width','height','feature'}."
+def numpy_image_codec(content: bytes) -> dict:
+    """REAL image decode with no media library at all — numpy + struct
+    only — for the uncompressed formats whose bit layout is public and
+    trivial: BMP (24/32-bit BI_RGB, BITMAPINFOHEADER family) and binary
+    PPM/PGM (P6/P5, maxval ≤ 255).
+
+    Same contract and same feature definition as :func:`pil_image_codec`
+    (8-bin mass-normalized luminance histogram, ITU-R 601-2 luma with
+    PIL's fixed-point rounding ``(19595R + 38470G + 7471B + 2^15) >> 16``),
+    so the two codecs agree on any image both can read and are drop-in
+    interchangeable. This is the sandbox-executable real path: unlike
+    :func:`pil_image_codec` it needs nothing beyond numpy, which Arrow
+    already requires.
+
+    Raises ``ValueError`` naming the format on anything else (JPEG/PNG
+    need entropy decoders — that's what the PIL path is for).
+    """
+    import struct
+
+    import numpy as np
+
+    if content[:2] == b"BM":
+        if len(content) < 54:
+            raise ValueError("BMP truncated before BITMAPINFOHEADER")
+        data_off = struct.unpack_from("<I", content, 10)[0]
+        hdr_size = struct.unpack_from("<I", content, 14)[0]
+        if hdr_size < 40:
+            raise ValueError(f"BMP with {hdr_size}-byte DIB header not supported (BITMAPCOREHEADER)")
+        width, height_raw = struct.unpack_from("<ii", content, 18)
+        bpp, compression = struct.unpack_from("<H", content, 28)[0], struct.unpack_from("<I", content, 30)[0]
+        if compression not in (0, 3) or bpp not in (24, 32):
+            raise ValueError(f"BMP bpp={bpp} compression={compression} not supported (BI_RGB 24/32 only)")
+        height, top_down = abs(height_raw), height_raw < 0
+        stride = ((bpp * width + 31) // 32) * 4
+        raw = np.frombuffer(content, dtype=np.uint8, count=stride * height, offset=data_off)
+        rows = raw.reshape(height, stride)[:, : width * (bpp // 8)].reshape(height, width, bpp // 8)
+        if not top_down:
+            rows = rows[::-1]
+        rgb = rows[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
+    elif content[:2] in (b"P6", b"P5"):
+        channels = 3 if content[:2] == b"P6" else 1
+        pos, fields = 2, []
+        while len(fields) < 3:  # width, height, maxval; '#' comments allowed
+            while pos < len(content) and content[pos : pos + 1].isspace():
+                pos += 1
+            if content[pos : pos + 1] == b"#":
+                pos = content.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(content[start:pos]))
+        pos += 1  # single whitespace after maxval, then raster
+        width, height, maxval = fields
+        if maxval > 255:
+            raise ValueError(f"PNM maxval={maxval} (16-bit) not supported")
+        raw = np.frombuffer(content, dtype=np.uint8, count=width * height * channels, offset=pos)
+        pix = raw.reshape(height, width, channels)
+        rgb = pix if channels == 3 else np.repeat(pix, 3, axis=2)
+    else:
+        raise ValueError(
+            f"numpy_image_codec reads BMP/P6/P5 only; got magic {content[:4]!r} "
+            "(compressed formats need the PIL-backed codec)"
         )
-    return pil_image_codec(content)
+    r, g, b = (rgb[:, :, i].astype(np.uint32) for i in range(3))
+    lum = (19595 * r + 38470 * g + 7471 * b + (1 << 15)) >> 16
+    hist = np.bincount(lum.ravel() >> 5, minlength=8)  # 8 bins of 32 levels
+    total = float(hist.sum()) or 1.0
+    return {"width": int(width), "height": int(height), "feature": [float(v) / total for v in hist]}
+
+
+# image magics numpy_image_codec can decode without any media library
+_NUMPY_DECODABLE = (b"BM", b"P6", b"P5")
+
+
+def real_image_codec(content: bytes) -> dict:
+    """The real-decode dispatcher: PIL when the environment has it
+    (all formats), else the numpy decoder for the formats it covers.
+    Only a compressed format in a PIL-less environment is undecodable."""
+    if HAS_PIL:
+        return pil_image_codec(content)
+    if content[:2] in _NUMPY_DECODABLE:
+        return numpy_image_codec(content)
+    raise NotImplementedError(
+        "No image library in this environment and content is not BMP/PPM/PGM; "
+        "pass codec=fake_image_codec or a PIL-backed callable returning "
+        "{'width','height','feature'}."
+    )
 
 
 # what extract_media_features uses when the caller passes no codec:
@@ -153,6 +234,97 @@ def extract_media_features(
 
     cols = media.select("media_id", "kind", "content")
     return cols.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content_sha", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def wav_audio_codec(content: bytes) -> dict:
+    """REAL audio decode with the stdlib ``wave`` module + numpy — no
+    media library. PCM 8/16/24/32-bit, any channel count. The feature
+    is an 8-segment RMS envelope (mono mixdown, equal time slices,
+    normalized to full scale) — deterministic and library-free.
+
+    Compressed audio (mp3/ogg/aac) needs an entropy decoder; pass an
+    ffmpeg/soundfile-backed callable with this same contract there.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content)) as w:
+        n_channels, sampwidth = w.getnchannels(), w.getsampwidth()
+        sample_rate, n_frames = w.getframerate(), w.getnframes()
+        raw = w.readframes(n_frames)
+    if sampwidth == 1:  # PCM 8-bit is unsigned
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        full_scale = 128.0
+    elif sampwidth in (2, 4):
+        samples = np.frombuffer(raw, dtype=f"<i{sampwidth}").astype(np.float64)
+        full_scale = float(1 << (8 * sampwidth - 1))
+    elif sampwidth == 3:  # 24-bit: widen each triple to int32 via a zero pad + shift
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        widened = np.zeros((b.shape[0], 4), dtype=np.uint8)
+        widened[:, 1:] = b
+        samples = (widened.view("<i4").ravel() >> 8).astype(np.float64)
+        full_scale = float(1 << 23)
+    else:
+        raise ValueError(f"WAV sample width {sampwidth} not supported")
+    mono = samples.reshape(-1, n_channels).mean(axis=1) if n_channels > 1 else samples
+    feature = []
+    for seg in np.array_split(mono, 8):
+        rms = float(np.sqrt(np.mean(seg * seg))) if seg.size else 0.0
+        feature.append(rms / full_scale)
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_frames": n_frames,
+        "duration_s": n_frames / sample_rate if sample_rate else 0.0,
+        "feature": feature,
+    }
+
+
+def extract_audio_features(
+    media: DataFrame,
+    codec: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Audio twin of :func:`extract_media_features`: Arrow-batched
+    decode via ``mapInPandas``, one row per media row with rate /
+    channels / duration and the RMS-envelope feature. Defaults to the
+    library-free :func:`wav_audio_codec`."""
+    decode = codec or wav_audio_codec
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch["media_id"], batch["content"]):
+                content = bytes(content)
+                d = decode(content)
+                out.append(
+                    {
+                        "media_id": mid,
+                        "content_sha": hashlib.sha256(content).hexdigest(),
+                        "sample_rate": d["sample_rate"],
+                        "n_channels": d["n_channels"],
+                        "n_frames": d["n_frames"],
+                        "duration_s": d["duration_s"],
+                        "feature": d["feature"],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+    return media.select("media_id", "content").mapInPandas(process, schema=AUDIO_FEATURE_SCHEMA)
 
 
 # magic-byte prefixes → mime, longest first (hex of the leading bytes)
