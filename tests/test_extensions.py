@@ -443,6 +443,66 @@ class TestRealCodecsNoLibs:
         assert d["n_frames"] == 1600
         assert all(abs(v - 0.5) < 1e-9 for v in d["feature"])
 
+    @staticmethod
+    def _y4m(frames_luma: list[int], w: int = 4, h: int = 2) -> bytes:
+        """Assemble a C420 YUV4MPEG2 clip; each frame's luma plane is a
+        constant value from ``frames_luma`` (chroma planes neutral 128)."""
+        head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+        chroma = bytes([128] * (2 * (w // 2) * (h // 2)))
+        body = b"".join(
+            b"FRAME\n" + bytes([v] * (w * h)) + chroma for v in frames_luma
+        )
+        return head + body
+
+    def test_y4m_decode_and_frame_sampling(self):
+        from waterdata_spark.operators.multimodal import y4m_video_codec
+
+        clip = self._y4m([0, 64, 128, 192, 255])
+        d = y4m_video_codec(clip)
+        assert (d["width"], d["height"], d["fps"], d["n_frames"]) == (4, 2, 25.0, 5)
+        assert len(d["frames"]) == 5
+        # constant-luma frames put all mass in one bin: 0,64,128,192,255 -> 0,2,4,6,7
+        for fr, bin_ in zip(d["frames"], [0, 2, 4, 6, 7]):
+            assert fr["feature"][bin_] == 1.0
+        # every 2nd frame, capped at 2 -> frame_idx 0 and 2 only
+        sampled = y4m_video_codec(clip, sample_every=2, max_frames=2)
+        assert [f["frame_idx"] for f in sampled["frames"]] == [0, 2]
+        assert sampled["n_frames"] == 5  # total count still reported
+
+    def test_y4m_rejects_compressed(self):
+        from waterdata_spark.operators.multimodal import y4m_video_codec
+
+        with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+            y4m_video_codec(b"\x1a\x45\xdf\xa3webm...")
+
+    def test_sample_video_frames_spark(self, spark):
+        from waterdata_spark.operators.multimodal import MEDIA_SCHEMA, sample_video_frames
+
+        clip = self._y4m([10, 200, 10, 200, 10, 200])
+        media = spark.createDataFrame(
+            [(9, "video", clip, len(clip), "video/x-yuv4mpeg", {})], MEDIA_SCHEMA
+        )
+        rows = sample_video_frames(media, sample_every=2).collect()
+        assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 2, 4]
+        assert all(r["width"] == 4 and r["height"] == 2 for r in rows)
+        assert all(r["feature"][0] == 1.0 for r in rows)  # luma 10 -> bin 0
+
+    def test_media_mime_covers_raw_formats(self, spark):
+        from waterdata_spark.operators.multimodal import MEDIA_SCHEMA, with_media_metadata
+
+        rows = [
+            (1, "image", _bmp24(self.PIXELS), 0, "", {}),
+            (2, "image", b"P6\n2 2\n255\n" + b"\x00" * 12, 0, "", {}),
+            (3, "video", self._y4m([0]), 0, "", {}),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA).drop("n_bytes", "mime")
+        got = {r["media_id"]: r["mime"] for r in with_media_metadata(media).collect()}
+        assert got == {
+            1: "image/bmp",
+            2: "image/x-portable-pixmap",
+            3: "video/x-yuv4mpeg",
+        }
+
     def test_extract_audio_features_spark(self, spark):
         import struct
 

@@ -1,0 +1,125 @@
+"""Decade measurements for the training-data shaping operators
+(VERDICT r4: chunk/pack/sample/merge shipped with oracle rows but no
+scale evidence — "two decades of measurements, not extrapolation" is
+the repo's bar for every other hot operator).
+
+Usage: python tools/shaping_scale_probe.py
+
+Runs chunk_documents, pack_sequences, stratified_sample (+ the exact
+per-stratum variant) and merge_upsert on the documents table at sf0.1
+and the 10x replica set (tools/scale_testdata.py, same generator the
+bench uses), min-of-3 with the bench's GC isolation, and prints one
+JSON line with per-op times and decade ratios.
+
+Expected shapes (why each should be ~linear):
+- chunk: posexplode over precomputed slice bounds — narrow, no shuffle;
+- pack: one hash-partition shuffle into 256 streams + per-stream
+  running sum — shuffle volume linear in rows;
+- stratified_sample: scan + broadcast of the rates frame — no shuffle;
+- merge_upsert: one full-outer shuffle join on the key digest.
+
+One-off evidence tool (results recorded in SCALING.md), not part of
+the per-round bench.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+REPEATS = 3
+
+
+def _ops(spark, sf_dir):
+    from waterdata_spark.operators.chunking import chunk_documents, pack_sequences
+    from waterdata_spark.operators.merge import merge_upsert
+    from waterdata_spark.operators.sampling import (
+        stratified_sample,
+        stratified_sample_exact,
+    )
+    from waterdata_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def chunk():
+        return chunk_documents(docs, max_tokens=64, overlap=16)
+
+    def pack():
+        return pack_sequences(docs, budget_tokens=512)
+
+    def sample():
+        return stratified_sample(docs, "lang", {"en": 0.5, "de": 0.25, "fr": 0.1}, "doc_id")
+
+    def sample_exact():
+        return stratified_sample_exact(docs, "lang", 200, "doc_id")
+
+    def merge():
+        # upsert a 20% slice with edits + 5% deletes into the full table
+        src = (
+            docs.filter(F.hash("doc_id") % 5 == 0)
+            .withColumn("n_chars", F.col("n_chars") + 1)
+            .withColumn("__del", F.hash("doc_id") % 20 == 1)
+        )
+        return merge_upsert(docs, src, keys=["doc_id"], delete_col="__del")
+
+    return {
+        "chunk_documents": chunk,
+        "pack_sequences": pack,
+        "stratified_sample": sample,
+        "stratified_sample_exact": sample_exact,
+        "merge_upsert": merge,
+    }
+
+
+def _time_suite(spark, sf_dir):
+    out, rows = {}, {}
+    for name, fn in _ops(spark, sf_dir).items():
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            df = fn()
+            n = df.count()
+            runs.append(round(time.time() - t0, 3))
+            del df
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        out[name], rows[name] = min(runs), n
+        print(f"# {sf_dir} {name}: {n} rows, min {min(runs)}s of {runs}", file=sys.stderr)
+    return out, rows
+
+
+def main() -> None:
+    from tools.scale_testdata import ensure_scaled
+    from waterdata_spark.session import get_spark
+
+    sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/waterdata_spark_sf1")
+    spark = get_spark("shaping-scale-probe")
+    spark.range(64).mapInPandas(lambda it: it, "id long").count()  # warm workers
+
+    t01, rows01 = _time_suite(spark, sf01)
+    assert ensure_scaled(spark, sf01, sf1, factor=10)
+    t1, rows1 = _time_suite(spark, sf1)
+    print(
+        json.dumps(
+            {
+                "metric": "shaping_scale_probe",
+                "sf0.1": t01,
+                "sf1": t1,
+                "rows_sf1": rows1,
+                "decade_ratio": {k: round(t1[k] / max(t01[k], 0.05), 2) for k in t1},
+                "row_ratio": {k: round(rows1[k] / max(rows01[k], 1), 2) for k in rows1},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
