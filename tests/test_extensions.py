@@ -394,6 +394,27 @@ class TestRealCodecsNoLibs:
         assert (d["width"], d["height"]) == (4, 1)
         assert d["feature"] == [0.25, 0.0, 0.25, 0.0, 0.25, 0.0, 0.0, 0.25]
 
+    def test_bmp_32bit_topdown_equals_24bit_bottomup(self):
+        """Encoding invariance: the same pixels through the 32-bit
+        top-down layout (negative height, BGRA, no padding) must decode
+        identically to the 24-bit bottom-up layout — pins stride, row
+        order, and alpha-drop handling in one law."""
+        import struct
+
+        from waterdata_spark.operators.multimodal import numpy_image_codec
+
+        import random
+
+        rng = random.Random(7)
+        pixels = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(5)] for _ in range(3)]
+        h, w = 3, 5
+        raster = b"".join(
+            bytes((b_, g, r, 0xFF)) for row in pixels for (r, g, b_) in row
+        )  # top-down: rows in natural order
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(raster), 2835, 2835, 0, 0)
+        assert numpy_image_codec(header + dib + raster) == numpy_image_codec(_bmp24(pixels))
+
     def test_compressed_format_still_errors_clearly(self):
         from waterdata_spark.operators.multimodal import numpy_image_codec
 

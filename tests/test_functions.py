@@ -126,3 +126,50 @@ class TestText:
         assert row["n_tokens"] == 2
         assert row["n_chars"] == 6
         assert row["mean_token_len"] == 2.5  # 'ab' + 'cd!'
+
+    def test_word_ngrams(self, spark):
+        from waterdata_spark.functions.text import word_ngrams
+
+        df = spark.createDataFrame([("a b c d",), ("x",), ("",)], "t string")
+        rows = df.select(word_ngrams("t", 2).alias("g")).collect()
+        assert rows[0]["g"] == ["a b", "b c", "c d"]
+        assert rows[1]["g"] == []  # fewer tokens than n
+        assert rows[2]["g"] == []
+
+    def test_repetition_ngram_signals_hand_computed(self, spark):
+        from waterdata_spark.functions.text import repetition_features
+
+        # bigrams of 'a b a b a': [a b, b a, a b, b a] -> dup 2/4, top 2/4
+        df = spark.createDataFrame([("a b a b a",)], "t string")
+        feats = repetition_features("t", ngram=2)
+        row = df.select(*[v.alias(k) for k, v in feats.items()]).collect()[0]
+        assert abs(row["dup_ngram_fraction"] - 0.5) < 1e-9
+        assert abs(row["top_ngram_fraction"] - 0.5) < 1e-9
+        assert row["dup_line_fraction"] == 0.0  # one line
+
+    def test_repetition_line_signals_hand_computed(self, spark):
+        from waterdata_spark.functions.text import repetition_features
+
+        # non-empty lines: dup, dup, unique line, '- bullet item',
+        # 'ends with...' = 5; one is a repeat, one bullet, one ellipsis
+        text = "dup\n\ndup\nunique line\n- bullet item\nends with...\n"
+        df = spark.createDataFrame([(text,)], "t string")
+        feats = repetition_features("t", ngram=2)
+        row = df.select(*[v.alias(k) for k, v in feats.items()]).collect()[0]
+        assert abs(row["dup_line_fraction"] - 0.2) < 1e-9
+        assert row["bullet_line_fraction"] == 0.2
+        assert row["ellipsis_line_fraction"] == 0.2
+
+    def test_repetition_features_clean_doc_and_empty(self, spark):
+        from waterdata_spark.functions.text import repetition_features
+
+        df = spark.createDataFrame([("one two three four",), ("",)], "t string")
+        feats = repetition_features("t", ngram=3)
+        rows = df.select(*[v.alias(k) for k, v in feats.items()]).collect()
+        # clean doc: 2 distinct trigrams each appearing once
+        assert rows[0]["dup_line_fraction"] == 0.0
+        assert rows[0]["dup_ngram_fraction"] == 0.0
+        assert rows[0]["top_ngram_fraction"] == 0.5  # 1 of 2 trigrams
+        assert rows[0]["bullet_line_fraction"] == 0.0
+        # empty text: every signal 0.0, no division errors
+        assert all(v == 0.0 for v in rows[1].asDict().values())

@@ -87,6 +87,78 @@ def doc_fingerprint(c: Column | str, k: int = 8) -> Column:
     return F.array_min(F.transform(char_shingles(c, k), F.md5))
 
 
+def lines(c: Column | str) -> Column:
+    """Non-empty lines of the text → array<string>."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(col, r"\n"), lambda l: F.trim(l) != "")
+
+
+def word_ngrams(c: Column | str, n: int = 2) -> Column:
+    """Space-joined word n-grams → array<string> (empty when the text
+    has fewer than n tokens). JVM-side: sequence + slice + array_join."""
+    toks = tokens(c)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), F.greatest(count, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(count > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_fraction(arr: Column) -> Column:
+    """1 - distinct/total over an array; 0.0 for empty arrays."""
+    total = F.size(arr)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_features(c: Column | str, ngram: int = 3) -> dict[str, Column]:
+    """Within-document repetition/boilerplate signals — the standard
+    pretraining-corpus filters (C4's line dedup, Raffel et al. 2020;
+    Gopher's repetition thresholds, Rae et al. 2021 §A1.1), as pure
+    JVM expressions:
+
+    - ``dup_line_fraction``: fraction of non-empty lines that are
+      repeats of an earlier line (C4 drops these);
+    - ``dup_ngram_fraction``: fraction of word ``ngram``-grams that are
+      duplicates (Gopher filters docs above ~0.1-0.2);
+    - ``top_ngram_fraction``: share of all ``ngram``-grams taken by the
+      most frequent one (boilerplate/template detector);
+    - ``ellipsis_line_fraction`` / ``bullet_line_fraction``: lines
+      ending in ellipsis / starting with a bullet (Gopher caps these).
+
+    ``top_ngram_fraction`` is O(distinct x total) per document — fine
+    for natural documents (both bounded by token count); everything
+    else is linear per row and nothing shuffles.
+    """
+    ls = lines(c)
+    grams = word_ngrams(c, ngram)
+    n_grams = F.size(grams)
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return {
+        "dup_line_fraction": _dup_fraction(ls),
+        "dup_ngram_fraction": _dup_fraction(grams),
+        "top_ngram_fraction": F.when(
+            n_grams > 0, top_count.cast("double") / n_grams.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "ellipsis_line_fraction": F.when(
+            F.size(ls) > 0,
+            F.size(F.filter(ls, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))).cast("double")
+            / F.size(ls).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        "bullet_line_fraction": F.when(
+            F.size(ls) > 0,
+            F.size(F.filter(ls, lambda l: F.trim(l).rlike(r"^([-*•‣▪]|\d+[.)])\s"))).cast("double")
+            / F.size(ls).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    }
+
+
 def quality_features(c: Column | str) -> dict[str, Column]:
     """Quality-scoring features for an LLM-data pipeline: raw length,
     token count, mean token length, punctuation ratio, uppercase ratio."""

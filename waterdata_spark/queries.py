@@ -1251,30 +1251,50 @@ def x16_ann_search(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, lang,
-             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tok,
-             CAST(list_sum(list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''), x -> length(x))) AS DOUBLE)
-               / greatest(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')), 1) AS mtl
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
       FROM documents
+    ), m AS (
+      SELECT doc_id, lang, len(toks) AS n_tok,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / greatest(len(toks), 1) AS mtl,
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+      FROM t
     )
     SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens
-    FROM t
+    FROM m
     WHERE n_tok >= 30 AND mtl BETWEEN 3.0 AND 8.0
+      AND (CASE WHEN len(grams) > 0
+            THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+            ELSE 0.0 END) <= 0.05
     """,
     doc="X4 LLM-data quality filter: token count + mean-token-length "
-    "thresholds — the canonical pre-training heuristic filter, one scan, "
-    "fully pushed into JVM expressions.",
+    "thresholds plus the Gopher-style within-document repetition gate "
+    "(duplicate-bigram fraction <= 0.05, Rae et al. 2021 §A1.1; filters "
+    "~25% of the synthetic corpus so the oracle observes the signal) — "
+    "the canonical pre-training heuristic filters, one scan, fully "
+    "pushed into JVM expressions via functions/text.py:"
+    "repetition_features.",
     tags=["text", "llm", "filter"],
 )
 def x11_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.functions.text import repetition_features
+
     d = load_table(spark, sf, "documents")
     toks = tokens("text")
     n_tok = F.size(toks).cast("long")
     tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
     mtl = tok_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    dup_bigrams = repetition_features("text", ngram=2)["dup_ngram_fraction"]
     return (
         d.withColumn("n_tokens", n_tok)
         .withColumn("__mtl", mtl)
-        .filter((F.col("n_tokens") >= 30) & (F.col("__mtl") >= 3.0) & (F.col("__mtl") <= 8.0))
+        .withColumn("__dup", dup_bigrams)
+        .filter(
+            (F.col("n_tokens") >= 30)
+            & (F.col("__mtl") >= 3.0)
+            & (F.col("__mtl") <= 8.0)
+            & (F.col("__dup") <= 0.05)
+        )
         .select("doc_id", "lang", "n_tokens")
     )
 
