@@ -859,6 +859,37 @@ class TestAnnSearch:
             by_q.setdefault(r["vec_id"], []).append(r["rank"])
         assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
 
+    def test_build_once_search_many_equals_oneshot(self, spark):
+        """The FAISS-style build/search split: one build_ivf_index +
+        per-batch search_ivf_index must equal the one-shot
+        cosine_search_ivf on each batch (same quantizer seed ⇒ same
+        cells ⇒ identical candidates), including an n_assign=2 build
+        where the dedup decision rides the index, not the call."""
+        from waterdata_spark.operators.similarity import (
+            build_ivf_index,
+            cosine_search_ivf,
+            search_ivf_index,
+        )
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings")
+        data = e.filter(F.col("vec_id") % 5 != 0)
+        batches = [
+            e.filter(F.col("vec_id") % 5 == 0).withColumnRenamed("vec_id", "qid"),
+            e.filter(F.col("vec_id") % 7 == 0).withColumnRenamed("vec_id", "qid"),
+        ]
+        for n_assign in (1, 2):
+            index = build_ivf_index(data, n_cells=8, n_assign=n_assign)
+            for q in batches:
+                split = search_ivf_index(index, q, query_id_col="qid", k=3, n_probe=4, sim_col=None)
+                oneshot = cosine_search_ivf(
+                    data, q, query_id_col="qid", k=3, n_cells=8, n_probe=4,
+                    n_assign=n_assign, sim_col=None,
+                )
+                assert sorted(map(tuple, split.collect())) == sorted(
+                    map(tuple, oneshot.collect())
+                )
+
     def test_query_ids_disjoint_from_data(self, spark):
         """The search shape must not self-exclude: a query searching a
         corpus that contains an identical vector should return it."""
