@@ -763,6 +763,123 @@ class TestSimHashMd5:
         assert got[1] == 0 and got[2] == 0
 
 
+class TestDecontaminate:
+    """GPT-3-style eval-set decontamination (Brown et al. 2020 App. C):
+    13-gram collisions, whole-example grams for short eval items,
+    lowercase/whitespace normalization before matching."""
+
+    @pytest.fixture()
+    def corpus(self, spark):
+        long_clean = " ".join(f"w{i}" for i in range(30))
+        # shares tokens 5..17 (a 13-token window) with the eval doc
+        overlap13 = " ".join(f"w{i}" for i in range(5)) + " " + " ".join(
+            f"e{i}" for i in range(13)
+        ) + " tail tokens here"
+        # contains the SHORT eval item verbatim mid-document
+        holds_short = "alpha beta the secret eval answer gamma delta " + " ".join(
+            f"x{i}" for i in range(10)
+        )
+        return spark.createDataFrame(
+            [(1, long_clean), (2, overlap13), (3, holds_short)],
+            "doc_id long, text string",
+        )
+
+    @pytest.fixture()
+    def eval_df(self, spark):
+        eval_long = " ".join(f"e{i}" for i in range(20))  # >= 13 tokens
+        eval_short = "The  Secret   EVAL answer"  # 4 tokens, mixed case/space
+        return spark.createDataFrame(
+            [(100, eval_long), (101, eval_short)], "eid long, etext string"
+        )
+
+    def test_flags_13gram_and_short_verbatim(self, spark, corpus, eval_df):
+        from waterdata_spark.operators.decontaminate import ngram_contamination
+
+        got = {
+            r["doc_id"]: r
+            for r in ngram_contamination(
+                corpus, eval_df, n=13, eval_id_col="eid", eval_text_col="etext"
+            ).collect()
+        }
+        assert set(got) == {2, 3}
+        assert got[2]["n_eval_docs"] == 1 and got[2]["n_collisions"] >= 1
+        # case/whitespace-normalized short item found inside doc 3
+        assert got[3]["n_eval_docs"] == 1 and got[3]["n_collisions"] == 1
+
+    def test_decontaminate_preserves_clean_rows(self, spark, corpus, eval_df):
+        from waterdata_spark.operators.decontaminate import decontaminate
+
+        kept = decontaminate(
+            corpus, eval_df, n=13, eval_id_col="eid", eval_text_col="etext"
+        )
+        assert [r["doc_id"] for r in kept.collect()] == [1]
+        assert kept.columns == corpus.columns
+
+    def test_empty_eval_set_is_noop(self, spark, corpus):
+        from waterdata_spark.operators.decontaminate import decontaminate
+
+        empty = spark.createDataFrame([], "eid long, etext string")
+        kept = decontaminate(corpus, empty, eval_id_col="eid", eval_text_col="etext")
+        assert kept.count() == 3
+
+    def test_differential_vs_python_reference_on_documents(self, spark):
+        """On the real documents table: eval items are token spans cut
+        from 3 documents; a pure-Python reimplementation of the rule
+        (same normalization) must flag exactly the same doc_ids."""
+        from waterdata_spark.operators.decontaminate import ngram_contamination
+        from waterdata_spark.schemas import load_table
+
+        n = 13
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+        rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+        pick = sorted(rows)[:3]
+        evals = []
+        for j, did in enumerate(pick):
+            toks = rows[did].lower().split()
+            evals.append((1000 + j, " ".join(toks[2 : 2 + n])))  # one 13-gram span
+        eval_df = spark.createDataFrame(evals, "eid long, etext string")
+
+        got = sorted(
+            r["doc_id"]
+            for r in ngram_contamination(
+                docs, eval_df, n=n, eval_id_col="eid", eval_text_col="etext"
+            ).collect()
+        )
+
+        eval_grams = set()
+        for _, t in evals:
+            et = t.lower().split()
+            if len(et) >= n:
+                eval_grams |= {tuple(et[i : i + n]) for i in range(len(et) - n + 1)}
+            elif et:
+                eval_grams.add(tuple(et))
+        lengths = {len(g) for g in eval_grams}
+        expect = sorted(
+            did
+            for did, t in rows.items()
+            if any(
+                tuple(t.lower().split()[i : i + ln]) in eval_grams
+                for ln in lengths
+                for i in range(max(0, len(t.lower().split()) - ln + 1))
+            )
+        )
+        assert got == expect and len(expect) >= 3
+
+    def test_no_false_positive_on_shorter_window(self, spark, eval_df):
+        """A corpus doc containing only 12 of the eval doc's 13-gram
+        tokens must NOT be flagged — the window length is exact."""
+        from waterdata_spark.operators.decontaminate import ngram_contamination
+
+        corpus = spark.createDataFrame(
+            [(7, "prefix " + " ".join(f"e{i}" for i in range(12)))],
+            "doc_id long, text string",
+        )
+        out = ngram_contamination(
+            corpus, eval_df, n=13, eval_id_col="eid", eval_text_col="etext"
+        )
+        assert out.count() == 0
+
+
 class TestAnnSearch:
     def test_probe_all_equals_bruteforce(self, spark):
         """cosine_search_ivf with n_probe >= n_cells covers every cell,

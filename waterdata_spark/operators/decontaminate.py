@@ -1,0 +1,136 @@
+"""Eval-set decontamination: drop training documents that overlap a
+held-out evaluation set (extension X4/LLM surface; the standard
+pre-training hygiene step — GPT-3's 13-gram collision rule, Brown et
+al. 2020 Appendix C; Dodge et al. 2021 measured the damage of skipping
+it on C4).
+
+Semantics (matching the published rule): an eval example contributes
+its normalized word 13-grams; an example SHORTER than 13 tokens
+contributes itself as one gram. A corpus document is contaminated when
+any sliding window of the matching length collides. The corpus side
+therefore generates windows for each distinct eval gram length — at
+most ``n`` distinct lengths, and in practice {13} plus a few short
+ones.
+
+Shape at 100 TB: both sides reduce to fixed-width gram HASHES
+(xxhash64 of the normalized gram — document text never rides a
+shuffle), the eval side is tiny by construction (benchmarks are KB-MB)
+so its gram set BROADCASTS, and the flag pass is one corpus scan into
+a broadcast join + map-side-combinable aggregation. The only action on
+the driver is a ≤``n``-row distinct-lengths aggregate of the EVAL set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from waterdata_spark.functions.text import tokens
+
+
+def _norm_tokens(text_col: str):
+    return F.transform(tokens(F.col(text_col)), F.lower)
+
+
+def _windows(toks, length: int):
+    """Sliding ``length``-token windows, space-joined; empty array when
+    the document is shorter than ``length``."""
+    count = F.size(toks) - F.lit(length - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, length), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _eval_gram_hashes(eval_df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Eval grams per the GPT-3 rule: n-grams for examples with ≥ n
+    tokens, the whole example as ONE gram otherwise. Output columns:
+    __eval_id, __len (gram token length), __gh (xxhash64)."""
+    toks = _norm_tokens(text_col)
+    grams = F.when(F.size(toks) >= n, _windows(toks, n)).otherwise(
+        F.when(F.size(toks) > 0, F.array(F.array_join(toks, " "))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return (
+        eval_df.select(
+            F.col(id_col).alias("__eval_id"),
+            F.least(F.size(toks), F.lit(n)).alias("__len"),
+            F.explode(grams).alias("__gram"),
+        )
+        .select("__eval_id", "__len", F.xxhash64("__gram").alias("__gh"))
+        .dropDuplicates(["__eval_id", "__gh"])
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Flag corpus documents sharing at least one normalized word gram
+    with the eval set (window length per the eval example's own gram
+    length, so a 5-token eval item is found verbatim inside a long
+    training document). Returns one row per CONTAMINATED corpus
+    document: (id_col, n_collisions, n_eval_docs) — distinct colliding
+    grams and distinct implicated eval examples (the audit trail
+    reviewers ask for)."""
+    e = _eval_gram_hashes(eval_df, eval_id_col or id_col, eval_text_col or text_col, n)
+    # ≤ n distinct gram lengths; a tiny driver-side aggregate of the
+    # (small) eval side decides which corpus window passes to generate
+    lengths = sorted(r["__len"] for r in e.select("__len").distinct().collect())
+    if not lengths:
+        schema_cols = [F.col(id_col)]
+        return (
+            corpus.select(*schema_cols)
+            .withColumn("n_collisions", F.lit(0).cast("long"))
+            .withColumn("n_eval_docs", F.lit(0).cast("long"))
+            .filter(F.lit(False))
+        )
+
+    toks = _norm_tokens(text_col)
+
+    # closure factory, NOT a default-arg lambda: F.transform treats a
+    # two-parameter lambda as (element, index) and would bind ln to the
+    # window index
+    def _tag(ln: int):
+        return lambda g: F.struct(F.lit(ln).alias("l"), g.alias("g"))
+
+    per_len = [F.transform(_windows(toks, ln), _tag(ln)) for ln in lengths]
+    all_windows = per_len[0] if len(per_len) == 1 else F.concat(*per_len)
+    c = corpus.select(F.col(id_col).alias("__id"), F.explode(all_windows).alias("__w")).select(
+        "__id", F.col("__w.l").alias("__len"), F.xxhash64("__w.g").alias("__gh")
+    )
+    hits = c.join(F.broadcast(e), ["__len", "__gh"])
+    return (
+        hits.groupBy("__id")
+        .agg(
+            F.countDistinct("__gh").alias("n_collisions"),
+            F.countDistinct("__eval_id").alias("n_eval_docs"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """The corpus minus contaminated documents (left-anti join on the
+    flag frame) — all corpus columns preserved."""
+    flagged = ngram_contamination(
+        corpus, eval_df, n, id_col, text_col, eval_id_col, eval_text_col
+    ).select(id_col)
+    return corpus.join(flagged, id_col, "left_anti")
