@@ -232,6 +232,29 @@ class TestPartitionPruning:
         assert leaf.metrics().apply("numFiles").value() == 1
 
 
+class TestDecontaminatePlan:
+    def test_gram_join_broadcasts_and_corpus_scans_once(self, spark):
+        """The contamination flag pass must broadcast the (small) eval
+        gram set — never sort-merge the corpus grams — and the corpus
+        parquet is scanned once per pass (flag + anti-join = 2 total
+        for decontaminate)."""
+        from waterdata_spark.operators.decontaminate import ngram_contamination
+        from waterdata_spark.schemas import load_table
+
+        docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+        ev = docs.limit(20).select(
+            F.col("doc_id").alias("eid"),
+            F.col("text").alias("etext"),
+        )
+        out = ngram_contamination(docs, ev, n=13, eval_id_col="eid", eval_text_col="etext")
+        assert_plan(
+            out,
+            min_broadcast_joins=1,
+            max_sort_merge_joins=0,
+            max_scans_of={"documents.parquet": 2},  # corpus + eval derive from it here
+        )
+
+
 class TestCacheHygiene:
     """Long-lived-JVM storage discipline (round 4): operator-internal
     persisted frames must not accumulate across invocations. Measured

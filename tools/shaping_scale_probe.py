@@ -69,12 +69,30 @@ def _ops(spark, sf_dir):
         )
         return merge_upsert(docs, src, keys=["doc_id"], delete_col="__del")
 
+    def decontam():
+        # eval set: 13-token spans cut from 50 documents — every one a
+        # guaranteed hit, so the flag path does real work
+        from waterdata_spark.operators.decontaminate import decontaminate
+
+        ev = (
+            docs.filter(F.col("doc_id") % 100 == 0)
+            .limit(50)
+            .select(
+                F.col("doc_id").alias("eid"),
+                F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 3, 13), " ").alias(
+                    "etext"
+                ),
+            )
+        )
+        return decontaminate(docs, ev, n=13, eval_id_col="eid", eval_text_col="etext")
+
     return {
         "chunk_documents": chunk,
         "pack_sequences": pack,
         "stratified_sample": sample,
         "stratified_sample_exact": sample_exact,
         "merge_upsert": merge,
+        "decontaminate": decontam,
     }
 
 
