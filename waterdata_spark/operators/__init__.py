@@ -1,4 +1,15 @@
+from waterdata_spark.operators.asof import asof_join
+from waterdata_spark.operators.chunking import chunk_documents, pack_sequences
+from waterdata_spark.operators.decontaminate import decontaminate, ngram_contamination
 from waterdata_spark.operators.dedup import dedup_any, exact_dedup, priority_dedup, priority_dedup_agg
+from waterdata_spark.operators.dedup_approx import (
+    min_id_components,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    simhash_signature,
+    simhash_signature_md5,
+    star_contraction_components,
+)
 from waterdata_spark.operators.expand import expand_keys
 from waterdata_spark.operators.expectations import (
     ExpectationError,
@@ -8,36 +19,65 @@ from waterdata_spark.operators.expectations import (
     expect_row_count_preserved,
     expect_schema,
 )
-from waterdata_spark.operators.asof import asof_join
-from waterdata_spark.operators.dedup_approx import (
-    minhash_candidate_pairs,
-    minhash_dedup,
-    simhash_signature,
-    simhash_signature_md5,
-)
 from waterdata_spark.operators.fallback_join import fallback_join
 from waterdata_spark.operators.joins import suffixed_join
-from waterdata_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from waterdata_spark.operators.merge import apply_changes, merge_upsert
+from waterdata_spark.operators.range_join import range_join
+from waterdata_spark.operators.sampling import (
+    hash_sample,
+    mixture_rates,
+    stratified_sample,
+    stratified_sample_exact,
+)
+from waterdata_spark.operators.similarity import (
+    build_ivf_index,
+    cosine_search_bruteforce,
+    cosine_search_ivf,
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_ivf_blocked,
+    cosine_topk_lsh,
+    search_ivf_index,
+)
 
 __all__ = [
+    "ExpectationError",
+    "apply_changes",
     "asof_join",
-    "minhash_candidate_pairs",
-    "minhash_dedup",
-    "simhash_signature",
-    "simhash_signature_md5",
-    "suffixed_join",
+    "build_ivf_index",
+    "chunk_documents",
+    "cosine_search_bruteforce",
+    "cosine_search_ivf",
     "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
+    "cosine_topk_ivf_blocked",
     "cosine_topk_lsh",
+    "decontaminate",
     "dedup_any",
     "exact_dedup",
-    "priority_dedup",
-    "priority_dedup_agg",
     "expand_keys",
-    "ExpectationError",
     "expect_column_consistency",
     "expect_range",
     "expect_ranges",
     "expect_row_count_preserved",
     "expect_schema",
     "fallback_join",
+    "hash_sample",
+    "merge_upsert",
+    "min_id_components",
+    "minhash_candidate_pairs",
+    "minhash_dedup",
+    "mixture_rates",
+    "ngram_contamination",
+    "pack_sequences",
+    "priority_dedup",
+    "priority_dedup_agg",
+    "range_join",
+    "search_ivf_index",
+    "simhash_signature",
+    "simhash_signature_md5",
+    "star_contraction_components",
+    "stratified_sample",
+    "stratified_sample_exact",
+    "suffixed_join",
 ]
