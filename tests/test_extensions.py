@@ -865,6 +865,50 @@ class TestDecontaminate:
         )
         assert got == expect and len(expect) >= 3
 
+    def test_metamorphic_laws(self, spark):
+        """Monotonicity (a larger eval set never un-flags), idempotence
+        (re-decontaminating with the same eval set removes nothing
+        more), and eval-row-order invariance — on deterministic random
+        corpora."""
+        import random
+
+        from waterdata_spark.operators.decontaminate import (
+            decontaminate,
+            ngram_contamination,
+        )
+
+        rng = random.Random(11)
+        vocab = [f"t{i}" for i in range(40)]
+        corpus_rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 40))))
+            for i in range(60)
+        ]
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        # eval1: spans of 2 corpus docs; eval2 adds 2 more
+        def span(did, ln):
+            toks = corpus_rows[did][1].split()
+            return " ".join(toks[: min(ln, len(toks))])
+
+        e1 = [(0, span(3, 13)), (1, span(7, 6))]
+        e2 = e1 + [(2, span(20, 13)), (3, span(31, 4))]
+        ev1 = spark.createDataFrame(e1, "eid long, etext string")
+        ev2 = spark.createDataFrame(e2, "eid long, etext string")
+        ev2_shuffled = spark.createDataFrame(list(reversed(e2)), "eid long, etext string")
+
+        kw = dict(n=13, eval_id_col="eid", eval_text_col="etext")
+        f1 = {r["doc_id"] for r in ngram_contamination(corpus, ev1, **kw).collect()}
+        f2 = {r["doc_id"] for r in ngram_contamination(corpus, ev2, **kw).collect()}
+        f2s = {r["doc_id"] for r in ngram_contamination(corpus, ev2_shuffled, **kw).collect()}
+        assert f1 <= f2          # monotone in the eval set
+        assert f2 == f2s         # order-invariant
+        assert {3, 7} <= f1      # the planted spans are found
+
+        once = decontaminate(corpus, ev2, **kw)
+        twice = decontaminate(once, ev2, **kw)
+        assert sorted(r["doc_id"] for r in once.collect()) == sorted(
+            r["doc_id"] for r in twice.collect()
+        )
+
     def test_no_false_positive_on_shorter_window(self, spark, eval_df):
         """A corpus doc containing only 12 of the eval doc's 13-gram
         tokens must NOT be flagged — the window length is exact."""
