@@ -160,6 +160,36 @@ class TestText:
         assert row["bullet_line_fraction"] == 0.2
         assert row["ellipsis_line_fraction"] == 0.2
 
+    def test_redact_pii(self, spark):
+        from waterdata_spark.functions.text import pii_counts, redact_pii
+
+        text = (
+            "mail a.b+c@ex-ample.co.uk or call (412) 555-1234 / 412-555-9876, "
+            "host 10.0.255.1, ssn 123-45-6789, keep 2024-01-02 and price 3.14"
+        )
+        df = spark.createDataFrame([(text,)], "t string")
+        out = df.select(redact_pii("t").alias("r"), *[
+            v.alias(k) for k, v in pii_counts("t").items()
+        ]).collect()[0]
+        r = out["r"]
+        assert "<EMAIL>" in r and "a.b+c@" not in r
+        assert r.count("<PHONE>") == 2 and "555-1234" not in r
+        assert "<IP>" in r and "10.0.255.1" not in r
+        assert "<SSN>" in r and "123-45-6789" not in r
+        # non-PII digits survive
+        assert "2024-01-02" in r and "3.14" in r
+        assert (out["email_count"], out["phone_count"], out["ip_count"], out["ssn_count"]) == (1, 2, 1, 1)
+
+    def test_redact_pii_no_false_positives(self, spark):
+        from waterdata_spark.functions.text import redact_pii
+
+        clean = "version 1.2.3 of pkg@dev is not an email-address; 1234-5678 stays"
+        df = spark.createDataFrame([(clean,)], "t string")
+        r = df.select(redact_pii("t").alias("r")).collect()[0]["r"]
+        # 'pkg@dev' lacks a dotted TLD; 1.2.3 is not 4 octets; 1234-5678
+        # matches no class
+        assert r == clean
+
     def test_repetition_features_clean_doc_and_empty(self, spark):
         from waterdata_spark.functions.text import repetition_features
 

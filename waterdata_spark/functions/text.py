@@ -159,6 +159,46 @@ def repetition_features(c: Column | str, ngram: int = 3) -> dict[str, Column]:
     }
 
 
+# PII patterns, applied in order (email before phone: an email's digit
+# runs must not be half-eaten by the phone pattern first)
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"(?<!\d)(?:\+?1[-. ]?)?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}(?!\d)", "<PHONE>"),
+]
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Scrub the PII classes every pretraining pipeline handles —
+    emails, IPv4s, US SSNs, US phone numbers — replacing each with a
+    typed placeholder token (C4 and its descendants drop or mask these
+    before training). A chain of JVM-side ``regexp_replace`` calls:
+    no UDF, no shuffle, linear per row.
+
+    Deliberately pattern-scoped (regexes are auditable and cheap at
+    100 TB); entity-model scrubbing (names, addresses) is a different
+    cost class and belongs behind an Arrow-batched codec like the
+    multimodal decoders."""
+    out = F.col(c) if isinstance(c, str) else c
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(c: Column | str) -> dict[str, Column]:
+    """Per-class PII occurrence counts (audit/reporting companion to
+    :func:`redact_pii` — pipelines log these before deciding whether a
+    document is droppable or maskable)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return {
+        token.strip("<>").lower() + "_count": F.size(
+            F.regexp_extract_all(col, F.lit(pattern), 0)
+        )
+        for pattern, token in PII_PATTERNS
+    }
+
+
 def quality_features(c: Column | str) -> dict[str, Column]:
     """Quality-scoring features for an LLM-data pipeline: raw length,
     token count, mean token length, punctuation ratio, uppercase ratio."""
