@@ -415,6 +415,36 @@ class TestRealCodecsNoLibs:
         dib = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(raster), 2835, 2835, 0, 0)
         assert numpy_image_codec(header + dib + raster) == numpy_image_codec(_bmp24(pixels))
 
+    def test_bmp_bitfields_standard_masks_decode(self):
+        """BI_BITFIELDS with the standard BGRA masks decodes exactly
+        like the equivalent BI_RGB file."""
+        import struct
+
+        from waterdata_spark.operators.multimodal import numpy_image_codec
+
+        pixels = self.PIXELS
+        h, w = len(pixels), len(pixels[0])
+        raster = b"".join(bytes((b_, g, r, 0xFF)) for row in pixels for (r, g, b_) in row)
+        header = struct.pack("<2sIHHI", b"BM", 66 + len(raster), 0, 0, 66)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 3, len(raster), 2835, 2835, 0, 0)
+        masks = struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+        assert numpy_image_codec(header + dib + masks + raster) == numpy_image_codec(_bmp24(pixels))
+
+    def test_bmp_bitfields_nonstandard_masks_rejected(self):
+        """RGBA-order masks must raise, not silently decode with
+        swapped channels (ADVICE r5: pure red landed in the blue luma
+        bin)."""
+        import struct
+
+        from waterdata_spark.operators.multimodal import numpy_image_codec
+
+        raster = bytes((255, 0, 0, 255))  # would-be pure red under RGBA masks
+        header = struct.pack("<2sIHHI", b"BM", 66 + len(raster), 0, 0, 66)
+        dib = struct.pack("<IiiHHIIiiII", 40, 1, -1, 1, 32, 3, len(raster), 2835, 2835, 0, 0)
+        masks = struct.pack("<III", 0x000000FF, 0x0000FF00, 0x00FF0000)  # RGBA order
+        with pytest.raises(ValueError, match="BI_BITFIELDS masks"):
+            numpy_image_codec(header + dib + masks + raster)
+
     def test_compressed_format_still_errors_clearly(self):
         from waterdata_spark.operators.multimodal import numpy_image_codec
 
@@ -821,6 +851,45 @@ class TestDecontaminate:
         empty = spark.createDataFrame([], "eid long, etext string")
         kept = decontaminate(corpus, empty, eval_id_col="eid", eval_text_col="etext")
         assert kept.count() == 3
+
+    def test_max_lengths_guard_truncates_and_warns(self, spark, corpus):
+        """A hostile eval set with many distinct short-example lengths
+        must not multiply corpus window generation unbounded: only the
+        max_lengths most frequent gram lengths are matched, with a
+        warning naming the dropped ones (VERDICT r5 item 8)."""
+        import warnings
+
+        from waterdata_spark.operators.decontaminate import ngram_contamination
+
+        # 10 distinct eval lengths (3..12 tokens), one example each
+        hostile = spark.createDataFrame(
+            [(i, " ".join(f"z{i}_{j}" for j in range(i + 3))) for i in range(10)],
+            "eid long, etext string",
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = ngram_contamination(
+                corpus, hostile, n=13, eval_id_col="eid", eval_text_col="etext",
+                max_lengths=4,
+            )
+            assert out.count() == 0  # no z-tokens in the corpus
+        msgs = [str(x.message) for x in w]
+        assert any("distinct gram lengths" in m and "keeping the 4" in m for m in msgs)
+
+    def test_short_gram_warning_but_still_matches(self, spark, corpus):
+        import warnings
+
+        from waterdata_spark.operators.decontaminate import ngram_contamination
+
+        # a 2-token eval item that DOES occur in doc 3 ('secret eval')
+        tiny = spark.createDataFrame([(7, "secret eval")], "eid long, etext string")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = ngram_contamination(
+                corpus, tiny, n=13, eval_id_col="eid", eval_text_col="etext"
+            ).collect()
+        assert [r["doc_id"] for r in got] == [3]
+        assert any("candidate window" in str(x.message) for x in w)
 
     def test_differential_vs_python_reference_on_documents(self, spark):
         """On the real documents table: eval items are token spans cut

@@ -131,7 +131,27 @@ def numpy_image_codec(content: bytes) -> dict:
         width, height_raw = struct.unpack_from("<ii", content, 18)
         bpp, compression = struct.unpack_from("<H", content, 28)[0], struct.unpack_from("<I", content, 30)[0]
         if compression not in (0, 3) or bpp not in (24, 32):
-            raise ValueError(f"BMP bpp={bpp} compression={compression} not supported (BI_RGB 24/32 only)")
+            raise ValueError(
+                f"BMP bpp={bpp} compression={compression} not supported "
+                "(BI_RGB 24/32, or BI_BITFIELDS with the standard BGRA masks)"
+            )
+        if compression == 3:
+            # BI_BITFIELDS: the decode below assumes little-endian BGRA
+            # byte order, i.e. masks R=0x00FF0000 G=0x0000FF00
+            # B=0x000000FF. Parse the mask dwords (they follow the
+            # 40-byte BITMAPINFOHEADER / live at the same offset inside
+            # V4/V5 headers) and refuse any other layout rather than
+            # decode silently wrong (ADVICE r5: an RGBA-masked file put
+            # pure red in the blue luma bin).
+            if len(content) < 66:
+                raise ValueError("BMP BI_BITFIELDS truncated before channel masks")
+            rmask, gmask, bmask = struct.unpack_from("<III", content, 54)
+            if bpp != 32 or (rmask, gmask, bmask) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+                raise ValueError(
+                    f"BMP BI_BITFIELDS masks R={rmask:#010x} G={gmask:#010x} "
+                    f"B={bmask:#010x} bpp={bpp} not supported (standard "
+                    "BGRA 0x00FF0000/0x0000FF00/0x000000FF 32-bpp only)"
+                )
         height, top_down = abs(height_raw), height_raw < 0
         stride = ((bpp * width + 31) // 32) * 4
         raw = np.frombuffer(content, dtype=np.uint8, count=stride * height, offset=data_off)
