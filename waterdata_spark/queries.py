@@ -388,21 +388,71 @@ def q12_date_parts(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q13_string_funcs",
     """
+    WITH p AS (
+      SELECT c_custkey, c_name, c_mktsegment, c_nationkey,
+             'reach c' || CAST(c_custkey AS VARCHAR) || '@example.com or 10.'
+               || CAST(c_custkey % 200 AS VARCHAR) || '.0.1 ssn 123-45-'
+               || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               || ' call (415) 555-'
+               || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               || ' ref 2024-01-15 v1.2.3' AS planted
+      FROM customer
+    ), s1 AS (
+      SELECT *, CAST(len(regexp_extract_all(planted,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS email_count,
+             regexp_replace(planted,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM p
+    ), s2 AS (
+      SELECT *, CAST(len(regexp_extract_all(t1,
+               '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INTEGER) AS ip_count,
+             regexp_replace(t1, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT *, CAST(len(regexp_extract_all(t2,
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INTEGER) AS ssn_count,
+             regexp_replace(t2, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS t3
+      FROM s2
+    ), s4 AS (
+      SELECT *, CAST(len(regexp_extract_all(t3,
+               '(\\+?1[-. ]?)?(\\(\\d{3}\\)|\\d{3})[-. ]\\d{3}[-. ]\\d{4}')) AS INTEGER) AS phone_count,
+             regexp_replace(t3,
+               '(\\+?1[-. ]?)?(\\(\\d{3}\\)|\\d{3})[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g') AS t4
+      FROM s3
+    )
     SELECT c_custkey,
            upper(trim(c_name)) AS name_upper,
            regexp_replace(c_name, 'Customer#0*', '') AS name_id,
            substr(c_mktsegment, 1, 3) AS seg3,
            concat_ws(', ', c_name, c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS display,
-           concat('n', CAST(c_custkey AS VARCHAR)) AS tagged_key
-    FROM customer
+           concat('n', CAST(c_custkey AS VARCHAR)) AS tagged_key,
+           t4 AS pii_redacted, email_count, ip_count, ssn_count, phone_count
+    FROM s4
     """,
     doc="C31-C36 string surface: trim/upper, regex replace, substring, "
     "concat_ws, and the reference's 'n'-prefix key tagging "
-    "(down/down_water_prep.py:470-471).",
-    tags=["scalar", "string"],
+    "(down/down_water_prep.py:470-471). Round 6 absorbs the X9 PII "
+    "surface (functions/text.py:redact_pii / pii_counts) into this "
+    "entry: PII is PLANTED deterministically per row (email, IPv4, SSN, "
+    "phone built from c_custkey), then redacted and audit-counted "
+    "through the same sequential class chain. The planted text is "
+    "digit-delimited so the Java-regex engine (Spark, with phone "
+    "lookarounds) and the RE2 oracle twin (no lookarounds) provably "
+    "match the same spans.",
+    tags=["scalar", "string", "pii", "llm"],
 )
 def q13_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.functions.text import pii_counts, redact_pii
+
     c = load_table(spark, sf, "customer")
+    key4 = F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0")
+    planted = F.concat(
+        F.lit("reach c"), F.col("c_custkey").cast("string"),
+        F.lit("@example.com or 10."), (F.col("c_custkey") % 200).cast("string"),
+        F.lit(".0.1 ssn 123-45-"), key4,
+        F.lit(" call (415) 555-"), key4,
+        F.lit(" ref 2024-01-15 v1.2.3"),
+    )
     return c.select(
         "c_custkey",
         F.upper(F.trim(F.col("c_name"))).alias("name_upper"),
@@ -410,6 +460,8 @@ def q13_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
         F.substring("c_mktsegment", 1, 3).alias("seg3"),
         F.concat_ws(", ", "c_name", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("display"),
         F.concat(F.lit("n"), F.col("c_custkey").cast("string")).alias("tagged_key"),
+        redact_pii(planted).alias("pii_redacted"),
+        *[v.alias(k) for k, v in pii_counts(planted).items()],
     )
 
 
@@ -586,43 +638,11 @@ def x01_exact_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     return exact_dedup(d, ["text"], "doc_id").select("doc_id", "lang", "n_chars")
 
 
-@query(
-    "x02_token_stats",
-    """
-    WITH t AS (
-      SELECT doc_id,
-             CAST(length(text) AS BIGINT) AS n_chars_measured,
-             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks,
-             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS BIGINT) AS n_bpe_tokens
-      FROM documents
-    )
-    SELECT doc_id, n_chars_measured, n_bpe_tokens,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-             / greatest(len(toks), 1) AS mean_token_len
-    FROM t
-    """,
-    doc="X4 token counting + quality scoring (x03 consolidated here to "
-    "free a registry slot): whitespace tokenizer, BPE-ish regex "
-    "pre-tokenizer (letter runs / digit runs / single symbols), char "
-    "length, mean token length — the building blocks of an LLM-data "
-    "quality filter, all JVM-side.",
-    tags=["text", "llm"],
-)
-def x02_token_stats(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.functions.text import bpe_tokens
-
-    d = load_table(spark, sf, "documents")
-    toks = tokens("text")
-    n_tok = F.size(toks).cast("long")
-    tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-    return d.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars_measured"),
-        F.size(bpe_tokens("text")).cast("long").alias("n_bpe_tokens"),
-        n_tok.alias("n_tokens"),
-        (tok_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")).alias("mean_token_len"),
-    )
+# x02_token_stats (X4 token counting + quality scoring; had itself
+# absorbed x03) was consolidated into x11_quality_filter in round 6 —
+# every one of its columns (n_chars_measured, n_bpe_tokens, n_tokens,
+# mean_token_len) is still oracle-hashed there — freeing the registry
+# slot for x21_decontaminate. See COVERAGE.md.
 
 
 def _lang_score_sql(lang: str) -> str:
@@ -1251,16 +1271,19 @@ def x16_ann_search(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, lang,
+             CAST(length(text) AS BIGINT) AS n_chars_measured,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS BIGINT) AS n_bpe_tokens,
              list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
       FROM documents
     ), m AS (
-      SELECT doc_id, lang, len(toks) AS n_tok,
+      SELECT doc_id, lang, n_chars_measured, n_bpe_tokens, len(toks) AS n_tok,
              CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
                / greatest(len(toks), 1) AS mtl,
              list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
       FROM t
     )
-    SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens
+    SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens,
+           n_chars_measured, n_bpe_tokens, mtl AS mean_token_len
     FROM m
     WHERE n_tok >= 30 AND mtl BETWEEN 3.0 AND 8.0
       AND (CASE WHEN len(grams) > 0
@@ -1273,11 +1296,15 @@ def x16_ann_search(spark: SparkSession, sf: str) -> DataFrame:
     "~25% of the synthetic corpus so the oracle observes the signal) — "
     "the canonical pre-training heuristic filters, one scan, fully "
     "pushed into JVM expressions via functions/text.py:"
-    "repetition_features.",
+    "repetition_features. Round 6: absorbs the former x02 token-stats "
+    "entry (char length, whitespace token count, BPE-ish regex "
+    "pre-tokenizer count, mean token length — all still oracle-hashed "
+    "here) to free a registry slot for x21_decontaminate; see "
+    "COVERAGE.md.",
     tags=["text", "llm", "filter"],
 )
 def x11_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.functions.text import repetition_features
+    from waterdata_spark.functions.text import bpe_tokens, repetition_features
 
     d = load_table(spark, sf, "documents")
     toks = tokens("text")
@@ -1287,15 +1314,17 @@ def x11_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     dup_bigrams = repetition_features("text", ngram=2)["dup_ngram_fraction"]
     return (
         d.withColumn("n_tokens", n_tok)
-        .withColumn("__mtl", mtl)
+        .withColumn("n_chars_measured", F.length("text").cast("long"))
+        .withColumn("n_bpe_tokens", F.size(bpe_tokens("text")).cast("long"))
+        .withColumn("mean_token_len", mtl)
         .withColumn("__dup", dup_bigrams)
         .filter(
             (F.col("n_tokens") >= 30)
-            & (F.col("__mtl") >= 3.0)
-            & (F.col("__mtl") <= 8.0)
+            & (F.col("mean_token_len") >= 3.0)
+            & (F.col("mean_token_len") <= 8.0)
             & (F.col("__dup") <= 0.05)
         )
-        .select("doc_id", "lang", "n_tokens")
+        .select("doc_id", "lang", "n_tokens", "n_chars_measured", "n_bpe_tokens", "mean_token_len")
     )
 
 
@@ -2147,3 +2176,73 @@ def x20_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("c"),
     ).select("o_orderkey", "c.seq", "c.op", "c.o_totalprice")
     return apply_changes(tgt, chg, ["o_orderkey"])
+
+
+@query(
+    "x21_decontaminate",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), ev AS (
+      SELECT doc_id * 10 + 1 AS eid, toks[4:16] AS etoks
+      FROM t WHERE doc_id % 97 = 0 AND len(toks) >= 16
+      UNION ALL
+      SELECT doc_id * 10 + 2 AS eid, toks[1:5] AS etoks
+      FROM t WHERE doc_id % 131 = 0 AND len(toks) >= 5
+    ), eg0 AS (
+      SELECT eid,
+             CASE WHEN len(etoks) >= 13 THEN 13 ELSE len(etoks) END AS l,
+             UNNEST(CASE WHEN len(etoks) >= 13
+               THEN list_transform(range(1, len(etoks) - 11),
+                                   i -> array_to_string(etoks[i:i+12], ' '))
+               ELSE [array_to_string(etoks, ' ')] END) AS g
+      FROM ev WHERE len(etoks) > 0
+    ), eg AS (
+      SELECT DISTINCT eid, l, g FROM eg0
+    ), lens AS (
+      SELECT DISTINCT l FROM eg
+    ), cw AS (
+      SELECT t.doc_id, lens.l AS l,
+             UNNEST(list_transform(range(1, len(t.toks) - lens.l + 2),
+                                   i -> array_to_string(t.toks[i:i+lens.l-1], ' '))) AS g
+      FROM t, lens WHERE len(t.toks) >= lens.l
+    )
+    SELECT cw.doc_id,
+           CAST(COUNT(DISTINCT eg.g) AS BIGINT) AS n_collisions,
+           CAST(COUNT(DISTINCT eg.eid) AS BIGINT) AS n_eval_docs
+    FROM cw JOIN eg ON cw.l = eg.l AND cw.g = eg.g
+    GROUP BY cw.doc_id
+    """,
+    doc="X9 eval-set decontamination, ORACLE-GATED (VERDICT r5 item 3; "
+    "the flag side of operators/decontaminate.ngram_contamination — the "
+    "GPT-3 13-gram collision rule, Brown et al. 2020 App. C, with "
+    "whole-example grams for short eval items). The eval set is carved "
+    "deterministically from the corpus itself (a 13-token span from "
+    "every 97th document + a 5-token short item from every 131st), so "
+    "contamination is guaranteed non-vacuous and both engines can "
+    "construct it. Spark matches on broadcast xxhash64 gram hashes "
+    "(document text never rides the shuffle); the DuckDB twin matches "
+    "the gram STRINGS — equal distinct-counts certify the hash path is "
+    "collision-free at this scale. Output: one row per contaminated "
+    "doc with distinct colliding grams + implicated eval items.",
+    tags=["llm", "decontaminate", "text"],
+)
+def x21_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.decontaminate import ngram_contamination
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    span13 = d.filter((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 16)).select(
+        (F.col("doc_id") * 10 + 1).alias("eid"),
+        F.array_join(F.slice(toks, 4, 13), " ").alias("etext"),
+    )
+    short5 = d.filter((F.col("doc_id") % 131 == 0) & (F.size(toks) >= 5)).select(
+        (F.col("doc_id") * 10 + 2).alias("eid"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("etext"),
+    )
+    eval_df = span13.unionByName(short5)
+    return ngram_contamination(
+        d, eval_df, n=13, eval_id_col="eid", eval_text_col="etext"
+    ).select("doc_id", "n_collisions", "n_eval_docs")
