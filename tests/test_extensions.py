@@ -1120,6 +1120,114 @@ class TestAnnSearch:
                     map(tuple, oneshot.collect())
                 )
 
+    def test_quantize_roundtrip_error_within_bound(self, spark):
+        """Symmetric int8 quantization must reconstruct within the
+        theoretical half-step bound scale/2 per element, and a zero
+        vector must survive (scale 0, all-zero codes)."""
+        from waterdata_spark.operators.quantize import quantization_error
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings")
+        zero = spark.createDataFrame(
+            [(10**9, [0.0] * len(e.first()["embedding"]))],
+            "vec_id long, embedding array<double>",
+        )
+        out = quantization_error(
+            e.select("vec_id", F.col("embedding").cast("array<double>")).unionByName(zero)
+        )
+        stats = out.agg(
+            F.max("err_vs_bound").alias("worst"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        assert stats["n"] == e.count() + 1
+        assert stats["worst"] <= 1.0 + 1e-9
+        z = out.filter(F.col("vec_id") == 10**9).collect()[0]
+        assert z["max_abs_err"] == 0.0 and z["qscale"] == 0.0
+        assert all(v == 0 for v in z["qvec"])
+
+    def test_quantize_plan_is_jvm_only(self, spark):
+        """Quantization is pure JVM expressions — no Python workers in
+        the plan (the 100 TB write path must not serde every vector)."""
+        from waterdata_spark.operators.quantize import with_quantized_vector
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings")
+        out = with_quantized_vector(e.select("vec_id", "embedding"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "mapInPandas" not in plan
+        row = out.first()
+        assert len(row["qvec"]) == len(row["embedding"]) and row["qscale"] > 0
+
+    def test_quantized_probe_all_matches_exact_on_separated_groups(self, spark):
+        """Margin law: int8 noise (<~0.01 cosine) must not flip a
+        decision whose margin exceeds it. 16 groups of 4 near-duplicate
+        vectors around well-separated centers: each query's exact top-3
+        is its 3 groupmates (in-group cosine ~1.0 vs cross-group ~<0.8),
+        so the quantized search must return exactly those sets."""
+        import math
+        import random
+
+        from waterdata_spark.operators.similarity import (
+            build_ivf_index,
+            cosine_search_bruteforce,
+            search_ivf_index,
+        )
+
+        rng = random.Random(3)
+        dim, n_groups = 8, 16
+        centers = []
+        for g in range(n_groups):
+            v = [rng.gauss(0, 1) for _ in range(dim)]
+            n = math.sqrt(sum(x * x for x in v))
+            centers.append([x / n for x in v])
+        rows = [
+            (g * 4 + m, [c + rng.uniform(-0.005, 0.005) for c in centers[g]])
+            for g in range(n_groups)
+            for m in range(4)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        # query = member 0 of every 4th group; data = everything else
+        queries = df.filter((F.col("vec_id") % 16 == 0)).withColumnRenamed("vec_id", "qid")
+        data = df.filter(F.col("vec_id") % 16 != 0)
+        bf = cosine_search_bruteforce(data, queries, query_id_col="qid", k=3, sim_col=None)
+        by_q_bf: dict = {}
+        for r in bf.collect():
+            by_q_bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        # sanity: exact top-3 of query g*16 is its groupmates g*16+1..3
+        assert all(v == {q + 1, q + 2, q + 3} for q, v in by_q_bf.items())
+        idx = build_ivf_index(data, n_cells=4, quantize=True)
+        try:
+            q = search_ivf_index(idx, queries, query_id_col="qid", k=3, n_probe=4, sim_col=None)
+            by_q_q: dict = {}
+            for r in q.collect():
+                by_q_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            assert by_q_bf == by_q_q
+        finally:
+            idx.indexed.unpersist()
+
+    def test_quantized_index_schema_and_overlap_on_real_embeddings(self, spark):
+        """On the real embeddings table the quantized index must store
+        int8 payloads (byte array + one double scale — the 4x claim's
+        schema side) and agree with the float index on >=90% of
+        neighbor decisions at the same operating point."""
+        from waterdata_spark.operators.similarity import build_ivf_index, search_ivf_index
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings")
+        queries = e.filter(F.col("vec_id") % 10 == 0).withColumnRenamed("vec_id", "qid")
+        fp = build_ivf_index(e, n_cells=8, n_assign=2)
+        q8 = build_ivf_index(e, n_cells=8, n_assign=2, quantize=True)
+        try:
+            assert dict(q8.indexed.dtypes)["d_q"] == "array<tinyint>"
+            assert dict(q8.indexed.dtypes)["d_s"] == "double"
+            a = search_ivf_index(fp, queries, query_id_col="qid", k=5, n_probe=8, sim_col=None)
+            b = search_ivf_index(q8, queries, query_id_col="qid", k=5, n_probe=8, sim_col=None)
+            sa = {(r["query_id"], r["neighbor_id"]) for r in a.collect()}
+            sb = {(r["query_id"], r["neighbor_id"]) for r in b.collect()}
+            assert len(sa & sb) / len(sa) >= 0.9
+        finally:
+            fp.indexed.unpersist()
+            q8.indexed.unpersist()
+
     def test_query_ids_disjoint_from_data(self, spark):
         """The search shape must not self-exclude: a query searching a
         corpus that contains an identical vector should return it."""

@@ -22,6 +22,11 @@ from waterdata_spark.operators.expectations import (
 from waterdata_spark.operators.fallback_join import fallback_join
 from waterdata_spark.operators.joins import suffixed_join
 from waterdata_spark.operators.merge import apply_changes, merge_upsert
+from waterdata_spark.operators.quantize import (
+    dequantize,
+    quantization_error,
+    with_quantized_vector,
+)
 from waterdata_spark.operators.range_join import range_join
 from waterdata_spark.operators.sampling import (
     hash_sample,
@@ -54,10 +59,12 @@ __all__ = [
     "cosine_topk_lsh",
     "decontaminate",
     "dedup_any",
+    "dequantize",
     "exact_dedup",
     "expand_keys",
     "expect_column_consistency",
     "expect_range",
+    "quantization_error",
     "expect_ranges",
     "expect_row_count_preserved",
     "expect_schema",
@@ -80,4 +87,5 @@ __all__ = [
     "stratified_sample",
     "stratified_sample_exact",
     "suffixed_join",
+    "with_quantized_vector",
 ]

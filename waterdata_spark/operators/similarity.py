@@ -583,12 +583,22 @@ class IvfIndex:
     lineage stays intact either way, so a released index transparently
     recomputes on next use (correct, just cold)."""
 
-    def __init__(self, n_cells: int, centroid_matrix, indexed: DataFrame, id_type, n_assign: int = 1):
+    def __init__(
+        self,
+        n_cells: int,
+        centroid_matrix,
+        indexed: DataFrame,
+        id_type,
+        n_assign: int = 1,
+        quantized: bool = False,
+    ):
         self.n_cells = n_cells
         self.C = centroid_matrix
-        self.indexed = indexed  # columns: d_id, d_unit, cell
+        # columns: d_id, cell, and d_unit (float) OR d_q+d_s (int8+scale)
+        self.indexed = indexed
         self.id_type = id_type
         self.n_assign = n_assign
+        self.quantized = quantized
 
 
 def build_ivf_index(
@@ -599,28 +609,47 @@ def build_ivf_index(
     seed: int = 42,
     centroids: str = "kmeans",
     n_assign: int = 1,
+    quantize: bool = False,
 ) -> IvfIndex:
     """Build the IVF index ONCE for a (slow-moving) corpus: fit the
     coarse quantizer on the data, assign each vector to its nearest
     ``n_assign`` cells, persist the assigned side. Amortizes the
     expensive part of :func:`cosine_search_ivf` across query batches —
     at 100 TB this is the daily index-build job writing a parquet
-    index table that serving reads."""
+    index table that serving reads.
+
+    ``quantize=True`` stores the data side int8 (operators/quantize:
+    symmetric per-vector scheme over the UNIT vector) — ~4x smaller
+    persisted index and ~4x fewer bytes through the search shuffle,
+    the standard asymmetric-search serving layout (queries stay
+    full-precision; the per-cell rerank reconstructs batch-wise).
+    Cosine error is bounded by ``sqrt(d)·max|u|/127`` (~0.01 at d=64;
+    recall measured in tools/quantize_probe.py)."""
     d_unit = with_unit_vector(data.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("vec_id"), F.col("__unit")
     )
     n_cells, C = _build_index(d_unit, n_cells, seed, centroids)
     n_assign = min(max(1, n_assign), n_cells)
     assign = _probe_cells_udf(C, n_assign)
-    indexed = cachereg.register(
-        "similarity.ivf_search_index",
-        d_unit.select(
+    if quantize:
+        from waterdata_spark.operators.quantize import with_quantized_vector
+
+        payload = with_quantized_vector(d_unit, "__unit", "__q", "__s").select(
+            F.col("vec_id").alias("d_id"),
+            F.col("__q").alias("d_q"),
+            F.col("__s").alias("d_s"),
+            F.explode(assign(F.col("__unit").cast("array<double>"))).alias("cell"),
+        )
+    else:
+        payload = d_unit.select(
             F.col("vec_id").alias("d_id"),
             F.col("__unit").alias("d_unit"),
             F.explode(assign(F.col("__unit").cast("array<double>"))).alias("cell"),
-        ).persist(),
+        )
+    indexed = cachereg.register("similarity.ivf_search_index", payload.persist())
+    return IvfIndex(
+        n_cells, C, indexed, data.schema[id_col].dataType, n_assign, quantized=quantize
     )
-    return IvfIndex(n_cells, C, indexed, data.schema[id_col].dataType, n_assign)
 
 
 def cosine_search_ivf(
@@ -715,11 +744,19 @@ def search_ivf_index(
         ]
     )
 
+    quantized = index.quantized
+
     def rerank(qdf: pd.DataFrame, ddf: pd.DataFrame) -> pd.DataFrame:
         if qdf.empty or ddf.empty:
             return pd.DataFrame(columns=["query_id", "neighbor_id", "__sim"])
         qm = np.vstack(qdf["q_unit"].values)
-        dm = np.vstack(ddf["d_unit"].values)
+        if quantized:
+            # asymmetric search: int8 rows crossed the shuffle; the
+            # float view exists only batch-locally inside this rerank
+            dm = np.vstack(ddf["d_q"].values).astype(np.float64)
+            dm *= ddf["d_s"].values.astype(np.float64)[:, None]
+        else:
+            dm = np.vstack(ddf["d_unit"].values)
         s = qm @ dm.T
         kk = min(k, s.shape[1])
         top = _topk_row_indices(s, ddf["d_id"].values, kk)
