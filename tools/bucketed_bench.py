@@ -41,7 +41,7 @@ from waterdata_spark.sources.bucketed import read_table, write_bucketed  # noqa:
 N_BUCKETS = 64
 
 
-def _timed(fn, repeats: int = 3) -> float:
+def _timed(fn, repeats: int = int(os.environ.get("BKB_REPEATS", "3"))) -> float:
     best = float("inf")
     for _ in range(repeats):
         gc.collect()
@@ -79,21 +79,34 @@ def main() -> None:
     sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/waterdata_spark_sf1")
     assert ensure_scaled(spark, sf01, sf1, 10)
+    sf_label = os.environ.get("BKB_SF", "1")
+    if sf_label == "10":
+        sf10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/waterdata_spark_sf10")
+        assert ensure_scaled(spark, sf1, sf10, 10)
+        data_dir = sf10
+    else:
+        data_dir = sf1
     wh = "/tmp/waterdata_bucketed_bench"
 
     spark.sql(f"CREATE DATABASE IF NOT EXISTS bkb LOCATION '{wh}'")
-    out: dict = {"sf": 1, "n_buckets": N_BUCKETS}
+    out: dict = {"sf": int(sf_label), "n_buckets": N_BUCKETS}
     # the measurement is shuffle-vs-no-shuffle: at 100 TB neither fact
     # side broadcasts, so disable broadcast paths (incl. AQE's runtime
     # conversion) for the whole bench
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.shuffle.partitions", "100")
+    # shuffle partitions MUST equal the bucket count: a one-side-bucketed
+    # join (merge_upsert's target ⟗ change-feed) only reuses the bucket
+    # layout when the required distribution matches it — with a different
+    # partition count the planner re-shuffles the bucketed side too and
+    # the layout win evaporates (measured: merge 2.29s at p=100 vs the
+    # bucketed table's 64 buckets; see SCALING.md for the p=64 number)
+    spark.conf.set("spark.sql.shuffle.partitions", str(N_BUCKETS))
     try:
-        li = load_table(spark, sf1, "lineitem").select(
+        li = load_table(spark, data_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_quantity"
         )
-        o = load_table(spark, sf1, "orders").select(
+        o = load_table(spark, data_dir, "orders").select(
             "o_orderkey", "o_orderpriority", "o_totalprice"
         )
 
