@@ -356,3 +356,43 @@ class TestLoadTableTimestampLayouts:
         got = run_stream_to_memory(stream.select("event_id", "ts"), f"layout_{safe}")
         vals = {r["event_id"]: r["ts"] for r in got.collect()}
         assert vals == {1: self.TS_US[0] * 1000, 2: self.TS_US[1] * 1000}
+
+
+class TestSortedLayout:
+    def test_write_sorted_disjoint_ranges_and_pruning(self, spark, tmp_path):
+        """Range-clustered parquet (sources/layout.write_sorted): each
+        file covers a disjoint sort-key range, a narrow predicate's
+        stats-respecting scan touches a small fraction of row groups,
+        and the layout is a pure reordering (same rows back)."""
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from tests.conftest import SF_ORACLE
+        from waterdata_spark.schemas import load_table
+        from waterdata_spark.sources.layout import skipping_stats, write_sorted
+
+        li = load_table(spark, SF_ORACLE, "lineitem").select(
+            "l_orderkey", "l_shipdate", "l_extendedprice"
+        )
+        path = str(tmp_path / "li_sorted")
+        write_sorted(li, path, ["l_shipdate"], n_files=8)
+
+        lo = datetime.datetime(1996, 3, 1)
+        hi = datetime.datetime(1996, 3, 31, 23, 59, 59)
+        st = skipping_stats(path, "l_shipdate", lo, hi)
+        assert st["n_files"] == 8
+        # disjoint per-file ranges: sorted by min, each file's min must
+        # not precede the previous file's max (boundary ties allowed)
+        ranges = sorted(r for r in st["file_ranges"] if r[0] is not None)
+        for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+            assert hi_a <= lo_b or lo_b >= lo_a
+            assert hi_a <= lo_b, f"overlap: {hi_a} > {lo_b}"
+        # a one-month slice of a ~7-year span must prune most groups
+        assert st["n_row_groups_scanned"] <= max(2, st["n_row_groups"] // 4)
+        # pure reordering: identical multiset of rows back
+        back = spark.read.parquet(path)
+        assert back.count() == li.count()
+        a = li.agg(F.sum(F.crc32(F.concat_ws("|", "l_orderkey", "l_extendedprice")))).collect()[0][0]
+        b = back.agg(F.sum(F.crc32(F.concat_ws("|", "l_orderkey", "l_extendedprice")))).collect()[0][0]
+        assert a == b
