@@ -993,6 +993,58 @@ class TestDecontaminate:
         assert out.count() == 0
 
 
+class TestStreamingDecontaminate:
+    def test_stream_equals_batch_with_quarantine(self, spark, tmp_path):
+        """A 3-micro-batch document stream decontaminated against a
+        frozen eval set must accumulate exactly the batch operator's
+        clean set, with the dropped docs in quarantine — and the eval
+        prep (the only driver action) happens once, not per batch."""
+        from waterdata_spark.operators.decontaminate import decontaminate
+        from waterdata_spark.schemas import load_table
+        from waterdata_spark.streaming.hygiene import decontaminate_stream_sink
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+        # eval set carved from the corpus (same recipe as x21): spans of
+        # every 11th doc -> guaranteed hits across all micro-batches
+        toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+        eval_df = docs.filter((F.col("doc_id") % 11 == 0) & (F.size(toks) >= 16)).select(
+            (F.col("doc_id") + 10**6).alias("doc_id"),
+            F.array_join(F.slice(toks, 2, 13), " ").alias("text"),
+        )
+
+        src = tmp_path / "docs_stream"
+        src.mkdir()
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                str(src / f"f{i}")
+            )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = decontaminate_stream_sink(
+            stream,
+            eval_df,
+            out_dir=str(tmp_path / "clean"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            quarantine_dir=str(tmp_path / "dirty"),
+        )
+        q.awaitTermination()
+
+        batch_clean = {r["doc_id"] for r in decontaminate(docs, eval_df).collect()}
+        got_clean = {
+            r["doc_id"] for r in spark.read.parquet(str(tmp_path / "clean")).collect()
+        }
+        got_dirty = {
+            r["doc_id"] for r in spark.read.parquet(str(tmp_path / "dirty")).collect()
+        }
+        all_ids = {r["doc_id"] for r in docs.collect()}
+        assert got_clean == batch_clean
+        assert got_dirty == all_ids - batch_clean
+        assert len(got_dirty) > 0  # non-vacuous: spans really collided
+
+
 class TestAnnSearch:
     def test_probe_all_equals_bruteforce(self, spark):
         """cosine_search_ivf with n_probe >= n_cells covers every cell,

@@ -94,12 +94,21 @@ def ngram_contamination(
     nearly every corpus token into a candidate window and usually
     indicates an unclean eval set rather than a real benchmark item.
     """
+    e = _eval_gram_hashes(eval_df, eval_id_col or id_col, eval_text_col or text_col, n)
+    lengths = trimmed_gram_lengths(e, max_lengths)
+    return flag_against_prepared(corpus, e, lengths, id_col, text_col)
+
+
+def trimmed_gram_lengths(eval_hashes: DataFrame, max_lengths: int = 8) -> list[int]:
+    """EAGER: the ≤n-row distinct-gram-lengths aggregate of a prepared
+    eval side, trimmed to the ``max_lengths`` most frequent (warning
+    names any dropped lengths; lengths ≤ 2 also warn — degenerate eval
+    items). The only driver action in the whole decontamination plan."""
     import warnings
 
-    e = _eval_gram_hashes(eval_df, eval_id_col or id_col, eval_text_col or text_col, n)
-    # ≤ n distinct gram lengths; a tiny driver-side aggregate of the
-    # (small) eval side decides which corpus window passes to generate
-    by_freq = e.groupBy("__len").count().orderBy(F.desc("count"), F.asc("__len")).collect()
+    by_freq = (
+        eval_hashes.groupBy("__len").count().orderBy(F.desc("count"), F.asc("__len")).collect()
+    )
     kept = by_freq[:max_lengths]
     if len(by_freq) > max_lengths:
         warnings.warn(
@@ -107,7 +116,7 @@ def ngram_contamination(
             f"lengths; keeping the {max_lengths} most frequent, dropping "
             f"lengths {sorted(r['__len'] for r in by_freq[max_lengths:])} "
             "(raise max_lengths to match them too)",
-            stacklevel=2,
+            stacklevel=3,
         )
     short = sorted(r["__len"] for r in kept if r["__len"] <= 2)
     if short:
@@ -115,9 +124,24 @@ def ngram_contamination(
             f"ngram_contamination: eval examples of {short} token(s) make "
             "nearly every corpus token a candidate window — check the eval "
             "set for empty/degenerate items",
-            stacklevel=2,
+            stacklevel=3,
         )
-    lengths = sorted(r["__len"] for r in kept)
+    return sorted(r["__len"] for r in kept)
+
+
+def flag_against_prepared(
+    corpus: DataFrame,
+    eval_hashes: DataFrame,
+    lengths: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus-side flag pass against a PREPARED eval side
+    (``_eval_gram_hashes`` output + its distinct gram lengths). Pure
+    plan construction — no Spark action — so a caller that prepares
+    the eval side once (the streaming path, or repeated corpus shards
+    against one benchmark suite) pays the eval aggregate once, not per
+    batch."""
     if not lengths:
         schema_cols = [F.col(id_col)]
         return (
@@ -140,7 +164,7 @@ def ngram_contamination(
     c = corpus.select(F.col(id_col).alias("__id"), F.explode(all_windows).alias("__w")).select(
         "__id", F.col("__w.l").alias("__len"), F.xxhash64("__w.g").alias("__gh")
     )
-    hits = c.join(F.broadcast(e), ["__len", "__gh"])
+    hits = c.join(F.broadcast(eval_hashes), ["__len", "__gh"])
     return (
         hits.groupBy("__id")
         .agg(

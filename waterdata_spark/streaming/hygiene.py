@@ -1,0 +1,110 @@
+"""Streaming corpus hygiene: eval-set decontamination over a document
+stream (the ingest-time form of operators/decontaminate.py).
+
+Decontamination is per-document — stateless given a frozen eval set —
+so the streaming form needs NO Structured Streaming state: the eval
+side (gram hashes + distinct gram lengths) is prepared ONCE at
+stream-definition time, and every micro-batch runs the same
+broadcast-join flag pass as the batch operator
+(``flag_against_prepared``) inside ``foreachBatch``. This is the shape
+a 100 TB ingest pipeline runs: benchmark suite frozen at deploy time,
+documents flowing, contaminated ones dropped (and optionally
+quarantined for audit) before they reach training storage.
+
+The prepared eval side is held as DRIVER-LOCAL rows, not a DataFrame:
+eval suites are KB–MB by construction (the same bound that lets the
+batch operator broadcast them), and local rows let each micro-batch
+rebuild its frame on the batch's own SparkSession — foreachBatch makes
+no cross-session guarantees about frames captured from the outside.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from waterdata_spark.operators.decontaminate import (
+    _eval_gram_hashes,
+    flag_against_prepared,
+    trimmed_gram_lengths,
+)
+
+
+class PreparedEvalGrams:
+    """The frozen eval side: gram-hash rows (pandas, driver-local),
+    their schema, and the trimmed distinct gram lengths. Build once
+    with :meth:`from_eval_df`; reuse across micro-batches, corpus
+    shards, or sessions."""
+
+    def __init__(self, pdf, schema, lengths: list[int]):
+        self.pdf = pdf
+        self.schema = schema
+        self.lengths = lengths
+
+    @classmethod
+    def from_eval_df(
+        cls,
+        eval_df: DataFrame,
+        n: int = 13,
+        eval_id_col: str = "doc_id",
+        eval_text_col: str = "text",
+        max_lengths: int = 8,
+    ) -> "PreparedEvalGrams":
+        e = _eval_gram_hashes(eval_df, eval_id_col, eval_text_col, n)
+        lengths = trimmed_gram_lengths(e, max_lengths)
+        return cls(e.toPandas(), e.schema, lengths)
+
+    def df(self, spark) -> DataFrame:
+        return spark.createDataFrame(self.pdf, schema=self.schema)
+
+
+def decontaminate_batch(
+    batch_df: DataFrame,
+    prepared: PreparedEvalGrams,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch's (clean, contaminated) split against the
+    prepared eval side — the foreachBatch body, callable directly for
+    tests and for batch shard processing."""
+    e = prepared.df(batch_df.sparkSession)
+    flagged = flag_against_prepared(batch_df, e, prepared.lengths, id_col, text_col).select(
+        id_col
+    )
+    clean = batch_df.join(flagged, id_col, "left_anti")
+    dirty = batch_df.join(flagged, id_col, "left_semi")
+    return clean, dirty
+
+
+def decontaminate_stream_sink(
+    corpus_stream: DataFrame,
+    eval_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    quarantine_dir: str | None = None,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_lengths: int = 8,
+):
+    """Start an ``availableNow`` foreachBatch query appending CLEAN
+    documents to ``out_dir`` (and contaminated ones to
+    ``quarantine_dir`` when given — dropped silently otherwise, per the
+    GPT-3 recipe). Returns the StreamingQuery (caller awaits
+    termination). Stream-vs-batch equality is pinned by
+    tests/test_extensions.py::TestStreamingDecontaminate."""
+    prepared = PreparedEvalGrams.from_eval_df(
+        eval_df, n=n, eval_id_col=id_col, eval_text_col=text_col, max_lengths=max_lengths
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        clean, dirty = decontaminate_batch(batch_df, prepared, id_col, text_col)
+        clean.write.mode("append").parquet(out_dir)
+        if quarantine_dir:
+            dirty.write.mode("append").parquet(quarantine_dir)
+
+    return (
+        corpus_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
