@@ -278,3 +278,54 @@ class TestText:
         assert rows[0]["bullet_line_fraction"] == 0.0
         # empty text: every signal 0.0, no division errors
         assert all(v == 0.0 for v in rows[1].asDict().values())
+
+
+class TestGopherGate:
+    """Composed Gopher document filter (Rae et al. 2021 Table A1)."""
+
+    def _df(self, spark, texts):
+        return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def test_gate_keeps_clean_drops_each_violation(self, spark):
+        import random
+
+        from waterdata_spark.functions.text import gopher_gate
+
+        rng = random.Random(5)
+        words = ["river", "water", "sample", "quality", "report", "system", "site", "level"]
+        clean = " ".join(rng.choice(words) for _ in range(200))
+        too_short = "only a few words here"
+        boilerplate = "spam spam " * 100  # top-2gram ~1.0
+        bullets = "\n".join(f"- item {i}" for i in range(20))  # 100% bullet lines
+        no_alpha = " ".join(str(i) for i in range(100))  # alpha_word_ratio 0
+        df = self._df(spark, [clean, too_short, boilerplate, bullets, no_alpha])
+        kept = {r["doc_id"] for r in gopher_gate(df).collect()}
+        assert kept == {0}
+
+    def test_audit_names_failed_rules(self, spark):
+        import random
+
+        from waterdata_spark.functions.text import gopher_gate
+
+        rng = random.Random(5)
+        words = [f"word{i}" for i in range(200)]
+        clean = " ".join(rng.choice(words) for _ in range(200))
+        df = self._df(spark, [clean, "tiny doc", "spam spam " * 100])
+        out = {r["doc_id"]: r["why"] for r in gopher_gate(df, audit_col="why").collect()}
+        assert out[0] == []
+        assert "n_words" in out[1]
+        assert any(k.startswith("top_") or k.startswith("dup_") for k in out[2])
+        # audit mode keeps every row
+        assert len(out) == 3
+
+    def test_threshold_override_and_unknown_rejected(self, spark):
+        import pytest as _pytest
+
+        from waterdata_spark.functions.text import gopher_gate
+
+        twenty = " ".join(f"item{i}" for i in range(20))  # only n_words fails
+        df = self._df(spark, [twenty])
+        assert gopher_gate(df).count() == 0  # default min 50
+        assert gopher_gate(df, thresholds={"n_words": (10, 100_000)}).count() == 1
+        with _pytest.raises(ValueError, match="unknown signal"):
+            gopher_gate(df, thresholds={"not_a_rule": (0, 1)})

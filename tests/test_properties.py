@@ -373,3 +373,40 @@ class TestStarContractionRoundBound:
         assert labels.count() == n
         bound = 2 * math.ceil(math.log2(n)) + 2
         assert 0 < stats["rounds"] <= bound, stats
+
+
+class TestSlidingWindowLaws:
+    """sliding_windows (functions/text.py) is the r6 linear replacement
+    for the quadratic capture-in-lambda construction — pin its law:
+    for every array and window size, the result equals the naive
+    Python sliding join."""
+
+    @SLOW
+    @given(
+        toks=st.lists(st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=25),
+        n=st.integers(min_value=1, max_value=6),
+    )
+    def test_equals_python_reference(self, spark, toks, n):
+        from waterdata_spark.functions.text import sliding_windows
+
+        df = spark.createDataFrame([(toks,)], "arr array<string>")
+        got = df.select(sliding_windows(F.col("arr"), n).alias("w")).collect()[0]["w"]
+        want = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        assert got == want
+
+    @SLOW
+    @given(
+        text=st.text(alphabet="ab c\nd.", min_size=0, max_size=60),
+        n=st.integers(min_value=1, max_value=4),
+    )
+    def test_word_ngrams_count_law(self, spark, text, n):
+        """len(ngrams) == max(0, n_tokens - n + 1), and every gram has
+        exactly n tokens — on arbitrary messy text."""
+        from waterdata_spark.functions.text import tokens, word_ngrams
+
+        df = spark.createDataFrame([(text,)], "t string")
+        row = df.select(
+            word_ngrams("t", n).alias("g"), F.size(tokens("t")).alias("nt")
+        ).collect()[0]
+        assert len(row["g"]) == max(0, row["nt"] - n + 1)
+        assert all(len(g.split(" ")) == n for g in row["g"])

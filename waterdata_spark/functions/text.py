@@ -259,6 +259,87 @@ def pii_counts(c: Column | str) -> dict[str, Column]:
     return out
 
 
+#: Gopher quality-filter thresholds (Rae et al. 2021, Table A1) — the
+#: published operating points; override any subset via gopher_gate's
+#: ``thresholds``. Keys map 1:1 to gopher_signals outputs.
+GOPHER_THRESHOLDS: dict[str, tuple[float, float]] = {
+    # (min, max) inclusive bounds; use -inf/inf for one-sided rules
+    "n_words": (50, 100_000),
+    "mean_word_len": (3.0, 10.0),
+    "alpha_word_ratio": (0.80, float("inf")),
+    "symbol_word_ratio": (float("-inf"), 0.10),
+    "bullet_line_fraction": (float("-inf"), 0.90),
+    "ellipsis_line_fraction": (float("-inf"), 0.30),
+    "dup_line_fraction": (float("-inf"), 0.30),
+    "top_2gram_fraction": (float("-inf"), 0.20),
+    "top_3gram_fraction": (float("-inf"), 0.18),
+    "top_4gram_fraction": (float("-inf"), 0.16),
+    "dup_5gram_fraction": (float("-inf"), 0.15),
+    "dup_10gram_fraction": (float("-inf"), 0.10),
+}
+
+
+def gopher_signals(c: Column | str) -> dict[str, Column]:
+    """Every signal the Gopher document filter thresholds (Rae et al.
+    2021 §A1.1 / Table A1), as JVM expressions over one text column:
+    word count, mean word length, fraction of words containing an
+    alphabetic character, #/… symbol-to-word ratio, bullet/ellipsis/
+    duplicate line fractions, top {2,3,4}-gram share and duplicate
+    {5,10}-gram fractions. Linear per row (each n-gram size adds one
+    :func:`sliding_windows` pass); composes into :func:`gopher_gate`."""
+    col = F.col(c) if isinstance(c, str) else c
+    toks = tokens(col)
+    n_words = F.size(toks)
+    n_words_safe = F.greatest(n_words, F.lit(1)).cast("double")
+    rep2 = repetition_features(col, ngram=2)
+    out: dict[str, Column] = {
+        "n_words": n_words,
+        "mean_word_len": quality_features(col)["mean_token_len"],
+        "alpha_word_ratio": F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        / n_words_safe,
+        "symbol_word_ratio": F.size(F.filter(toks, lambda t: t.rlike(r"#|\.\.\.|…")))
+        / n_words_safe,
+        "bullet_line_fraction": rep2["bullet_line_fraction"],
+        "ellipsis_line_fraction": rep2["ellipsis_line_fraction"],
+        "dup_line_fraction": rep2["dup_line_fraction"],
+    }
+    for n in (2, 3, 4):
+        out[f"top_{n}gram_fraction"] = repetition_features(col, ngram=n)["top_ngram_fraction"]
+    for n in (5, 10):
+        out[f"dup_{n}gram_fraction"] = repetition_features(col, ngram=n)["dup_ngram_fraction"]
+    return out
+
+
+def gopher_gate(
+    df,
+    text_col: str = "text",
+    thresholds: dict[str, tuple[float, float]] | None = None,
+    audit_col: str | None = None,
+):
+    """The composed Gopher document filter: keep rows whose every
+    signal sits inside its published [min, max] band. With
+    ``audit_col`` the frame instead KEEPS all rows and adds an
+    array<string> of failed rule names (empty = clean) — the
+    drop-vs-review decision pipelines audit before deleting corpus
+    data. One scan, all signals in one projection, no shuffle."""
+    th = {**GOPHER_THRESHOLDS, **(thresholds or {})}
+    sig = gopher_signals(text_col)
+    unknown = set(th) - set(sig)
+    if unknown:
+        raise ValueError(f"gopher_gate: unknown signal(s) {sorted(unknown)}")
+    fails = F.array_compact(
+        F.array(
+            *[
+                F.when((sig[k] < lo) | (sig[k] > hi), F.lit(k))
+                for k, (lo, hi) in sorted(th.items())
+            ]
+        )
+    )
+    if audit_col:
+        return df.withColumn(audit_col, fails)
+    return df.filter(F.size(fails) == 0)
+
+
 def quality_features(c: Column | str) -> dict[str, Column]:
     """Quality-scoring features for an LLM-data pipeline: raw length,
     token count, mean token length, punctuation ratio, uppercase ratio."""
