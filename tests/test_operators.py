@@ -76,6 +76,52 @@ class TestDedup:
         twice = exact_dedup(once, ["text"], "doc_id")
         assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
+    def test_dedup_lines_global_c4_semantics(self, spark):
+        """Boilerplate lines keep only their first corpus occurrence
+        (first by (doc_id, line index)); document-internal order is
+        preserved; short separator lines pass through everywhere; a
+        doc reduced to nothing is dropped."""
+        from waterdata_spark.operators.dedup import dedup_lines_global
+
+        df = spark.createDataFrame(
+            [
+                (1, "SITE HEADER\nbody one\n-\nSITE HEADER\nunique tail"),
+                (2, "SITE HEADER\nbody two\n-"),
+                (3, "SITE HEADER"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in dedup_lines_global(df, min_line_chars=2).collect()}
+        # doc 1: header kept once (first occurrence), internal dup dropped
+        assert out[1]["text"] == "SITE HEADER\nbody one\n-\nunique tail"
+        assert out[1]["n_lines_kept"] == 4 and out[1]["n_lines_dropped"] == 1
+        # doc 2: header deduped away, '-' separator passes (below min chars)
+        assert out[2]["text"] == "body two\n-"
+        # doc 3: nothing left -> dropped
+        assert 3 not in out
+
+        kept_all = {
+            r["doc_id"]: r
+            for r in dedup_lines_global(df, min_line_chars=2, drop_empty_docs=False).collect()
+        }
+        assert kept_all[3]["text"] == "" and kept_all[3]["n_lines_kept"] == 0
+
+    def test_dedup_lines_global_idempotent(self, spark):
+        from waterdata_spark.operators.dedup import dedup_lines_global
+
+        df = spark.createDataFrame(
+            [(i, f"COMMON BANNER\ndoc {i} body\nCOMMON BANNER") for i in range(5)],
+            "doc_id long, text string",
+        )
+        once = dedup_lines_global(df).select("doc_id", "text")
+        twice = dedup_lines_global(once).select("doc_id", "text")
+        assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+        # the banner survives exactly once corpus-wide
+        n_banner = sum(
+            r["text"].count("COMMON BANNER") for r in once.collect()
+        )
+        assert n_banner == 1
+
     def test_priority_dedup_agg_matches_window(self, spark):
         """The map-side-combinable aggregate form must agree with the
         canonical window form on every key shape: unique tiebreaks,

@@ -1,7 +1,13 @@
 from waterdata_spark.operators.asof import asof_join
 from waterdata_spark.operators.chunking import chunk_documents, pack_sequences
 from waterdata_spark.operators.decontaminate import decontaminate, ngram_contamination
-from waterdata_spark.operators.dedup import dedup_any, exact_dedup, priority_dedup, priority_dedup_agg
+from waterdata_spark.operators.dedup import (
+    dedup_any,
+    dedup_lines_global,
+    exact_dedup,
+    priority_dedup,
+    priority_dedup_agg,
+)
 from waterdata_spark.operators.dedup_approx import (
     min_id_components,
     minhash_candidate_pairs,
@@ -59,6 +65,7 @@ __all__ = [
     "cosine_topk_lsh",
     "decontaminate",
     "dedup_any",
+    "dedup_lines_global",
     "dequantize",
     "exact_dedup",
     "expand_keys",

@@ -80,3 +80,92 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     df = df.withColumn("__h", h)
     out = priority_dedup(df, ["__h"], [F.col(id_col).asc()])
     return out.drop("__h")
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+    drop_empty_docs: bool = True,
+) -> DataFrame:
+    """C4-style GLOBAL line deduplication (Raffel et al. 2020 §2.2:
+    occurrences of any three-sentence span beyond the first are
+    removed corpus-wide; the unit here is the LINE, the same one
+    repetition_features scores): every line keeps only its FIRST
+    occurrence across the whole corpus — first by ``(id_col, line
+    index)``, deterministic — and later occurrences are deleted from
+    their documents. The boilerplate killer exact-dedup can't reach:
+    headers, footers, cookie banners repeated across millions of
+    pages that are each otherwise unique.
+
+    Shape at 100 TB: lines shuffle ONCE on ``xxhash64(trimmed line)``
+    — a fixed-width key, the line text never rides the first shuffle —
+    to elect the winner (map-side-combinable ``min_by``), then
+    surviving lines group back by document (second shuffle, bounded by
+    surviving volume) and reassemble in original order via
+    ``sort_array(collect_list(struct(idx, line)))``. No windows over
+    the whole corpus, no driver-side state.
+
+    Lines shorter than ``min_line_chars`` (after trim) are passed
+    through untouched — single-character separators are not
+    boilerplate evidence. Documents whose every line is removed become
+    empty text ('' — dropped entirely when ``drop_empty_docs``).
+    Returns ``(id_col, text_col)`` plus ``n_lines_kept`` /
+    ``n_lines_dropped`` audit columns. Reassembled text is
+    line-normalized: blank lines dropped, single ``\\n`` separators
+    (the same normalization ``lines()`` applies for scoring). Line
+    identity is a 96-bit composite (xxhash64 + crc32 of the trimmed
+    line) so a corpus-scale collision cannot silently delete a line.
+    """
+    from waterdata_spark.functions.text import lines
+
+    ls = df.select(
+        F.col(id_col),
+        F.posexplode(lines(F.col(text_col))).alias("__idx", "__line"),
+    ).withColumn("__t", F.trim("__line"))
+    scored = ls.withColumn(
+        "__h", F.struct(F.xxhash64("__t").alias("a"), F.crc32(F.col("__t").cast("binary")).alias("b"))
+    ).withColumn(
+        "__pos", F.struct(F.col(id_col).alias("i"), F.col("__idx").alias("x"))
+    )
+    dedupable = F.length("__t") >= min_line_chars
+    winners = (
+        scored.filter(dedupable)
+        .groupBy("__h")
+        .agg(F.min_by("__pos", "__pos").alias("__win"))
+    )
+    kept = scored.join(winners, "__h", "left").filter(
+        (~dedupable)
+        | ((F.col("__win.i") == F.col(id_col)) & (F.col("__win.x") == F.col("__idx")))
+    )
+    out = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__idx", "__line"))),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col), F.size(lines(F.col(text_col))).alias("__n_total")
+    )
+    out = (
+        totals.join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (F.col("__n_total") - F.coalesce("n_lines_kept", F.lit(0))).alias(
+                "n_lines_dropped"
+            ),
+        )
+    )
+    if drop_empty_docs:
+        out = out.filter(F.col("n_lines_kept") > 0)
+    return out
