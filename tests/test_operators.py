@@ -122,6 +122,48 @@ class TestDedup:
         )
         assert n_banner == 1
 
+    def test_dedup_against_exact(self, spark):
+        """Cross-corpus exact dedup: corpus rows whose content exists
+        in the reference drop; self-duplicates inside the corpus
+        survive (not this operator's job)."""
+        from waterdata_spark.operators.dedup import dedup_against_exact
+
+        corpus = spark.createDataFrame(
+            [(1, "already ingested"), (2, "fresh content"), (3, "fresh content")],
+            "doc_id long, text string",
+        )
+        ref = spark.createDataFrame(
+            [(900, "already ingested"), (901, "other old doc")],
+            "doc_id long, text string",
+        )
+        out = dedup_against_exact(corpus, ref, ["text"])
+        assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+        assert out.columns == corpus.columns
+
+    def test_dedup_against_fuzzy(self, spark):
+        """Cross-corpus near-dup dedup: a corpus doc that is a light
+        edit of a reference doc drops at threshold 0.5; an unrelated
+        doc survives; threshold=None drops on band collision alone."""
+        from waterdata_spark.operators.dedup_approx import dedup_against
+
+        base = "the quick brown fox jumps over the lazy dog again and again " * 4
+        near = base + "one appended tail"  # shingle superset, jaccard ~0.93
+        other = "completely unrelated text about spark physical plans " * 4
+        corpus = spark.createDataFrame(
+            [(1, near), (2, other)], "doc_id long, text string"
+        )
+        ref = spark.createDataFrame([(900, base)], "doc_id long, text string")
+        # n_bands=8 (2 rows/band): collision prob ~1 at jaccard 0.93,
+        # ~0 for unrelated text — a deterministic test, not a coin flip
+        kept = dedup_against(corpus, ref, n_bands=8, threshold=0.5)
+        assert [r["doc_id"] for r in kept.collect()] == [2]
+        # identical text at threshold=None also drops via band collision
+        corpus2 = spark.createDataFrame(
+            [(1, base), (2, other)], "doc_id long, text string"
+        )
+        kept2 = dedup_against(corpus2, ref, threshold=None)
+        assert [r["doc_id"] for r in kept2.collect()] == [2]
+
     def test_priority_dedup_agg_matches_window(self, spark):
         """The map-side-combinable aggregate form must agree with the
         canonical window form on every key shape: unique tiebreaks,

@@ -2,6 +2,7 @@ from waterdata_spark.operators.asof import asof_join
 from waterdata_spark.operators.chunking import chunk_documents, pack_sequences
 from waterdata_spark.operators.decontaminate import decontaminate, ngram_contamination
 from waterdata_spark.operators.dedup import (
+    dedup_against_exact,
     dedup_any,
     dedup_lines_global,
     exact_dedup,
@@ -9,6 +10,7 @@ from waterdata_spark.operators.dedup import (
     priority_dedup_agg,
 )
 from waterdata_spark.operators.dedup_approx import (
+    dedup_against,
     min_id_components,
     minhash_candidate_pairs,
     minhash_dedup,
@@ -65,6 +67,8 @@ __all__ = [
     "cosine_topk_lsh",
     "decontaminate",
     "dedup_any",
+    "dedup_against",
+    "dedup_against_exact",
     "dedup_lines_global",
     "dequantize",
     "exact_dedup",

@@ -169,3 +169,28 @@ def dedup_lines_global(
     if drop_empty_docs:
         out = out.filter(F.col("n_lines_kept") > 0)
     return out
+
+
+def dedup_against_exact(
+    corpus: DataFrame, reference: DataFrame, content_cols: list[str]
+) -> DataFrame:
+    """Cross-corpus EXACT dedup: drop corpus rows whose content exists
+    anywhere in ``reference`` (dedup a new crawl against the corpus
+    already ingested — X1's two-table form; the fuzzy sibling is
+    ``dedup_approx.dedup_against``). Both sides reduce to a sha2
+    content digest, so the anti-join shuffles fixed-width keys, never
+    the documents; a small reference digest set broadcasts. Corpus
+    rows pass through otherwise untouched (self-duplicates within the
+    corpus are exact_dedup's job, deliberately not repeated here)."""
+
+    def _h(df: DataFrame):
+        return F.sha2(
+            F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]), 256
+        )
+
+    ref_h = reference.select(_h(reference).alias("__h")).distinct()
+    return (
+        corpus.withColumn("__h", _h(corpus))
+        .join(ref_h, "__h", "left_anti")
+        .drop("__h")
+    )

@@ -465,3 +465,53 @@ def embedding_dedup(
     labels = min_id_components(df.select(F.col(id_col).alias("node")), edges)
     keep = labels.filter(F.col("node") == F.col("label")).select(F.col("node").alias(id_col))
     return df.join(keep, id_col, "left_semi")
+
+
+def dedup_against(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 8,
+    threshold: float | None = 0.7,
+) -> DataFrame:
+    """Cross-corpus NEAR-dup dedup: drop corpus documents that
+    near-duplicate ANY reference document (dedup a fresh crawl against
+    the training corpus already ingested — the two-table form of
+    ``minhash_dedup``; the exact sibling is
+    ``dedup.dedup_against_exact``).
+
+    Same LSH economics as the self-join path: both sides band their
+    MinHash signatures, candidates exist only where a (band_id,
+    band_hash) bucket holds docs from BOTH sides — never an all-pairs
+    product — and candidates are verified with exact shingle Jaccard ≥
+    ``threshold`` before anything is dropped (``threshold=None`` skips
+    verification and trusts band collisions — cheaper, more false
+    drops). Returns the surviving corpus rows, all columns intact."""
+    cb = minhash_bands(corpus.select(id_col, text_col), id_col, text_col, n_hashes, n_bands, k)
+    ref2 = reference.select(
+        F.col(id_col).alias("__rid"), F.col(text_col).alias("__rtext")
+    )
+    rb = minhash_bands(ref2, "__rid", "__rtext", n_hashes, n_bands, k)
+    cand = cb.join(rb, ["band_id", "band_hash"]).select(id_col, "__rid").distinct()
+    if threshold is None:
+        flagged = cand.select(id_col).distinct()
+    else:
+        csh = corpus.select(
+            F.col(id_col),
+            F.array_distinct(char_shingles(F.col(text_col), k)).alias("__sa"),
+        )
+        rsh = ref2.select(
+            "__rid", F.array_distinct(char_shingles(F.col("__rtext"), k)).alias("__sb")
+        )
+        j = cand.join(csh, id_col).join(rsh, "__rid")
+        inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+        union = (F.size("__sa") + F.size("__sb")).cast("double") - inter
+        flagged = (
+            j.filter(inter / F.greatest(union, F.lit(1.0)) >= threshold)
+            .select(id_col)
+            .distinct()
+        )
+    return corpus.join(flagged, id_col, "left_anti")
