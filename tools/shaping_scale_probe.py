@@ -34,6 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from bench import _drain  # noqa: E402
+
 REPEATS = 3
 
 
@@ -86,6 +88,21 @@ def _ops(spark, sf_dir):
         )
         return decontaminate(docs, ev, n=13, eval_id_col="eid", eval_text_col="etext")
 
+    def line_dedup():
+        from waterdata_spark.operators.dedup import dedup_lines_global
+
+        return dedup_lines_global(docs.select("doc_id", "text"))
+
+    def cross_dedup():
+        # reference corpus = a 10% slice of the same docs → 10% of the
+        # corpus near-dups against it by construction
+        from waterdata_spark.operators.dedup_approx import dedup_against
+
+        ref = docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10**7).alias("doc_id"), "text"
+        )
+        return dedup_against(docs.select("doc_id", "text"), ref)
+
     return {
         "chunk_documents": chunk,
         "pack_sequences": pack,
@@ -93,6 +110,8 @@ def _ops(spark, sf_dir):
         "stratified_sample_exact": sample_exact,
         "merge_upsert": merge,
         "decontaminate": decontam,
+        "dedup_lines_global": line_dedup,
+        "dedup_against": cross_dedup,
     }
 
 
@@ -103,7 +122,9 @@ def _time_suite(spark, sf_dir):
         for _ in range(REPEATS):
             t0 = time.time()
             df = fn()
-            n = df.count()
+            n = _drain(df)  # full-column materialization (bench.py r6:
+            # a bare count() prunes payload compute — e.g. line-dedup's
+            # reassembled text never built, aggregates' sums skipped)
             runs.append(round(time.time() - t0, 3))
             del df
             gc.collect()

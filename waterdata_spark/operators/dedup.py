@@ -40,16 +40,23 @@ def priority_dedup(
 
 
 def priority_dedup_agg(df: DataFrame, keys: list[str], sort_key: Column) -> DataFrame:
-    """C22, aggregate form — the scale path for ``priority_dedup``.
+    """C22, aggregate form — the scale path for LOW-cardinality keys.
 
     Keeps the row with the MINIMAL ``sort_key`` per key group via
-    ``min_by(struct(all columns), sort_key)``. Unlike the window form
-    (which shuffles every input row, then sorts each key group), this
-    is a hash aggregate: partial ``min_by`` runs map-side, so the
-    shuffle carries at most one candidate row per (map task, key) —
-    at 10x data the window's shuffle grows 10x while this one stays
-    bounded by distinct keys x tasks. Measured at sf1: 4.2s vs 8.5s
-    for the window plan on the same q06 shape (warm local[32]).
+    ``min_by(struct(all columns), sort_key)``. Partial ``min_by`` runs
+    map-side, so when keys are FEW relative to rows the shuffle
+    carries at most one candidate per (map task, key) — a fraction of
+    the window form's full-row shuffle.
+
+    Cardinality caveat (r6, measured under a full-materialization
+    drain — earlier numbers were count()-pruned and wrong): when keys
+    approach row count (q06's ~4 rows/orderkey, 15M keys at sf10) the
+    map-side hash table exceeds memory, falls back to sort-based
+    aggregation and spills — 21.6s vs the window form's 7.4s on 60M
+    rows. Rule of thumb: use this form when distinct keys per map task
+    fit memory (keys ≪ rows); otherwise :func:`priority_dedup`. Also:
+    PRUNE the payload to needed columns first — min_by carries the
+    whole struct through the shuffle (the unpruned q06 cost 56s).
 
     ``sort_key`` must totally order each key group (append a unique
     tiebreak) and encode direction numerically — negate a numeric

@@ -53,9 +53,61 @@ def _seeded_md5(seed: int):
 
 def minhash_signature(text_col: Column | str, n_hashes: int = 16, k: int = 8) -> Column:
     """Array of n_hashes min-hash values (hex strings) over k-char
-    shingles. Permutation i = md5(i:shingle); min over the shingle set."""
+    shingles. Permutation i = md5(i:shingle); min over the shingle set.
+
+    CAUTION (column form): every downstream reference to an element of
+    this array re-inlines the whole transform under CollapseProject —
+    16 getItem references of a 16-hash signature re-ran the md5 pass
+    256 times (measured 76s for a 5s computation). Prefer
+    :func:`minhash_signature_frame`, whose aggregate is a plan barrier;
+    this column form is kept for single-reference uses only."""
     sh = char_shingles(text_col, k)
     return F.array(*[F.array_min(F.transform(sh, _seeded_md5(i))) for i in range(n_hashes)])
+
+
+def minhash_signature_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    k: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, __h0..__h{n-1}) minhash signature via explode + map-side-
+    combinable ``min`` aggregates — each hash is computed exactly ONCE
+    per (shingle, permutation), and the aggregate is a plan barrier so
+    downstream band construction cannot re-inline the hash pass (the
+    column-array form re-ran it once per element reference; r6 fix,
+    measured 76s→14s on 5k documents for the md5 form).
+
+    ``hash_fn``: 'md5' (hex strings — DuckDB-reproducible, the x08/x10
+    oracle contract) or 'xx' (xxhash64 longs — no string building,
+    measured another ~4x faster; the 100 TB default for operators whose
+    contract is band-collision semantics, not specific hash values:
+    MinHash only needs a min-stable pseudo-random permutation family).
+
+    Shuffle shape: a document's shingles stay in its partition (the
+    explode is narrow), so partial aggregation collapses to one row
+    per (map task, doc) and the exchange carries n_hashes values per
+    document — never the shingles. Null-text rows produce no
+    signature row (they have nothing to band)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(char_shingles(F.col(text_col), k))).alias("__s"),
+    )
+    if hash_fn == "xx":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("__s"))).alias(f"__h{i}")
+            for i in range(n_hashes)
+        ]
+    elif hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"__h{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xx', got {hash_fn!r}")
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_bands(
@@ -65,27 +117,40 @@ def minhash_bands(
     n_hashes: int = 16,
     n_bands: int = 4,
     k: int = 8,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """One row per (doc, band): (id, band_id, band_hash). Documents
-    sharing (band_id, band_hash) are near-dup candidates."""
+    sharing (band_id, band_hash) are near-dup candidates. Built on
+    :func:`minhash_signature_frame` (aggregate barrier — the band
+    hashes reference real post-aggregate attributes, so the hash pass
+    runs once; identical values to the old column form, measured 5-20x
+    faster when the hashes are actually consumed). ``hash_fn='md5'``
+    keeps the DuckDB-reproducible oracle contract; ``'xx'`` is the
+    faster long-typed production path."""
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signature(F.col(text_col), n_hashes, k)
-    d = df.withColumn("__sig", sig)
+    sigf = minhash_signature_frame(
+        df.select(id_col, text_col), id_col, text_col, n_hashes, k, hash_fn
+    )
+    if hash_fn == "xx":
+        def _band_hash(b: int):
+            return F.xxhash64(
+                *[F.col(f"__h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).cast("string")
+    else:
+        def _band_hash(b: int):
+            return F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"__h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            )
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col("__sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
-                    )
-                ).alias("band_hash"),
-            )
+            F.struct(F.lit(b).alias("band_id"), _band_hash(b).alias("band_hash"))
             for b in range(n_bands)
         ]
     )
     return (
-        d.withColumn("__band", F.explode(bands))
+        sigf.withColumn("__band", F.explode(bands))
         .select(
             F.col(id_col),
             F.col("__band.band_id").alias("band_id"),
@@ -484,17 +549,21 @@ def dedup_against(
     ``dedup.dedup_against_exact``).
 
     Same LSH economics as the self-join path: both sides band their
-    MinHash signatures, candidates exist only where a (band_id,
-    band_hash) bucket holds docs from BOTH sides — never an all-pairs
-    product — and candidates are verified with exact shingle Jaccard ≥
-    ``threshold`` before anything is dropped (``threshold=None`` skips
-    verification and trusts band collisions — cheaper, more false
-    drops). Returns the surviving corpus rows, all columns intact."""
-    cb = minhash_bands(corpus.select(id_col, text_col), id_col, text_col, n_hashes, n_bands, k)
+    MinHash signatures (the xxhash64 fast path — this operator's
+    contract is band-collision semantics, not oracle-reproducible hash
+    values), candidates exist only where a (band_id, band_hash) bucket
+    holds docs from BOTH sides — never an all-pairs product — and
+    candidates are verified with exact shingle Jaccard ≥ ``threshold``
+    before anything is dropped (``threshold=None`` skips verification
+    and trusts band collisions — cheaper, more false drops). Returns
+    the surviving corpus rows, all columns intact."""
+    cb = minhash_bands(
+        corpus.select(id_col, text_col), id_col, text_col, n_hashes, n_bands, k, hash_fn="xx"
+    )
     ref2 = reference.select(
         F.col(id_col).alias("__rid"), F.col(text_col).alias("__rtext")
     )
-    rb = minhash_bands(ref2, "__rid", "__rtext", n_hashes, n_bands, k)
+    rb = minhash_bands(ref2, "__rid", "__rtext", n_hashes, n_bands, k, hash_fn="xx")
     cand = cb.join(rb, ["band_id", "band_hash"]).select(id_col, "__rid").distinct()
     if threshold is None:
         flagged = cand.select(id_col).distinct()

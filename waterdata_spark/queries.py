@@ -258,23 +258,27 @@ def q05_customers_without_big_orders(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="C22 priority dedup: keep the 'best' row per key "
     "(reference recipe at down/down_water_prep.py:498-501). Runs the "
-    "map-side-combinable min_by aggregate form (partial agg per map "
-    "task; the shuffle carries one candidate per task x key instead "
-    "of every row — measured 2x the window form at sf1 and the gap "
-    "widens with scale); the row_number window form is the "
-    "deterministic canonical and is differentially tested against "
-    "this plan on every key shape.",
-    tags=["dedup", "agg"],
+    "row_number WINDOW form over a payload pruned to the output "
+    "columns. Round 6's full-materialization drain reversed the r3 "
+    "plan choice here: on HIGH-cardinality keys (~4 rows per orderkey, "
+    "15M keys at sf10) the min_by aggregate's map-side hash table "
+    "spills and loses 3x to the window sort (honest-drain measurements "
+    "21.6s agg vs 7.4s window at sf10; the old 2x-for-agg numbers were "
+    "a count() pruning artifact — the payload never materialized). "
+    "priority_dedup_agg remains the right plan for LOW-cardinality "
+    "keys, where partial aggregation bounds the shuffle; both forms "
+    "are differentially tested equal on every key shape.",
+    tags=["dedup", "window"],
 )
 def q06_priority_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.operators.dedup import priority_dedup_agg
+    from waterdata_spark.operators.dedup import priority_dedup
 
-    li = load_table(spark, sf, "lineitem")
-    sort_key = F.struct(
-        (-F.col("l_extendedprice")).alias("p"), F.col("l_linenumber").alias("t")
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
     )
-    out = priority_dedup_agg(li, ["l_orderkey"], sort_key)
-    return out.select("l_orderkey", "l_linenumber", "l_extendedprice")
+    return priority_dedup(
+        li, ["l_orderkey"], [F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()]
+    )
 
 
 @query(
