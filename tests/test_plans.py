@@ -37,11 +37,20 @@ def test_fallback_join_scans_fact_once(spark):
 
 
 def test_priority_dedup_single_shuffle(spark):
+    """q06 runs the pruned WINDOW form since r6 (the min_by aggregate
+    spills on high-cardinality keys once its payload actually
+    materializes — honest-drain finding, SCALING.md): pin one shuffle,
+    a Window node, and the payload pruned to the 3 output columns at
+    the scan (the unpruned 16-column payload cost 56s vs 7.4s at
+    sf10)."""
     df = QUERIES["q06_priority_dedup"].fn(spark, SF_ORACLE)
     s = assert_plan(df, max_exchanges=1)
-    # aggregate form: partial min_by combines map-side, so the shuffle
-    # carries one candidate per (map task, key), not every input row
-    assert "partial_min_by" in s.text
+    assert "Window" in s.text and "row_number" in s.text
+    assert "min_by" not in s.text
+    assert any(
+        "l_extendedprice" in rs and "l_shipdate" not in rs and "l_comment" not in rs
+        for rs in s.read_schemas
+    )
 
 
 def test_pricing_summary_partial_agg(spark):
