@@ -122,6 +122,47 @@ class TestDedup:
         )
         assert n_banner == 1
 
+    def test_dedup_lines_global_differential_on_documents(self, spark):
+        """On the real documents table (with planted cross-document
+        boilerplate), the operator must agree line-for-line with a
+        pure-Python reimplementation of the first-occurrence rule."""
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.dedup import dedup_lines_global
+        from waterdata_spark.schemas import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+        banner = "SHARED BOILERPLATE BANNER LINE"
+        planted = docs.limit(40).selectExpr(
+            "doc_id", f"concat('{banner}', '\\n', text, '\\n', '{banner}') AS text"
+        )
+        rows = sorted(
+            ((r["doc_id"], r["text"]) for r in planted.collect()), key=lambda x: x[0]
+        )
+
+        # pure-Python reference: first occurrence by (doc_id, line idx)
+        seen: set = set()
+        want: dict = {}
+        for did, text in rows:
+            kept = []
+            for line in text.split("\n"):
+                t = line.strip()
+                if not t:
+                    continue
+                if t in seen:
+                    continue
+                seen.add(t)
+                kept.append(line)
+            if kept:
+                want[did] = "\n".join(kept)
+
+        got = {
+            r["doc_id"]: r["text"]
+            for r in dedup_lines_global(planted).collect()
+        }
+        assert got == want
+        # the planted banner survives exactly once across the corpus
+        assert sum(t.count(banner) for t in got.values()) == 1
+
     def test_dedup_against_exact(self, spark):
         """Cross-corpus exact dedup: corpus rows whose content exists
         in the reference drop; self-duplicates inside the corpus
