@@ -876,6 +876,35 @@ class TestDecontaminate:
         msgs = [str(x.message) for x in w]
         assert any("distinct gram lengths" in m and "keeping the 4" in m for m in msgs)
 
+    def test_decontaminate_raises_on_trimmed_lengths(self, spark, corpus):
+        """decontaminate() DELETES data, so a max_lengths trim that
+        skips eval coverage must raise, not warn (ADVICE r6) — a
+        silently-partial eval match would pass contaminated documents.
+        on_trim='warn' is the explicit opt-in to partial coverage."""
+        import warnings
+
+        import pytest as _pytest
+
+        from waterdata_spark.operators.decontaminate import decontaminate
+
+        hostile = spark.createDataFrame(
+            [(i, " ".join(f"z{i}_{j}" for j in range(i + 3))) for i in range(10)],
+            "eid long, etext string",
+        )
+        with _pytest.raises(ValueError, match="refuses to silently skip"):
+            decontaminate(
+                corpus, hostile, n=13, eval_id_col="eid", eval_text_col="etext",
+                max_lengths=4,
+            )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            kept = decontaminate(
+                corpus, hostile, n=13, eval_id_col="eid", eval_text_col="etext",
+                max_lengths=4, on_trim="warn",
+            )
+            assert kept.count() == 3  # no z-tokens in the corpus
+        assert any("distinct gram lengths" in str(x.message) for x in w)
+
     def test_short_gram_warning_but_still_matches(self, spark, corpus):
         import warnings
 

@@ -318,6 +318,19 @@ class TestGopherGate:
         # audit mode keeps every row
         assert len(out) == 3
 
+    def test_null_text_fails_not_passes(self, spark):
+        """A NULL document must FAIL the gate: every signal of a null
+        text is null, each threshold comparison yields null, and
+        array_compact would have dropped them all — reporting null
+        documents as clean (ADVICE r6). The explicit null_text rule
+        names the failure instead."""
+        from waterdata_spark.functions.text import gopher_gate
+
+        df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        assert gopher_gate(df).count() == 0
+        out = gopher_gate(df, audit_col="why").collect()
+        assert out[0]["why"] == ["null_text"]
+
     def test_threshold_override_and_unknown_rejected(self, spark):
         import pytest as _pytest
 

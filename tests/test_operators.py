@@ -181,6 +181,27 @@ class TestDedup:
         assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
         assert out.columns == corpus.columns
 
+    def test_content_digest_no_boundary_or_null_collisions(self, spark):
+        """Length-prefixed content encoding (ADVICE r6): ("ab","c")
+        must NOT collide with ("a","bc"), and null must NOT collide
+        with '' — in the cross-corpus form a collision silently
+        deletes corpus rows."""
+        from waterdata_spark.operators.dedup import dedup_against_exact, exact_dedup
+
+        corpus = spark.createDataFrame(
+            [(1, "ab", "c"), (2, None, "x"), (3, "", "x")],
+            "doc_id long, a string, b string",
+        )
+        ref = spark.createDataFrame(
+            [(900, "a", "bc"), (901, "ab", "c")], "doc_id long, a string, b string"
+        )
+        out = dedup_against_exact(corpus, ref, ["a", "b"])
+        # only the true match (1 ≡ 901) drops; boundary shift 900 doesn't
+        assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+        # within-table: null and '' stay distinct rows
+        self_d = exact_dedup(corpus, ["a", "b"], "doc_id")
+        assert sorted(r["doc_id"] for r in self_d.collect()) == [1, 2, 3]
+
     def test_dedup_against_fuzzy(self, spark):
         """Cross-corpus near-dup dedup: a corpus doc that is a light
         edit of a reference doc drops at threshold 0.5; an unrelated

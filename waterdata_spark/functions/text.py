@@ -327,12 +327,17 @@ def gopher_gate(
     unknown = set(th) - set(sig)
     if unknown:
         raise ValueError(f"gopher_gate: unknown signal(s) {sorted(unknown)}")
+    # NULL text must FAIL, not pass: every signal of a null document is
+    # null, each threshold F.when then yields null, and array_compact
+    # would remove them all — a null document would report as clean. An
+    # explicit first rule makes null text a named failure instead.
     fails = F.array_compact(
         F.array(
+            F.when(F.col(text_col).isNull(), F.lit("null_text")),
             *[
                 F.when((sig[k] < lo) | (sig[k] > hi), F.lit(k))
                 for k, (lo, hi) in sorted(th.items())
-            ]
+            ],
         )
     )
     if audit_col:

@@ -99,11 +99,17 @@ def ngram_contamination(
     return flag_against_prepared(corpus, e, lengths, id_col, text_col)
 
 
-def trimmed_gram_lengths(eval_hashes: DataFrame, max_lengths: int = 8) -> list[int]:
+def trimmed_gram_lengths(
+    eval_hashes: DataFrame, max_lengths: int = 8, on_trim: str = "warn"
+) -> list[int]:
     """EAGER: the ≤n-row distinct-gram-lengths aggregate of a prepared
-    eval side, trimmed to the ``max_lengths`` most frequent (warning
-    names any dropped lengths; lengths ≤ 2 also warn — degenerate eval
-    items). The only driver action in the whole decontamination plan."""
+    eval side, trimmed to the ``max_lengths`` most frequent. When the
+    trim actually drops lengths, ``on_trim`` decides: ``"warn"`` (the
+    flag path — reviewers see partial coverage in the audit) or
+    ``"raise"`` (the data-deleting :func:`decontaminate` path — skipped
+    eval coverage must not silently pass contaminated documents).
+    Lengths ≤ 2 always warn — degenerate eval items. The only driver
+    action in the whole decontamination plan."""
     import warnings
 
     by_freq = (
@@ -111,13 +117,20 @@ def trimmed_gram_lengths(eval_hashes: DataFrame, max_lengths: int = 8) -> list[i
     )
     kept = by_freq[:max_lengths]
     if len(by_freq) > max_lengths:
-        warnings.warn(
+        dropped = sorted(r["__len"] for r in by_freq[max_lengths:])
+        msg = (
             f"ngram_contamination: eval set has {len(by_freq)} distinct gram "
             f"lengths; keeping the {max_lengths} most frequent, dropping "
-            f"lengths {sorted(r['__len'] for r in by_freq[max_lengths:])} "
-            "(raise max_lengths to match them too)",
-            stacklevel=3,
+            f"lengths {dropped} "
+            "(raise max_lengths to match them too)"
         )
+        if on_trim == "raise":
+            raise ValueError(
+                msg + " — decontaminate() refuses to silently skip eval "
+                "coverage; raise max_lengths or call with on_trim='warn' "
+                "to accept partial matching"
+            )
+        warnings.warn(msg, stacklevel=3)
     short = sorted(r["__len"] for r in kept if r["__len"] <= 2)
     if short:
         warnings.warn(
@@ -184,11 +197,18 @@ def decontaminate(
     eval_id_col: str | None = None,
     eval_text_col: str | None = None,
     max_lengths: int = 8,
+    on_trim: str = "raise",
 ) -> DataFrame:
     """The corpus minus contaminated documents (left-anti join on the
     flag frame) — all corpus columns preserved. Eager on the eval side
-    at call time (see :func:`ngram_contamination`)."""
-    flagged = ngram_contamination(
-        corpus, eval_df, n, id_col, text_col, eval_id_col, eval_text_col, max_lengths
-    ).select(id_col)
+    at call time (see :func:`ngram_contamination`).
+
+    Unlike the flag-only path, this DELETES data, so by default it
+    RAISES if ``max_lengths`` would drop any eval gram length — a
+    silently-partial eval match must not let contaminated documents
+    through an automated pipeline. Pass ``on_trim="warn"`` to accept
+    partial coverage explicitly."""
+    e = _eval_gram_hashes(eval_df, eval_id_col or id_col, eval_text_col or text_col, n)
+    lengths = trimmed_gram_lengths(e, max_lengths, on_trim=on_trim)
+    flagged = flag_against_prepared(corpus, e, lengths, id_col, text_col).select(id_col)
     return corpus.join(flagged, id_col, "left_anti")

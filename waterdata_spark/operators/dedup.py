@@ -77,14 +77,33 @@ def dedup_any(df: DataFrame, keys: list[str]) -> DataFrame:
     return df.dropDuplicates(keys)
 
 
+def _content_digest(content_cols: list[str]):
+    """sha2 over an UNAMBIGUOUS multi-column encoding: each value is
+    length-prefixed (``len:value``) and null gets a sentinel that can
+    never start a length prefix. Separator-joined concat would let
+    ("ab","c") collide with ("a","bc") when a value contains the
+    separator, and concat_ws skips nulls so null collided with '' —
+    and in the cross-corpus form a false collision silently DELETES
+    corpus rows (ADVICE r6)."""
+    parts = []
+    for c in content_cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.coalesce(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s), F.lit("N")
+            )
+        )
+    return F.sha2(F.concat(*parts), 256)
+
+
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """X1: exact content dedup at scale — keep the row with the lowest
     id per distinct content. groupBy(content)+min(id) then semi-join
     back would shuffle twice; a window does it in one shuffle on a
     hash of the content (cheap fixed-width shuffle key even for long
-    text)."""
-    h = F.sha2(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]), 256)
-    df = df.withColumn("__h", h)
+    text). Content identity is the length-prefixed
+    :func:`_content_digest` — no column-boundary or null/'' collisions."""
+    df = df.withColumn("__h", _content_digest(content_cols))
     out = priority_dedup(df, ["__h"], [F.col(id_col).asc()])
     return out.drop("__h")
 
@@ -188,16 +207,14 @@ def dedup_against_exact(
     content digest, so the anti-join shuffles fixed-width keys, never
     the documents; a small reference digest set broadcasts. Corpus
     rows pass through otherwise untouched (self-duplicates within the
-    corpus are exact_dedup's job, deliberately not repeated here)."""
-
-    def _h(df: DataFrame):
-        return F.sha2(
-            F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]), 256
-        )
-
-    ref_h = reference.select(_h(reference).alias("__h")).distinct()
+    corpus are exact_dedup's job, deliberately not repeated here).
+    Content identity is the length-prefixed :func:`_content_digest`
+    (same encoding as exact_dedup) — a column-boundary or null/''
+    collision here would silently delete corpus rows."""
+    h = _content_digest(content_cols)
+    ref_h = reference.select(h.alias("__h")).distinct()
     return (
-        corpus.withColumn("__h", _h(corpus))
+        corpus.withColumn("__h", h)
         .join(ref_h, "__h", "left_anti")
         .drop("__h")
     )
