@@ -121,6 +121,30 @@ class TestMinHash:
         twice = minhash_dedup(once, "doc_id", "text", n_hashes=8, n_bands=4, threshold=0.5)
         assert sorted(r["doc_id"] for r in once.collect()) == sorted(r["doc_id"] for r in twice.collect())
 
+    def test_fingerprint_column_matches_doc_fingerprint(self, spark, near_dup_docs):
+        """minhash_bands(fingerprint=True) piggybacks the unseeded
+        1-permutation MinHash (the former x05 surface) on the signature
+        aggregate; it must equal functions.text.doc_fingerprint and be
+        constant across a document's band rows (r7 consolidation)."""
+        from pyspark.sql import functions as F
+
+        from waterdata_spark.functions.text import doc_fingerprint
+        from waterdata_spark.operators.dedup_approx import minhash_bands
+
+        bands = minhash_bands(
+            near_dup_docs, "doc_id", "text", n_hashes=4, n_bands=2, fingerprint=True
+        )
+        got = {
+            (r["doc_id"], r["band_id"]): r["fingerprint"] for r in bands.collect()
+        }
+        want = {
+            r["doc_id"]: r["fp"]
+            for r in near_dup_docs.select(
+                "doc_id", doc_fingerprint("text", 8).alias("fp")
+            ).collect()
+        }
+        assert got and all(fp == want[d] for (d, _), fp in got.items())
+
 
 class TestMinIdComponents:
     def test_string_ids_converge_fully(self, spark):

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from waterdata_spark.plans import cachereg
 
-from waterdata_spark.functions.text import LANG_MARKERS, doc_fingerprint, token_count, tokens
+from waterdata_spark.functions.text import LANG_MARKERS, token_count, tokens
 from waterdata_spark.operators.dedup import exact_dedup, priority_dedup
 from waterdata_spark.operators.expand import expand_keys
 from waterdata_spark.operators.fallback_join import fallback_join
@@ -704,27 +704,6 @@ def x04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "x05_doc_fingerprint",
-    """
-    WITH idx AS (
-      SELECT doc_id, text,
-             unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
-      FROM documents
-    )
-    SELECT doc_id, min(md5(substr(text, CAST(i AS INT), 8))) AS fingerprint
-    FROM idx GROUP BY doc_id
-    """,
-    doc="X4/X2 document fingerprinting: min-hash over all 8-char shingles "
-    "(1-permutation MinHash). md5 is identical in Spark and DuckDB, so "
-    "the fingerprint is oracle-checkable.",
-    tags=["text", "dedup", "llm"],
-)
-def x05_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
-    return d.select("doc_id", doc_fingerprint("text", 8).alias("fingerprint"))
-
-
-@query(
     "x06_ngram_jaccard_pairs",
     f"""
     WITH tok0 AS (
@@ -1065,24 +1044,30 @@ def q36_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     mh AS (
       SELECT doc_id,
              min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
-             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3
+             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+             min(md5(s)) AS fingerprint
       FROM sh GROUP BY doc_id
     )
-    SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_hash FROM mh
+    SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_hash, fingerprint FROM mh
     UNION ALL
-    SELECT doc_id, 1 AS band_id, md5(h2 || '|' || h3) AS band_hash FROM mh
+    SELECT doc_id, 1 AS band_id, md5(h2 || '|' || h3) AS band_hash, fingerprint FROM mh
     """,
     doc="X2 MinHash+LSH banding (Broder): 4 md5-seeded min-hashes over "
     "8-char shingles, 2 bands of 2. Docs sharing (band_id, band_hash) are "
     "near-dup candidates; the shuffle key is a fixed-width hash, never the "
-    "text. Fully oracle-checkable because the permutations are md5-based.",
+    "text. Fully oracle-checkable because the permutations are md5-based. "
+    "Also carries the UNSEEDED 1-permutation MinHash fingerprint (X4 "
+    "doc_fingerprint, the former x05 slot — r7 consolidation) computed in "
+    "the same aggregate pass: zero extra scans.",
     tags=["dedup", "similarity", "llm"],
 )
 def x08_minhash_bands(spark: SparkSession, sf: str) -> DataFrame:
     from waterdata_spark.operators.dedup_approx import minhash_bands
 
     d = load_table(spark, sf, "documents")
-    return minhash_bands(d, "doc_id", "text", n_hashes=4, n_bands=2, k=8)
+    return minhash_bands(
+        d, "doc_id", "text", n_hashes=4, n_bands=2, k=8, fingerprint=True
+    )
 
 
 @query(
@@ -2250,3 +2235,57 @@ def x21_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_contamination(
         d, eval_df, n=13, eval_id_col="eid", eval_text_col="etext"
     ).select("doc_id", "n_collisions", "n_eval_docs")
+
+
+@query(
+    "x22_dedup_lines_global",
+    """
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\r?\n'),
+                         x -> trim(x) <> '') AS lns
+      FROM documents
+    ),
+    ls AS (
+      SELECT doc_id,
+             unnest(lns) AS line,
+             unnest(range(len(lns))) AS idx
+      FROM arr
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_total FROM ls GROUP BY doc_id),
+    kept AS (
+      SELECT doc_id, idx, line FROM (
+        SELECT doc_id, idx, line,
+               ROW_NUMBER() OVER (PARTITION BY trim(line)
+                                  ORDER BY doc_id, idx) AS rn
+        FROM ls
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY idx) AS text,
+             COUNT(*) AS n_lines_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.text,
+           CAST(a.n_lines_kept AS BIGINT) AS n_lines_kept,
+           CAST(t.n_total - a.n_lines_kept AS BIGINT) AS n_lines_dropped
+    FROM agg a JOIN tot t USING (doc_id)
+    """,
+    doc="X1 C4-style GLOBAL line dedup (Raffel et al. 2020 §2.2): every "
+    "line keeps only its first corpus occurrence, deterministic by "
+    "(doc_id, line index); later occurrences are deleted from their "
+    "documents and empty documents drop. The r6 operator that REWRITES "
+    "corpus text, now oracle-backed (r6 verdict item 2): the DuckDB twin "
+    "elects winners by grouping on the trimmed line string itself, so the "
+    "engine's 96-bit hash composite is checked against exact-string "
+    "semantics. Engine shape: one min_by shuffle on the fixed-width line "
+    "hash (text never rides the first shuffle), order-preserving "
+    "reassembly via sort_array(collect_list).",
+    tags=["dedup", "text", "llm"],
+)
+def x22_dedup_lines_global(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.dedup import dedup_lines_global
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return dedup_lines_global(d, "doc_id", "text")
