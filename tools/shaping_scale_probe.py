@@ -95,13 +95,19 @@ def _ops(spark, sf_dir):
 
     def cross_dedup():
         # reference corpus = a 10% slice of the same docs → 10% of the
-        # corpus near-dups against it by construction
+        # corpus near-dups against it by construction. Input
+        # repartitioned at BOTH scales (x08 bench precedent): sf0.1's
+        # documents table is ONE parquet file, which would pin both
+        # MinHash scan passes to a single task and measure the layout,
+        # not the operator.
         from waterdata_spark.operators.dedup_approx import dedup_against
+        from waterdata_spark.session import default_parallelism
 
-        ref = docs.filter(F.col("doc_id") % 10 == 0).select(
+        d = docs.select("doc_id", "text").repartition(default_parallelism())
+        ref = d.filter(F.col("doc_id") % 10 == 0).select(
             (F.col("doc_id") + 10**7).alias("doc_id"), "text"
         )
-        return dedup_against(docs.select("doc_id", "text"), ref)
+        return dedup_against(d, ref)
 
     return {
         "chunk_documents": chunk,
