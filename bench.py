@@ -112,9 +112,12 @@ class _IvfServing:
     build/search split, similarity.py:build_ivf_index), then each
     repeat times ONLY search_ivf_index for a fixed 512-query batch —
     the steady-state serving cost. Operating point: n_cells='auto'
-    (sqrt n), n_probe=8, n_assign=2 — the measured >=0.9-recall
-    configuration (tools/ann_recall.py: 0.956 @ cells=16/probe=8/
-    assign=2, cost 1.24x)."""
+    (sqrt n), n_probe=8, n_assign=2, quantize=True — int8 is the
+    serving layout SCALING.md recommends (7.3x smaller index, -0.012
+    recall, search no slower — tools/quantize_probe.py), so the
+    headline measures the recommended config (r6 verdict item 5).
+    Recall at this operating point: 0.940 int8 vs 0.956 fp64
+    (tools/ann_recall.py / quantize_probe.py)."""
 
     def __init__(self) -> None:
         self.index = None
@@ -132,7 +135,7 @@ class _IvfServing:
         e = load_table(spark, sf_dir, "embeddings")
         if self.index is None:
             t0 = time.time()
-            self.index = build_ivf_index(e, n_cells="auto", n_assign=2)
+            self.index = build_ivf_index(e, n_cells="auto", n_assign=2, quantize=True)
             self.index.indexed.count()  # materialize the persisted index
             self.build_sec = round(time.time() - t0, 3)
         queries = e.filter(F.col("vec_id") < X07_QUERY_BATCH)
