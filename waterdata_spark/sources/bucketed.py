@@ -25,10 +25,25 @@ def write_bucketed(
     n_buckets: int = 16,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    prepartition: bool = True,
 ) -> None:
     """Persist as a bucketed (+sorted) managed table. Bucket count
     should match downstream parallelism (≈ cores locally; hundreds on
-    a cluster) — both join sides must use the SAME count."""
+    a cluster) — both join sides must use the SAME count.
+
+    ``prepartition`` (default) repartitions on the bucket columns
+    first: Spark's bucketed write otherwise emits one file per
+    (write task × bucket) — with T input tasks that is T×n_buckets
+    tiny files plus a per-task sort over ALL buckets' rows, the 6.6×
+    write premium VERDICT r6 item 8 flagged. ``repartition(n_buckets,
+    cols)`` and the bucket-id spec use the same murmur3-pmod hash, so
+    after the exchange each task holds exactly one bucket and writes
+    exactly one file (n_buckets files total, each sort local to one
+    bucket). The exchange is the same shuffle a downstream join would
+    have paid once anyway — the whole point of paying it at write
+    time."""
+    if prepartition:
+        df = df.repartition(n_buckets, *bucket_cols)
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
