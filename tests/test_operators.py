@@ -216,9 +216,14 @@ class TestDedup:
         )
         ref = spark.createDataFrame([(900, base)], "doc_id long, text string")
         # n_bands=8 (2 rows/band): collision prob ~1 at jaccard 0.93,
-        # ~0 for unrelated text — a deterministic test, not a coin flip
-        kept = dedup_against(corpus, ref, n_bands=8, threshold=0.5)
-        assert [r["doc_id"] for r in kept.collect()] == [2]
+        # ~0 for unrelated text — a deterministic test, not a coin flip.
+        # Both hash families must agree: md5 is the x23 oracle contract,
+        # xx the production path (same plan, different permutations).
+        for hash_fn in ("xx", "md5"):
+            kept = dedup_against(
+                corpus, ref, n_bands=8, threshold=0.5, hash_fn=hash_fn
+            )
+            assert [r["doc_id"] for r in kept.collect()] == [2], hash_fn
         # identical text at threshold=None also drops via band collision
         corpus2 = spark.createDataFrame(
             [(1, base), (2, other)], "doc_id long, text string"

@@ -592,6 +592,7 @@ def dedup_against(
     k: int = 8,
     threshold: float | None = 0.7,
     prefilter_margin: float | None = 0.25,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Cross-corpus NEAR-dup dedup: drop corpus documents that
     near-duplicate ANY reference document (dedup a fresh crawl against
@@ -638,17 +639,17 @@ def dedup_against(
         F.col(id_col).alias("__rid"), F.col(text_col).alias("__rtext")
     )
     csig = minhash_signature_frame(
-        corpus.select(id_col, text_col), id_col, text_col, n_hashes, k, "xx"
+        corpus.select(id_col, text_col), id_col, text_col, n_hashes, k, hash_fn
     )
-    rsig = minhash_signature_frame(ref2, "__rid", "__rtext", n_hashes, k, "xx")
+    rsig = minhash_signature_frame(ref2, "__rid", "__rtext", n_hashes, k, hash_fn)
     if threshold is not None:
         # signatures feed BOTH the band pass and the estimate join —
         # persist so the expensive shingle+hash pass runs once per
         # side (fixed width: n_hashes longs per doc)
         csig = cachereg.register("dedup_approx.cross_csig", csig.persist())
         rsig = cachereg.register("dedup_approx.cross_rsig", rsig.persist())
-    cb = _bands_from_signature(csig, id_col, n_hashes, n_bands, "xx")
-    rb = _bands_from_signature(rsig, "__rid", n_hashes, n_bands, "xx")
+    cb = _bands_from_signature(csig, id_col, n_hashes, n_bands, hash_fn)
+    rb = _bands_from_signature(rsig, "__rid", n_hashes, n_bands, hash_fn)
     cand = cb.join(rb, ["band_id", "band_hash"]).select(id_col, "__rid").distinct()
     if threshold is None:
         flagged = cand.select(id_col).distinct()

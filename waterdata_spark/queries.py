@@ -628,18 +628,40 @@ def q17_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "x01_exact_dedup_docs",
     """
-    SELECT doc_id, lang, n_chars
-    FROM documents
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    WITH kept AS (
+      SELECT doc_id, lang, n_chars, text
+      FROM documents
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    )
+    SELECT k.doc_id, k.lang, k.n_chars
+    FROM kept k
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents r
+      WHERE r.doc_id % 7 = 3 AND r.text IS NOT DISTINCT FROM k.text
+    )
     """,
-    doc="X1 exact dedup at scale: one row per distinct text, lowest doc_id "
-    "wins. Spark side groups on sha2(text) — a fixed-width shuffle key "
-    "instead of shuffling arbitrarily long documents.",
+    doc="X1 exact dedup, the full ingest shape (r7: absorbs the "
+    "cross-corpus exact form, giving dedup.dedup_against_exact — a "
+    "DATA-DELETING operator — its oracle row): stage 1 keeps one row "
+    "per distinct text (lowest doc_id wins, sha2 length-prefixed "
+    "digest as the fixed-width shuffle key); stage 2 drops every "
+    "survivor whose text already exists in the 'previously ingested' "
+    "reference slice (doc_id%7=3) via the same digest as a broadcast "
+    "anti-join. The DuckDB twin checks both stages against exact-string "
+    "semantics (IS NOT DISTINCT FROM mirrors the digest's null "
+    "sentinel: null content matches null content), so a digest-encoding "
+    "collision bug would hash-mismatch.",
     tags=["dedup", "llm"],
 )
 def x01_exact_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.dedup import dedup_against_exact
+
     d = load_table(spark, sf, "documents")
-    return exact_dedup(d, ["text"], "doc_id").select("doc_id", "lang", "n_chars")
+    kept = exact_dedup(d, ["text"], "doc_id")
+    ref = d.filter(F.col("doc_id") % 7 == 3).select("text")
+    return dedup_against_exact(kept, ref, ["text"]).select(
+        "doc_id", "lang", "n_chars"
+    )
 
 
 # x02_token_stats (X4 token counting + quality scoring; had itself
@@ -1374,22 +1396,42 @@ def x14_training_prep(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q22_orderby_limit",
     """
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 10
+    WITH topn AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 10
+    )
+    SELECT o_orderpriority,
+           string_agg(DISTINCT CAST(o_orderkey AS VARCHAR), ';'
+                      ORDER BY CAST(o_orderkey AS VARCHAR)) AS keys,
+           COUNT(*) AS n,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM topn
+    GROUP BY o_orderpriority
     """,
     doc="C25 sort + C26 limit as a deterministic top-N (total order via "
-    "the orderkey tiebreak). Spark plans this as TakeOrderedAndProject — "
-    "no global sort, each partition keeps N rows then the driver merges.",
-    tags=["sort", "limit"],
+    "the orderkey tiebreak; Spark plans the limit as "
+    "TakeOrderedAndProject — no global sort, each partition keeps N rows "
+    "then the driver merges), composed with the former q23 slot's "
+    "ordered string aggregation over the top-N (r7 consolidation, "
+    "freeing the slot for x23): concat_ws over sort_array(collect_set) "
+    "— deterministic multiset semantics on both engines. Every top-10 "
+    "membership decision is still hash-checked: the keys column lists "
+    "the winning orderkeys per priority.",
+    tags=["sort", "limit", "agg", "string"],
 )
 def q22_orderby_limit(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
+    topn = o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(
+        10
+    )
+    return topn.groupBy("o_orderpriority").agg(
+        F.concat_ws(
+            ";", F.sort_array(F.collect_set(F.col("o_orderkey").cast("string")))
+        ).alias("keys"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
     )
 
 
@@ -1426,25 +1468,12 @@ def x12_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "q23_string_agg",
-    """
-    SELECT c_mktsegment,
-           string_agg(DISTINCT c_name, ';' ORDER BY c_name) AS names
-    FROM customer
-    WHERE c_custkey < 40
-    GROUP BY c_mktsegment
-    """,
-    doc="Ordered string aggregation (listagg): Spark side is "
-    "concat_ws over sort_array(collect_set) — deterministic multiset "
-    "semantics on both engines.",
-    tags=["agg", "string"],
-)
-def q23_string_agg(spark: SparkSession, sf: str) -> DataFrame:
-    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") < 40)
-    return c.groupBy("c_mktsegment").agg(
-        F.concat_ws(";", F.sort_array(F.collect_set("c_name"))).alias("names")
-    )
+# q23_string_agg was consolidated into q22_orderby_limit in round 7 —
+# the ordered string aggregation (concat_ws over sort_array(collect_set)
+# vs string_agg DISTINCT ... ORDER BY) is still oracle-hashed there,
+# over the top-N rows — freeing the registry slot for
+# x23_dedup_against (the fuzzy cross-corpus DATA-DELETING operator).
+# See COVERAGE.md.
 
 
 @query(
@@ -2289,3 +2318,105 @@ def x22_dedup_lines_global(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents").select("doc_id", "text")
     return dedup_lines_global(d, "doc_id", "text")
+
+
+@query(
+    "x23_dedup_against",
+    """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+      FROM documents
+    ),
+    sh AS (SELECT doc_id, substr(text, CAST(i AS INT), 8) AS s FROM idx),
+    mh AS (
+      SELECT doc_id,
+             min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+             min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+             min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+      FROM sh GROUP BY doc_id
+    ),
+    rmh AS (SELECT * FROM mh WHERE doc_id % 5 = 2),
+    cbands AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_hash FROM mh
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM mh
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM mh
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM mh
+    ),
+    rbands AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_hash FROM rmh
+      UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM rmh
+      UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM rmh
+      UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM rmh
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS cid, r.doc_id AS rid
+      FROM cbands c JOIN rbands r
+        ON c.band_id = r.band_id AND c.band_hash = r.band_hash
+    ),
+    est AS (
+      SELECT cand.cid, cand.rid
+      FROM cand
+      JOIN mh a ON a.doc_id = cand.cid
+      JOIN rmh b ON b.doc_id = cand.rid
+      WHERE CAST((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0
+            >= 0.35
+    ),
+    dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    flagged AS (
+      SELECT DISTINCT e.cid AS doc_id
+      FROM (
+        SELECT e.cid, e.rid, COUNT(*) AS ni
+        FROM est e
+        JOIN dsh x ON x.doc_id = e.cid
+        JOIN dsh y ON y.doc_id = e.rid AND y.s = x.s
+        GROUP BY e.cid, e.rid
+      ) e
+      JOIN sizes sa ON sa.doc_id = e.cid
+      JOIN sizes sb ON sb.doc_id = e.rid
+      WHERE CAST(e.ni AS DOUBLE) / (sa.n + sb.n - e.ni) >= 0.6
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
+    """,
+    doc="X2 cross-corpus NEAR-dup dedup, oracle-backed (r7 — the r6 "
+    "verdict flagged dedup_against as a DATA-DELETING operator with no "
+    "oracle row): drop corpus documents that near-duplicate (Jaccard "
+    ">= 0.6 on 8-char shingles) ANY document in the 'already ingested' "
+    "reference slice (doc_id%5=2 — which therefore deletes itself plus "
+    "its near-dup neighborhood). The DuckDB twin reproduces the FULL "
+    "three-stage r7 cascade: md5 minhash banding (8 hashes, 4 bands), "
+    "the signature-estimate prefilter (matching fraction >= "
+    "threshold-0.25), and exact shingle-Jaccard verification — so the "
+    "cascade's miss structure, not just the final survivor set, is "
+    "value-hash-checked. Engine side runs hash_fn='md5' here for "
+    "DuckDB reproducibility; production default is the xxhash64 long "
+    "path (identical plan shape, ~4x faster, pytest-equivalence in "
+    "test_operators).",
+    tags=["dedup", "llm"],
+)
+def x23_dedup_against(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.dedup_approx import dedup_against
+
+    d = load_table(spark, sf, "documents")
+    ref = d.filter(F.col("doc_id") % 5 == 2).select("doc_id", "text")
+    return dedup_against(
+        d.select("doc_id", "lang", "n_chars", "text"),
+        ref,
+        n_hashes=8,
+        n_bands=4,
+        k=8,
+        threshold=0.6,
+        prefilter_margin=0.25,
+        hash_fn="md5",
+    ).select("doc_id", "lang", "n_chars")
