@@ -206,12 +206,16 @@ target_strategy = st.lists(
 
 
 def _model_apply(target_rows, changes):
-    """Dict reference model of apply_changes: latest (seq, is_delete)
-    per key wins; delete preferred at seq ties; upserts set the value."""
+    """Dict reference model of apply_changes: latest (seq, is_delete,
+    payload) per key wins — delete preferred at seq ties, then the
+    LARGEST payload among full-rank ties (r7: the engine's max_by
+    gained the payload tiebreak after hypothesis produced two
+    same-seq inserts whose arbitrary survivor depended on
+    partitioning); upserts set the value."""
     table = dict(target_rows)
     best = {}
     for cid, val, op, seq in changes:
-        rank = (seq, 1 if op == "delete" else 0)
+        rank = (seq, 1 if op == "delete" else 0, val)
         if cid not in best or rank > best[cid][0]:
             best[cid] = (rank, val, op)
     for cid, (_, val, op) in best.items():

@@ -134,23 +134,34 @@ def apply_changes(
     """Apply a CDC changelog: per key, the change with the highest
     ``(seq)`` wins (ties broken by preferring delete — a delete and an
     upsert at the same sequence is a malformed feed; the conservative
-    read drops the row). ``op_col`` values: ``'insert'``/``'update'``
-    (both upsert — CDC feeds rarely distinguish reliably) or
-    ``'delete'``.
+    read drops the row — then by the payload struct itself, largest
+    wins, so duplicate same-seq upserts collapse DETERMINISTICALLY:
+    ``max_by`` alone picks an arbitrary survivor among full-rank ties,
+    which made the result depend on partitioning — caught by the
+    hypothesis dict-model differential). ``op_col`` values:
+    ``'insert'``/``'update'`` (both upsert — CDC feeds rarely
+    distinguish reliably) or ``'delete'``. Payload columns must be
+    orderable types (atomic/struct/array; not map) — true of CDC row
+    feeds.
 
     The collapse is ONE aggregation: ``max_by(struct(all cols), (seq,
-    is_delete))`` per key — map-side combinable, shuffle volume bounded
-    by live keys per map task, never by changelog length. The merge
-    then proceeds as :func:`merge_upsert`.
+    is_delete, payload...))`` per key — map-side combinable, shuffle
+    volume bounded by live keys per map task, never by changelog
+    length. The merge then proceeds as :func:`merge_upsert`.
     """
     payload_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
+    value_cols = [c for c in payload_cols if c not in keys]
     is_del = (F.col(op_col) == "delete").cast("int")
     latest = (
         changes.groupBy(*[F.col(k) for k in keys])
         .agg(
             F.max_by(
-                F.struct(*[F.col(c) for c in payload_cols if c not in keys], is_del.alias("__del")),
-                F.struct(F.col(seq_col).alias("s"), is_del.alias("d")),
+                F.struct(*[F.col(c) for c in value_cols], is_del.alias("__del")),
+                F.struct(
+                    F.col(seq_col).alias("s"),
+                    is_del.alias("d"),
+                    *[F.col(c).alias(f"p{i}") for i, c in enumerate(value_cols)],
+                ),
             ).alias("__w")
         )
         .select(*keys, "__w.*")
