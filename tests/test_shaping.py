@@ -228,3 +228,152 @@ class TestSamplingPlans:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestImportanceResampling:
+    """DSIR-style data selection (operators/selection.py)."""
+
+    def test_differential_vs_python_reference_on_documents(self, spark):
+        """importance_weights on the md5 hash path must match a pure-
+        Python reimplementation (hashlib md5 buckets, dict unigram
+        models) exactly — run on the real documents table with a real
+        target slice, so tokenization, bucketing, smoothing and the
+        log-ratio sum are all pinned, not just plausible."""
+        import hashlib
+        import math
+        import re
+
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.selection import importance_weights
+        from waterdata_spark.schemas import load_table
+
+        B, ALPHA = 1000, 1.0
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+        target = docs.filter(F.col("doc_id") % 9 == 1).select("text")
+
+        def grams(text):
+            toks = [t for t in re.split(r"\s+", text.strip(" ")) if t != ""]
+            return toks + [" ".join(p) for p in zip(toks, toks[1:])]
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        t_rows = [r["text"] for r in target.collect()]
+        tc, rc = {}, {}
+        for text in t_rows:
+            for g in grams(text):
+                b = bucket(g)
+                tc[b] = tc.get(b, 0) + 1
+        for _, text in rows:
+            for g in grams(text):
+                b = bucket(g)
+                rc[b] = rc.get(b, 0) + 1
+        nt, nr = sum(tc.values()), sum(rc.values())
+        dt, dr = math.log(nt + ALPHA * B), math.log(nr + ALPHA * B)
+
+        def w(text):
+            return sum(
+                math.log(tc.get(bucket(g), 0) + ALPHA)
+                - dt
+                - math.log(rc.get(bucket(g), 0) + ALPHA)
+                + dr
+                for g in grams(text)
+            )
+
+        want = {did: w(text) for did, text in rows}
+        got = {
+            r["doc_id"]: r["log_w"]
+            for r in importance_weights(
+                docs, target, n_buckets=B, alpha=ALPHA, hash_fn="md5"
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for did in want:
+            assert got[did] == pytest.approx(want[did], rel=1e-9, abs=1e-9), did
+
+    def test_target_like_documents_outrank_off_target(self, spark):
+        """The weight must separate: corpus docs sharing the target's
+        vocabulary score above docs from a disjoint vocabulary — on
+        BOTH hash paths."""
+        from waterdata_spark.operators.selection import importance_weights
+
+        target = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon zeta " * 5) for i in range(5)],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta " * 8), (2, "one two three four " * 8)],
+            "doc_id long, text string",
+        )
+        for hash_fn in ("xx", "md5"):
+            got = {
+                r["doc_id"]: r["log_w"]
+                for r in importance_weights(
+                    corpus, target, n_buckets=512, hash_fn=hash_fn
+                ).collect()
+            }
+            assert got[1] > got[2], hash_fn
+
+    def test_resample_deterministic_and_partition_stable(self, spark):
+        """Gumbel-top-k selection: same seed → same set, independent
+        of input partitioning; different seed → (here) different set;
+        k rows returned."""
+        from waterdata_spark.operators.selection import importance_resample
+
+        target = spark.createDataFrame(
+            [(0, "red green blue cyan magenta yellow " * 4)],
+            "doc_id long, text string",
+        )
+        rows = [
+            (i, ("red green blue " if i % 3 == 0 else "dog cat emu ") * 6)
+            for i in range(60)
+        ]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        pick = lambda df, seed: sorted(
+            r["doc_id"]
+            for r in importance_resample(
+                df, target, k=10, seed=seed, n_buckets=512
+            ).collect()
+        )
+        a = pick(corpus, "s1")
+        b = pick(corpus.repartition(7), "s1")
+        c = pick(corpus, "s2")
+        assert a == b and len(a) == 10
+        assert a != c
+        # selection is weight-biased: most picks are target-like docs
+        assert sum(1 for d in a if d % 3 == 0) >= 7
+
+    def test_empty_and_null_text_weight_zero(self, spark):
+        from waterdata_spark.operators.selection import importance_weights
+
+        target = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "x y z x y z"), (4, "p q r p q r")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["log_w"]
+            for r in importance_weights(corpus, target, n_buckets=64).collect()
+        }
+        # no grams -> exactly the neutral weight; target-vocabulary doc
+        # outranks the off-vocabulary doc (absolute sign is relative to
+        # the raw model, which here is the corpus itself)
+        assert got[1] == 0.0 and got[2] == 0.0
+        assert got[3] > got[4]
+
+    def test_weight_plan_shape(self, spark):
+        """100 TB guards: the ratio join must broadcast (the ratio
+        frame is ≤ n_buckets rows) and the per-doc sum must be a
+        partial (map-side) aggregate — no sort-merge join anywhere."""
+        from waterdata_spark.operators.selection import importance_weights
+
+        corpus = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("w"), (F.col("id") % 7).cast("string")).alias("text"),
+        )
+        target = corpus.limit(10).select("text")
+        out = importance_weights(corpus, target, n_buckets=256)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan

@@ -42,6 +42,10 @@ from waterdata_spark.operators.sampling import (
     stratified_sample,
     stratified_sample_exact,
 )
+from waterdata_spark.operators.selection import (
+    importance_resample,
+    importance_weights,
+)
 from waterdata_spark.operators.similarity import (
     build_ivf_index,
     cosine_search_bruteforce,
@@ -81,6 +85,8 @@ __all__ = [
     "expect_schema",
     "fallback_join",
     "hash_sample",
+    "importance_resample",
+    "importance_weights",
     "merge_upsert",
     "min_id_components",
     "minhash_candidate_pairs",
