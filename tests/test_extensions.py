@@ -1098,6 +1098,98 @@ class TestStreamingDecontaminate:
         assert len(got_dirty) > 0  # non-vacuous: spans really collided
 
 
+class TestStreamingDedupAgainst:
+    def test_stream_equals_batch_gate(self, spark, tmp_path):
+        """A 3-micro-batch document stream gated against a frozen
+        reference corpus must keep exactly what the batch signature
+        gate keeps (flag_near_reference is per-document and stateless,
+        so the equality is row-for-row), quarantine the rest, and be
+        non-vacuous in both directions: the reference slice's own
+        documents drop (self-similarity 1.0 always collides and
+        estimates 1.0), others survive."""
+        from waterdata_spark.operators.dedup_approx import (
+            flag_near_reference,
+            reference_signatures,
+        )
+        from waterdata_spark.schemas import load_table
+        from waterdata_spark.streaming.hygiene import dedup_against_stream_sink
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+        reference = docs.filter(F.col("doc_id") % 6 == 2)
+
+        src = tmp_path / "docs_stream"
+        src.mkdir()
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                str(src / f"f{i}")
+            )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = dedup_against_stream_sink(
+            stream,
+            reference,
+            out_dir=str(tmp_path / "kept"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            quarantine_dir=str(tmp_path / "dropped"),
+            threshold=0.7,
+        )
+        q.awaitTermination()
+
+        ref_sig = reference_signatures(reference)
+        batch_flagged = {
+            r["doc_id"] for r in flag_near_reference(docs, ref_sig).collect()
+        }
+        all_ids = {r["doc_id"] for r in docs.collect()}
+        got_kept = {
+            r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept")).collect()
+        }
+        got_dropped = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "dropped")).collect()
+        }
+        assert got_kept == all_ids - batch_flagged
+        assert got_dropped == batch_flagged
+        ref_ids = {r["doc_id"] for r in reference.select("doc_id").collect()}
+        assert ref_ids <= got_dropped  # identity always estimates 1.0
+        assert got_kept  # and the gate is not dropping everything
+
+    def test_gate_agrees_with_estimate_only_semantics(self, spark):
+        """Planted docs: an identical copy of a reference doc and a
+        light edit must be flagged; an unrelated doc must not — on
+        both hash paths."""
+        from waterdata_spark.operators.dedup_approx import (
+            flag_near_reference,
+            reference_signatures,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again " * 5
+        corpus = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base + "with one small appended tail"),
+                (3, "entirely different text about catalyst plans " * 5),
+            ],
+            "doc_id long, text string",
+        )
+        ref = spark.createDataFrame([(900, base)], "doc_id long, text string")
+        # the repeated base collapses to ~60 distinct shingles, so the
+        # light edit sits at true jaccard ~0.68 — gate at 0.5 with 8
+        # bands (2 rows/band), the same operating point the batch
+        # fuzzy-dedup test pins
+        for hash_fn in ("xx", "md5"):
+            sig = reference_signatures(ref, hash_fn=hash_fn)
+            flagged = {
+                r["doc_id"]
+                for r in flag_near_reference(
+                    corpus, sig, n_bands=8, threshold=0.5, hash_fn=hash_fn
+                ).collect()
+            }
+            assert flagged == {1, 2}, hash_fn
+
+
 class TestAnnSearch:
     def test_probe_all_equals_bruteforce(self, spark):
         """cosine_search_ivf with n_probe >= n_cells covers every cell,

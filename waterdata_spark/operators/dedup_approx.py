@@ -706,3 +706,78 @@ def dedup_against(
             .distinct()
         )
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def reference_signatures(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    k: int = 8,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """The frozen reference side of :func:`flag_near_reference`:
+    (``__rid``, ``__h0..__h{n-1}``) minhash signatures. Fixed width —
+    n_hashes values per reference doc — so a reference that fits the
+    batch operator's broadcast bound also fits a driver-side snapshot
+    for the streaming gate (streaming/hygiene.py)."""
+    ref2 = reference.select(
+        F.col(id_col).alias("__rid"), F.col(text_col).alias("__rtext")
+    )
+    return minhash_signature_frame(ref2, "__rid", "__rtext", n_hashes, k, hash_fn)
+
+
+def flag_near_reference(
+    corpus: DataFrame,
+    ref_sig: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 8,
+    threshold: float = 0.7,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Corpus ids whose document NEAR-dups any reference doc, decided
+    from SIGNATURES ALONE: band collision AND MinHash-estimate >=
+    ``threshold`` (matching fraction of the n_hashes values — the
+    unbiased Jaccard estimator). No exact shingle verification, so the
+    decision needs only the fixed-width reference signatures, never
+    the reference TEXT — the property that makes the streaming ingest
+    gate possible (the reference rides as n_hashes values/doc) and the
+    trade production systems take at corpus scale (trust the sketch;
+    est-noise sigma = sqrt(j(1-j)/n_hashes)). The batch twin of
+    streaming/hygiene.dedup_against_stream_sink — per-document and
+    stateless given a frozen reference, so stream == batch exactly.
+
+    ``ref_sig`` comes from :func:`reference_signatures` with the SAME
+    (n_hashes, k, hash_fn)."""
+    csig = cachereg.register(
+        "dedup_approx.flag_csig",
+        minhash_signature_frame(
+            corpus.select(id_col, text_col), id_col, text_col, n_hashes, k, hash_fn
+        ).persist(),
+    )
+    cb = _bands_from_signature(csig, id_col, n_hashes, n_bands, hash_fn)
+    rb = _bands_from_signature(ref_sig, "__rid", n_hashes, n_bands, hash_fn)
+    cand = (
+        cb.join(F.broadcast(rb), ["band_id", "band_hash"])
+        .select(id_col, "__rid")
+        .distinct()
+    )
+    matches = sum(
+        (F.col(f"__ch{i}") == F.col(f"__rh{i}")).cast("int") for i in range(n_hashes)
+    )
+    c_named = csig.select(
+        F.col(id_col), *[F.col(f"__h{i}").alias(f"__ch{i}") for i in range(n_hashes)]
+    )
+    r_named = ref_sig.select(
+        "__rid", *[F.col(f"__h{i}").alias(f"__rh{i}") for i in range(n_hashes)]
+    )
+    return (
+        cand.join(c_named, id_col)
+        .join(F.broadcast(r_named), "__rid")
+        .filter(matches.cast("double") / F.lit(float(n_hashes)) >= F.lit(threshold))
+        .select(id_col)
+        .distinct()
+    )

@@ -108,3 +108,113 @@ def decontaminate_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class PreparedReferenceSignatures:
+    """The frozen reference side of the streaming NEAR-DUP ingest gate:
+    minhash signatures as driver-local rows (n_hashes fixed-width
+    values per reference doc — the text never leaves the batch job
+    that built them). Build once with :meth:`from_reference_df`; reuse
+    across micro-batches and sessions. Bound: a reference that fits
+    the batch operator's broadcast (the decision join broadcasts it
+    anyway) fits here; beyond that, run batch ``dedup_against``."""
+
+    def __init__(self, pdf, schema, n_hashes: int, n_bands: int, k: int, hash_fn: str):
+        self.pdf = pdf
+        self.schema = schema
+        self.n_hashes = n_hashes
+        self.n_bands = n_bands
+        self.k = k
+        self.hash_fn = hash_fn
+
+    @classmethod
+    def from_reference_df(
+        cls,
+        reference: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_hashes: int = 16,
+        n_bands: int = 4,
+        k: int = 8,
+        hash_fn: str = "xx",
+    ) -> "PreparedReferenceSignatures":
+        from waterdata_spark.operators.dedup_approx import reference_signatures
+
+        sig = reference_signatures(reference, id_col, text_col, n_hashes, k, hash_fn)
+        return cls(sig.toPandas(), sig.schema, n_hashes, n_bands, k, hash_fn)
+
+    def df(self, spark) -> DataFrame:
+        return spark.createDataFrame(self.pdf, schema=self.schema)
+
+
+def dedup_against_batch(
+    batch_df: DataFrame,
+    prepared: PreparedReferenceSignatures,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch's (kept, dropped) split against the prepared
+    reference signatures — the foreachBatch body, callable directly
+    for tests and batch shards. Decision = band collision AND
+    signature estimate >= threshold (``flag_near_reference``), exactly
+    the batch twin's rule, so stream == batch row-for-row."""
+    from waterdata_spark.operators.dedup_approx import flag_near_reference
+
+    flagged = flag_near_reference(
+        batch_df,
+        prepared.df(batch_df.sparkSession),
+        id_col,
+        text_col,
+        prepared.n_hashes,
+        prepared.n_bands,
+        prepared.k,
+        threshold,
+        prepared.hash_fn,
+    )
+    kept = batch_df.join(flagged, id_col, "left_anti")
+    dropped = batch_df.join(flagged, id_col, "left_semi")
+    return kept, dropped
+
+
+def dedup_against_stream_sink(
+    corpus_stream: DataFrame,
+    reference: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    quarantine_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 8,
+    threshold: float = 0.7,
+    hash_fn: str = "xx",
+):
+    """Streaming cross-corpus NEAR-dup ingest gate: documents flow in,
+    anything near-duplicating the frozen reference corpus (band
+    collision + MinHash estimate >= threshold) is dropped (or
+    quarantined) before reaching training storage — the ingest-time
+    form of ``dedup_approx.dedup_against``, decided from signatures
+    alone so the reference text is never shipped or re-scanned.
+    Stateless per document given the frozen reference: no Structured
+    Streaming state, every micro-batch runs the same broadcast
+    decision join. Returns the availableNow StreamingQuery."""
+    prepared = PreparedReferenceSignatures.from_reference_df(
+        reference, id_col, text_col, n_hashes, n_bands, k, hash_fn
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        kept, dropped = dedup_against_batch(
+            batch_df, prepared, id_col, text_col, threshold
+        )
+        kept.write.mode("append").parquet(out_dir)
+        if quarantine_dir:
+            dropped.write.mode("append").parquet(quarantine_dir)
+
+    return (
+        corpus_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
