@@ -1439,3 +1439,119 @@ class TestAnnSearch:
         ).collect()
         assert len(out) == 1
         assert out[0]["neighbor_id"] == 1 and out[0]["similarity"] == 1.0
+
+
+class TestRecordLinkage:
+    """Soundex/prefix-blocked levenshtein linkage (operators/linkage.py
+    — SURVEY §2.9 X2's declared record-linkage mapping)."""
+
+    NAMES = [
+        (1, "Acme Water District"),
+        (2, "ACME  water  district"),     # case/whitespace only
+        (3, "Acme Water Distrct"),        # 1-char deletion typo
+        (4, "Blue River Utility"),
+        (5, "Blue River Utilitys"),       # 1-char insertion
+        (6, "Crystal Springs Co"),
+        (7, "completely different name"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.NAMES, "id long, key string")
+
+    def test_differential_vs_python_reference(self, spark):
+        """Pairs from the Spark operator must equal a pure-Python
+        blocked-linkage reimplementation (same normalize, same prefix
+        block, classic DP levenshtein) on planted names — distances
+        included."""
+        import re
+
+        from waterdata_spark.operators.linkage import link_pairs
+
+        def norm(s):
+            return re.sub(r"\s+", " ", s).strip().lower()
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        rows = [(i, norm(k)) for i, k in self.NAMES]
+        want = set()
+        for i, (ia, ka) in enumerate(rows):
+            for ib, kb in rows[i + 1 :]:
+                if ka[:3] == kb[:3] and lev(ka, kb) <= 2:
+                    want.add((ia, ib, lev(ka, kb)))
+        got = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in link_pairs(
+                self._df(spark), blocking=["prefix:3"], max_distance=2
+            ).collect()
+        }
+        assert got == want
+        assert (1, 2, 0) in got and (1, 3, 1) in got and (4, 5, 1) in got
+
+    def test_linked_dedup_transitive_and_deterministic(self, spark):
+        """a<->b<->c collapses to one survivor (lowest id) even when
+        the endpoints are further apart than max_distance; unrelated
+        rows survive; the operator is idempotent."""
+        from waterdata_spark.operators.linkage import linked_dedup
+
+        out = linked_dedup(self._df(spark), max_distance=2)
+        kept = sorted(r["id"] for r in out.collect())
+        assert kept == [1, 4, 6, 7]
+        again = sorted(r["id"] for r in linked_dedup(out, max_distance=2).collect())
+        assert again == kept
+
+    def test_multi_strategy_union_catches_first_letter_typo(self, spark):
+        """'acme' vs 'bcme': soundex and prefix blocks both split on
+        the first letter, but rprefix blocking catches it — the
+        multi-pass union recall mechanism."""
+        from waterdata_spark.operators.linkage import link_pairs
+
+        df = spark.createDataFrame(
+            [(1, "acme water"), (2, "bcme water")], "id long, key string"
+        )
+        miss = link_pairs(df, blocking=["soundex", "prefix:3"]).collect()
+        assert miss == []
+        hit = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in link_pairs(df, blocking=["rprefix:4"]).collect()
+        }
+        assert hit == {(1, 2, 1)}
+
+    def test_two_table_linkage_and_null_safety(self, spark):
+        from waterdata_spark.operators.linkage import link_pairs
+
+        a = spark.createDataFrame(
+            [(1, "Acme Water"), (2, None), (3, "")], "id long, key string"
+        )
+        b = spark.createDataFrame(
+            [(10, "acme  water"), (11, None)], "id long, key string"
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in link_pairs(a, b).collect()
+        }
+        assert got == {(1, 10, 0)}
+
+    def test_plan_is_block_equi_join_not_product(self, spark):
+        """100 TB guard: candidate generation must be an equi-join on
+        the block key — no CartesianProduct / BroadcastNestedLoopJoin
+        anywhere in the plan."""
+        from waterdata_spark.operators.linkage import link_pairs
+
+        df = self._df(spark)
+        plan = (
+            link_pairs(df, blocking=["soundex", "rprefix:3"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

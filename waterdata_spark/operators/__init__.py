@@ -42,6 +42,7 @@ from waterdata_spark.operators.sampling import (
     stratified_sample,
     stratified_sample_exact,
 )
+from waterdata_spark.operators.linkage import link_pairs, linked_dedup
 from waterdata_spark.operators.selection import (
     importance_resample,
     importance_weights,
@@ -86,6 +87,8 @@ __all__ = [
     "fallback_join",
     "hash_sample",
     "importance_resample",
+    "link_pairs",
+    "linked_dedup",
     "importance_weights",
     "merge_upsert",
     "min_id_components",
