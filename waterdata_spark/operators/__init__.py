@@ -5,6 +5,7 @@ from waterdata_spark.operators.dedup import (
     dedup_against_exact,
     dedup_any,
     dedup_lines_global,
+    dedup_spans_global,
     exact_dedup,
     priority_dedup,
     priority_dedup_agg,
@@ -75,6 +76,7 @@ __all__ = [
     "dedup_against",
     "dedup_against_exact",
     "dedup_lines_global",
+    "dedup_spans_global",
     "dequantize",
     "exact_dedup",
     "expand_keys",

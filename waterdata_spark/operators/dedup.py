@@ -218,3 +218,151 @@ def dedup_against_exact(
         .join(ref_h, "__h", "left_anti")
         .drop("__h")
     )
+
+
+def dedup_spans_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    target_chunk_tokens: int = 32,
+    min_chunk_tokens: int = 8,
+    drop_empty_docs: bool = True,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """GLOBAL duplicate-SPAN removal via content-defined chunking —
+    the distributed-practical form of suffix-array substring dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better": repeated long token spans are removed corpus-wide,
+    keeping the first occurrence). Sits between
+    :func:`dedup_lines_global` (line granularity — needs the dup to
+    be line-aligned) and :func:`exact_dedup` (whole documents): it
+    catches long duplicated regions EMBEDDED mid-paragraph at
+    arbitrary offsets.
+
+    Why content-defined boundaries (the rsync/LBFS chunking idea —
+    public technique): fixed token tiles are aligned to the document
+    start, so the same region pasted at different offsets tiles
+    differently and never matches. Here a chunk boundary falls after
+    token ``i`` iff ``hash(tokens[i-w+1..i]) % p == 0`` (w =
+    ``window``, p = ``target_chunk_tokens``) — a pure function of the
+    local CONTENT, so identical regions chunk identically in every
+    document that contains them (the interior chunks; up to one
+    partial chunk at each edge differs). Expected chunk length is p
+    tokens.
+
+    Chunks shorter than ``min_chunk_tokens`` pass through untouched
+    (short chunks are not span evidence — same contract as
+    ``min_line_chars``). Election and reassembly reuse the line-dedup
+    shape: one min_by shuffle on a 96-bit chunk-hash composite (text
+    never rides the election shuffle), winners first by (doc, chunk
+    position), reassembly via sort_array(collect_list). Output text is
+    token-normalized (single spaces — the same convention as
+    chunk/pack), with ``n_tokens_kept`` / ``n_tokens_dropped`` audit
+    columns. ``hash_fn='md5'`` makes the BOUNDARY hash hashlib-
+    reproducible for the pure-Python differential test; 'xx' is the
+    production path (boundary placement differs between the two, the
+    semantics — first corpus occurrence of every duplicated chunk
+    survives — do not).
+
+    100 TB shape: one narrow tokenize/flag pass; ONE window shuffle
+    per document id for the running boundary sum (state bounded per
+    doc); one fixed-width election shuffle; one reassembly shuffle
+    bounded by surviving volume. No corpus-wide windows, no driver
+    state."""
+    from waterdata_spark.functions.text import sliding_windows, tokens
+
+    toks = tokens(F.col(text_col))
+    if hash_fn == "xx":
+        bhash = lambda s: F.xxhash64(s)  # noqa: E731
+    elif hash_fn == "md5":
+        bhash = lambda s: F.conv(  # noqa: E731
+            F.substring(F.md5(s), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xx', got {hash_fn!r}")
+    wins = sliding_windows(toks, window, sep=" ")
+    bflag = F.concat(
+        F.array_repeat(F.lit(0), F.least(F.lit(window - 1), F.size(toks))),
+        F.transform(
+            wins,
+            lambda s: (F.pmod(bhash(s), F.lit(target_chunk_tokens)) == 0).cast(
+                "int"
+            ),
+        ),
+    )
+    tok_rows = df.select(
+        F.col(id_col),
+        F.posexplode(F.arrays_zip(toks.alias("t"), bflag.alias("b"))).alias(
+            "__pos", "__z"
+        ),
+    ).select(
+        id_col,
+        "__pos",
+        F.col("__z.t").alias("__tok"),
+        F.col("__z.b").alias("__bnd"),
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = tok_rows.withColumn(
+        "__chunk", F.coalesce(F.sum("__bnd").over(w_prev), F.lit(0))
+    )
+    chunks = chunked.groupBy(id_col, "__chunk").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("__ctext"),
+        F.min("__pos").alias("__start"),
+        F.count(F.lit(1)).alias("__ntok"),
+    )
+    scored = chunks.withColumn(
+        "__h",
+        F.struct(
+            F.xxhash64("__ctext").alias("a"),
+            F.crc32(F.col("__ctext").cast("binary")).alias("b"),
+        ),
+    ).withColumn(
+        "__at", F.struct(F.col(id_col).alias("i"), F.col("__start").alias("x"))
+    )
+    dedupable = F.col("__ntok") >= min_chunk_tokens
+    winners = (
+        scored.filter(dedupable)
+        .groupBy("__h")
+        .agg(F.min_by("__at", "__at").alias("__win"))
+    )
+    kept = scored.join(winners, "__h", "left").filter(
+        (~dedupable)
+        | (
+            (F.col("__win.i") == F.col(id_col))
+            & (F.col("__win.x") == F.col("__start"))
+        )
+    )
+    out = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__start", "__ctext"))),
+                lambda s: s["__ctext"],
+            ),
+            " ",
+        ).alias(text_col),
+        F.sum("__ntok").alias("n_tokens_kept"),
+    )
+    totals = df.select(F.col(id_col), F.size(toks).alias("__n_total"))
+    out = totals.join(out, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+        (
+            F.greatest(F.col("__n_total"), F.lit(0))
+            - F.coalesce("n_tokens_kept", F.lit(0))
+        ).cast("long").alias("n_tokens_dropped"),
+    )
+    if drop_empty_docs:
+        out = out.filter(F.col("n_tokens_kept") > 0)
+    return out
