@@ -449,3 +449,63 @@ class TestGopherGate:
         assert gopher_gate(df, thresholds={"n_words": (10, 100_000)}).count() == 1
         with _pytest.raises(ValueError, match="unknown signal"):
             gopher_gate(df, thresholds={"not_a_rule": (0, 1)})
+
+
+class TestHtmlToText:
+    def _run(self, spark, html):
+        from waterdata_spark.functions.text import html_to_text
+
+        df = spark.createDataFrame([(1, html)], "id long, raw string")
+        return df.select(html_to_text("raw").alias("t")).first()["t"]
+
+    def test_full_page_extraction(self, spark):
+        html = (
+            "<html><head><title>T</title>"
+            "<style>body { color: red; } .x>span{}</style>"
+            "<script>if (a < b) { alert('hi </div>'); }</script></head>"
+            "<body><!-- nav comment --><h1>Water Report</h1>"
+            "<p>First <b>bold</b> paragraph &amp; more.</p>"
+            "<div>Second block with <a href='x'>a link</a>.</div>"
+            "<ul><li>item one</li><li>item &lt;two&gt;</li></ul>"
+            "<table><tr><td>cell a</td><td>cell b</td></tr></table>"
+            "</body></html>"
+        )
+        assert self._run(spark, html) == (
+            "T Water Report\n"
+            "First bold paragraph & more.\n"
+            "Second block with a link.\n"
+            "item one\nitem <two>\n"
+            "\ncell a cell b"
+        )
+
+    def test_script_and_style_content_never_leaks(self, spark):
+        out = self._run(
+            spark,
+            "<p>keep</p><script>var secret = 'LEAK1';</script>"
+            "<style>#LEAK2 {}</style><p>also keep</p>",
+        )
+        assert "LEAK" not in out and out == "keep\nalso keep"
+
+    def test_entity_decode_order_single_round(self, spark):
+        # '&amp;lt;' is the LITERAL text '&lt;' — one decode round only
+        assert self._run(spark, "a &amp;lt; b &nbsp;&mdash;&nbsp; c &#39;d&#39;") == (
+            "a &lt; b — c 'd'"
+        )
+
+    def test_plain_text_fixed_point(self, spark):
+        """Already-extracted text (no markup, no entities) passes
+        through unchanged up to whitespace normalization, and the
+        operator is idempotent on its own output."""
+        plain = "line one\nline two\n\npara two ends."
+        assert self._run(spark, plain) == plain
+        assert self._run(spark, self._run(spark, plain)) == plain
+
+    def test_null_and_whitespace(self, spark):
+        from waterdata_spark.functions.text import html_to_text
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "  <p>  x  </p>  "), (3, "<br><br><br><br>")],
+            "id long, raw string",
+        )
+        got = {r["id"]: r["t"] for r in df.select("id", html_to_text("raw").alias("t")).collect()}
+        assert got[1] is None and got[2] == "x" and got[3] == ""

@@ -365,3 +365,66 @@ def quality_features(c: Column | str) -> dict[str, Column]:
             / F.greatest(n_char, F.lit(1)).cast("double")
         ),
     }
+
+
+# decode order matters: specific entities first, bare '&amp;' LAST so
+# already-decoded ampersands are not re-expanded ('&amp;lt;' decodes to
+# '&lt;' — literal text, correctly NOT a second round of '<')
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&#160;", " "),
+    ("&mdash;", "—"),
+    ("&ndash;", "–"),
+    ("&hellip;", "…"),
+    ("&lsquo;", "‘"),
+    ("&rsquo;", "’"),
+    ("&ldquo;", "“"),
+    ("&rdquo;", "”"),
+    ("&amp;", "&"),
+]
+
+# tags whose END (or self-close) is a text break — the WET-style block
+# structure signal; everything else is inline and strips to nothing
+_HTML_BLOCK_BREAK = (
+    r"(?i)</(?:p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article|"
+    r"header|footer|pre|figure|figcaption|dd|dt)>|<br\s*/?>|<hr\s*/?>"
+)
+_HTML_CELL_BREAK = r"(?i)</(?:td|th)>"
+
+
+def html_to_text(c: Column | str) -> Column:
+    """Raw HTML → plain text, the crawl-to-corpus extraction stage
+    (the WET-file convention: drop markup/script/style, keep block
+    structure as line breaks). A chain of JVM ``regexp_replace`` —
+    same cost class as :func:`redact_pii`: no UDF, no shuffle, linear
+    per row, auditable patterns — NOT a spec-complete HTML5 parser
+    (malformed-markup recovery, CSS visibility, generic numeric
+    entities are a different cost class; a fixed table of the common
+    entities is decoded, see ``_HTML_ENTITIES``).
+
+    Order: (1) script/style/comment SUBTREES removed content-and-all;
+    (2) block-end tags → newline, table-cell ends → space; (3) every
+    remaining tag stripped; (4) entities decoded (specific first,
+    ``&amp;`` last); (5) whitespace normalized — spaces collapsed,
+    blank runs of 3+ newlines → 2 (paragraph break), edges trimmed.
+    Null in → null out."""
+    out = F.col(c) if isinstance(c, str) else c
+    out = F.regexp_replace(out, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, _HTML_BLOCK_BREAK, "\n")
+    out = F.regexp_replace(out, _HTML_CELL_BREAK, " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", "")
+    for entity, ch in _HTML_ENTITIES:
+        out = F.regexp_replace(out, entity, ch)
+    out = F.regexp_replace(out, r"[ \t\x0b\f\r]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n{3,}", "\n\n")
+    # trim() strips spaces only — edge NEWLINES need the regex form
+    return F.regexp_replace(out, r"^\s+|\s+$", "")
