@@ -93,6 +93,34 @@ def _ops(spark, sf_dir):
 
         return dedup_lines_global(docs.select("doc_id", "text"))
 
+    def span_dedup():
+        from waterdata_spark.operators.dedup import dedup_spans_global
+
+        return dedup_spans_global(docs.select("doc_id", "text"))
+
+    def dsir():
+        # target = a 1-in-9 slice of the corpus; k = 10% of docs
+        from waterdata_spark.operators.selection import importance_resample
+
+        d = docs.select("doc_id", "text")
+        target = d.filter(F.col("doc_id") % 9 == 1).select("text")
+        k = max(100, d.count() // 10)
+        return importance_resample(d, target, k=k)
+
+    def html_extract():
+        # wrap each doc in markup so the chain does real work
+        from waterdata_spark.functions.text import html_to_text
+
+        wrapped = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><body><script>var x=1;</script><p>"),
+                F.regexp_replace("text", r"\n", "</p><p>"),
+                F.lit("</p></body></html>"),
+            ).alias("raw"),
+        )
+        return wrapped.select("doc_id", html_to_text("raw").alias("text"))
+
     def cross_dedup():
         # reference corpus = a 10% slice of the same docs → 10% of the
         # corpus near-dups against it by construction. Input
@@ -117,6 +145,9 @@ def _ops(spark, sf_dir):
         "merge_upsert": merge,
         "decontaminate": decontam,
         "dedup_lines_global": line_dedup,
+        "dedup_spans_global": span_dedup,
+        "importance_resample": dsir,
+        "html_to_text": html_extract,
         "dedup_against": cross_dedup,
     }
 
