@@ -1695,3 +1695,72 @@ class TestSpanDedupGlobal:
         r = out[0]
         assert r["n_tokens_dropped"] == 0
         assert r["text"].startswith("alpha beta gamma u0 ")
+
+
+class TestPagerank:
+    """Link-graph centrality (operators/graph.pagerank)."""
+
+    @staticmethod
+    def _py_pagerank(nodes, edges, d=0.85, tol=1e-6, max_iter=40):
+        edges = sorted(set(edges))
+        out = {}
+        for s, _ in edges:
+            out[s] = out.get(s, 0) + 1
+        n = len(nodes)
+        ranks = {v: 1.0 / n for v in nodes}
+        for _ in range(max_iter):
+            dangling = sum(r for v, r in ranks.items() if out.get(v, 0) == 0)
+            contrib = {v: 0.0 for v in nodes}
+            for s, t in edges:
+                contrib[t] += ranks[s] / out[s]
+            new = {
+                v: (1 - d) / n + d * (contrib[v] + dangling / n) for v in nodes
+            }
+            delta = sum(abs(new[v] - ranks[v]) for v in nodes)
+            ranks = new
+            if delta < tol:
+                break
+        return ranks
+
+    def test_differential_vs_python_power_iteration(self, spark):
+        """Exact agreement with a pure-Python power iteration on a
+        graph with a hub, a cycle, a dangling node, and a duplicate
+        edge (counted once)."""
+        nodes = list(range(7))
+        edges = [
+            (0, 1), (0, 2), (0, 3),
+            (1, 0), (2, 0), (3, 0),
+            (4, 5), (5, 6),           # chain into dangling 6
+            (4, 5),                   # duplicate edge
+            (3, 4),
+        ]
+        from waterdata_spark.operators.graph import pagerank
+
+        ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(ndf, edf).collect()}
+        want = self._py_pagerank(nodes, edges)
+        assert set(got) == set(want)
+        for v in nodes:
+            assert got[v] == pytest.approx(want[v], abs=1e-9), v
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+        assert got[0] == max(got.values())  # the hub dominates
+
+    def test_ring_is_uniform_and_star_center_wins(self, spark):
+        from waterdata_spark.operators.graph import pagerank
+
+        ring_n = spark.createDataFrame([(v,) for v in range(5)], "node long")
+        ring_e = spark.createDataFrame(
+            [(v, (v + 1) % 5) for v in range(5)], "src long, dst long"
+        )
+        got = [r["rank"] for r in pagerank(ring_n, ring_e).collect()]
+        for r in got:
+            assert r == pytest.approx(0.2, abs=1e-9)
+
+        star_n = spark.createDataFrame([(v,) for v in range(6)], "node long")
+        star_e = spark.createDataFrame(
+            [(v, 0) for v in range(1, 6)] + [(0, v) for v in range(1, 6)],
+            "src long, dst long",
+        )
+        ranks = {r["node"]: r["rank"] for r in pagerank(star_n, star_e).collect()}
+        assert all(ranks[0] > ranks[v] for v in range(1, 6))

@@ -29,6 +29,7 @@ from waterdata_spark.operators.expectations import (
     expect_schema,
 )
 from waterdata_spark.operators.fallback_join import fallback_join
+from waterdata_spark.operators.graph import pagerank
 from waterdata_spark.operators.joins import suffixed_join
 from waterdata_spark.operators.merge import apply_changes, merge_upsert
 from waterdata_spark.operators.quantize import (
@@ -90,6 +91,7 @@ __all__ = [
     "hash_sample",
     "importance_resample",
     "link_pairs",
+    "pagerank",
     "linked_dedup",
     "importance_weights",
     "merge_upsert",
