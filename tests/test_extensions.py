@@ -208,6 +208,21 @@ class TestStarContraction:
             min_id_components(nodes, edges)
         )
 
+    def test_multi_parent_witness_regression(self, spark):
+        """The 7-edge graph hypothesis found (r7): after one
+        large-star/small-star round, node 9 ends up with TWO parents
+        (0 and 1) while no parent is itself a child — the old
+        convergence probe called that a star forest and returned the
+        big component split as {…}→0 and {1,18,20}→1. The fixed probe
+        also requires single-parent children and runs the extra
+        rounds."""
+        edge_rows = [(13, 5), (0, 17), (18, 1), (9, 17), (20, 18), (20, 9), (0, 12)]
+        nodes = spark.createDataFrame([(i,) for i in range(25)], "node long")
+        edges = spark.createDataFrame(edge_rows, "id_a long, id_b long")
+        got = self._labels(star_contraction_components(nodes, edges))
+        assert got == self._labels(min_id_components(nodes, edges))
+        assert got[1] == 0 and got[18] == 0 and got[20] == 0 and got[13] == 5
+
     def test_path_graph_round_bound(self, spark):
         # a 64-node path needs ~63 label-propagation rounds but must
         # star-contract in O(log^2 n) — 8 rounds is generous headroom;

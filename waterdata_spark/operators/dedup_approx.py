@@ -439,8 +439,22 @@ def star_contraction_components(
         e = persist(e, rnd + 1)
         if checkpoint_dir is None:
             _release_checkpoint(prev_ckpt)  # new eager checkpoint roots the loop
-        # star forest ⇔ no parent appears as a child
-        converged = e.select(F.col("v").alias("u")).join(e, "u", "left_semi").isEmpty()
+        # star forest ⇔ no parent appears as a child AND every child has
+        # exactly ONE parent. The second clause is load-bearing: small-star
+        # re-points a child's OTHER parents at the minimum, which can give a
+        # third node two parents in the same emission round (hypothesis
+        # found the 7-edge witness pinned in test_properties /
+        # test_operators) — parent-not-child alone called that converged
+        # and returned a split component.
+        no_parent_child = (
+            e.select(F.col("v").alias("u")).join(e, "u", "left_semi").isEmpty()
+        )
+        single_parent = (
+            e.groupBy("u").agg(F.count(F.lit(1)).alias("__np"))
+            .filter(F.col("__np") > 1)
+            .isEmpty()
+        )
+        converged = no_parent_child and single_parent
     else:
         if not converged:
             raise RuntimeError(f"star contraction did not converge in {max_rounds} rounds")
