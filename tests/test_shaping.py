@@ -377,3 +377,110 @@ class TestImportanceResampling:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestLmPerplexity:
+    """CCNet-style hashed-bigram perplexity scoring
+    (operators/selection.lm_perplexity)."""
+
+    B, ALPHA, INTERP = 4096, 0.1, 0.3
+
+    def test_differential_vs_python_reference_on_documents(self, spark):
+        """md5 path vs a pure-Python reimplementation of the
+        interpolated hashed-bigram LM on real documents: per-doc mean
+        negative log prob equal to 1e-9."""
+        import hashlib
+        import math
+        import re
+
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.selection import lm_perplexity
+        from waterdata_spark.schemas import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+        ref = docs.filter(F.col("doc_id") % 4 == 1).select("text")
+
+        def toks(t):
+            return [x for x in re.split(r"\s+", t.strip(" ")) if x != ""]
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % self.B
+
+        uc, bc = {}, {}
+        n_ref = 0
+        for r in ref.collect():
+            ts = [bucket(t) for t in toks(r["text"])]
+            n_ref += len(ts)
+            for b in ts:
+                uc[b] = uc.get(b, 0) + 1
+            for b1, b2 in zip(ts, ts[1:]):
+                bc[(b1, b2)] = bc.get((b1, b2), 0) + 1
+        denom_u = math.log(n_ref + self.ALPHA * self.B)
+
+        def score(text):
+            ts = [bucket(t) for t in toks(text)]
+            if len(ts) < 2:
+                return None
+            tot = 0.0
+            for b1, b2 in zip(ts, ts[1:]):
+                p_uni = math.exp(math.log(uc.get(b2, 0) + self.ALPHA) - denom_u)
+                p_big = (bc.get((b1, b2), 0) + self.ALPHA) / (
+                    uc.get(b1, 0) + self.ALPHA * self.B
+                )
+                tot += -math.log(self.INTERP * p_uni + (1 - self.INTERP) * p_big)
+            return tot / (len(ts) - 1)
+
+        want = {r["doc_id"]: score(r["text"]) for r in docs.collect()}
+        got = {
+            r["doc_id"]: r["log_ppl"]
+            for r in lm_perplexity(
+                docs, ref, n_buckets=self.B, alpha=self.ALPHA,
+                interp=self.INTERP, hash_fn="md5",
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for did, w in want.items():
+            if w is None:
+                assert got[did] is None, did
+            else:
+                assert got[did] == pytest.approx(w, rel=1e-9), did
+
+    def test_reference_like_scores_lower_than_gibberish(self, spark):
+        from waterdata_spark.operators.selection import lm_perplexity
+
+        ref = spark.createDataFrame(
+            [(i, "the water quality report shows safe levels today " * 6)
+             for i in range(4)],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "the water quality report shows safe levels today " * 4),
+                (2, "zqx vbn mlk poi uyt rew qas dfg hjk " * 4),
+                (3, "one"),  # single token -> no bigram evidence
+            ],
+            "doc_id long, text string",
+        )
+        for hash_fn in ("xx", "md5"):
+            got = {
+                r["doc_id"]: r["log_ppl"]
+                for r in lm_perplexity(
+                    corpus, ref.select("text"), hash_fn=hash_fn
+                ).collect()
+            }
+            assert got[1] < got[2], hash_fn
+            assert got[3] is None, hash_fn
+
+    def test_plan_broadcasts_model_tables(self, spark):
+        from waterdata_spark.operators.selection import lm_perplexity
+
+        corpus = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("a b c d"), (F.col("id") % 5).cast("string")).alias("text"),
+        )
+        plan = (
+            lm_perplexity(corpus, corpus.select("text"), n_buckets=1024)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan

@@ -48,6 +48,7 @@ from waterdata_spark.operators.linkage import link_pairs, linked_dedup
 from waterdata_spark.operators.selection import (
     importance_resample,
     importance_weights,
+    lm_perplexity,
 )
 from waterdata_spark.operators.similarity import (
     build_ivf_index,
@@ -93,6 +94,7 @@ __all__ = [
     "link_pairs",
     "pagerank",
     "linked_dedup",
+    "lm_perplexity",
     "importance_weights",
     "merge_upsert",
     "min_id_components",

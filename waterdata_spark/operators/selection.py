@@ -170,3 +170,92 @@ def importance_resample(
         .orderBy(F.col("__key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def lm_perplexity(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    alpha: float = 0.1,
+    interp: float = 0.3,
+    hash_fn: str = "xx",
+    ppl_col: str = "log_ppl",
+) -> DataFrame:
+    """CCNet-style quality scoring (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"
+    — public technique): score every corpus document by its perplexity
+    under a language model trained on a REFERENCE corpus (curated
+    text); low perplexity ≈ reference-like quality, and pipelines
+    keep/bucket by perplexity tertiles.
+
+    The model is an interpolated hashed-bigram LM (the classical
+    Jelinek-Mercer form, not KenLM's 5-gram Kneser-Ney — documented
+    capability difference; the hashed feature space is the same
+    trade DSIR makes):
+
+        p(w2 | w1) = interp·p_uni(w2) + (1-interp)·p_big(w2 | w1)
+        p_uni(b)   = (cnt_uni(b) + alpha) / (N + alpha·n_buckets)
+        p_big(b2|b1) = (cnt_big(b1,b2) + alpha) / (cnt_uni(b1) + alpha·n_buckets)
+
+    over xxhash64 (or md5 — the pure-Python differential contract)
+    token buckets. Returns corpus rows + ``ppl_col`` = mean negative
+    log-probability per scored bigram (i.e. log perplexity, natural
+    log; exp() of it is the perplexity). Documents with fewer than 2
+    tokens get null (no bigram evidence).
+
+    100 TB shape — identical to :func:`importance_weights`: the
+    unigram table is ≤n_buckets rows and the bigram table ≤ distinct
+    observed bigrams (bounded by reference size AND n_buckets²,
+    practically MBs for a curated reference — it broadcasts); scoring
+    is one narrow explode of corpus bigrams + two broadcast joins +
+    one map-side-combinable avg per doc."""
+    uni_b = _bucket(F.col("__g"), n_buckets, hash_fn)
+    r_toks = reference.select(
+        F.explode(_gram_array(F.col(text_col), use_bigrams=False)).alias("__g")
+    ).select(uni_b.alias("b"))
+    uc = r_toks.groupBy("b").agg(F.count(F.lit(1)).alias("cu"))
+    n_ref = uc.agg(F.sum("cu")).first()[0] or 0
+
+    def _bigram_buckets(df: DataFrame, extra: list[str]) -> DataFrame:
+        """(…extra, b1, b2) one row per bigram occurrence."""
+        toks = _gram_array(F.col(text_col), use_bigrams=False)
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        return df.select(*extra, F.explode(pairs).alias("__p")).select(
+            *extra,
+            _bucket(F.col("__p.w1"), n_buckets, hash_fn).alias("b1"),
+            _bucket(F.col("__p.w2"), n_buckets, hash_fn).alias("b2"),
+        )
+
+    bc = _bigram_buckets(reference, []).groupBy("b1", "b2").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    denom_u = math.log(n_ref + alpha * n_buckets)
+    scored = (
+        _bigram_buckets(corpus, [id_col])
+        .join(F.broadcast(bc), ["b1", "b2"], "left")
+        .join(
+            F.broadcast(uc.select(F.col("b").alias("b1"), F.col("cu").alias("cu1"))),
+            "b1",
+            "left",
+        )
+        .join(
+            F.broadcast(uc.select(F.col("b").alias("b2"), F.col("cu").alias("cu2"))),
+            "b2",
+            "left",
+        )
+    )
+    p_uni = F.exp(
+        F.log(F.coalesce(F.col("cu2"), F.lit(0)) + F.lit(alpha)) - F.lit(denom_u)
+    )
+    p_big = (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(alpha)) / (
+        F.coalesce(F.col("cu1"), F.lit(0)) + F.lit(alpha * n_buckets)
+    )
+    nll = -F.log(F.lit(interp) * p_uni + F.lit(1.0 - interp) * p_big)
+    per_doc = scored.groupBy(id_col).agg(F.avg(nll).alias(ppl_col))
+    return corpus.join(per_doc, id_col, "left")
