@@ -1779,3 +1779,51 @@ class TestPagerank:
         )
         ranks = {r["node"]: r["rank"] for r in pagerank(star_n, star_e).collect()}
         assert all(ranks[0] > ranks[v] for v in range(1, 6))
+
+
+class TestLinkageBlockCap:
+    def test_degenerate_block_skipped_not_quadratic(self, spark):
+        """A corpus whose every key shares the blocked prefix (the
+        TPC-H 'Customer#0000…' shape) degenerates soundex/prefix to
+        ONE table-sized block; the cap skips it for that strategy
+        while rprefix (digit tail) still links the true dup pair."""
+        from waterdata_spark.operators.linkage import link_pairs
+
+        rows = [(i, f"Customer#{i:09d}") for i in range(500)]
+        rows.append((9_000, "Customer#000000007"))  # exact dup of id 7
+        df = spark.createDataFrame(rows, "id long, key string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in link_pairs(
+                df,
+                blocking=["prefix:8", "rprefix:5"],
+                max_distance=1,
+                max_block_size=100,
+            ).collect()
+        }
+        # prefix:8 block ('customer') holds all 501 rows -> skipped;
+        # rprefix:5 ('00007') holds only the dup pair (+ id 7) -> found
+        assert (7, 9_000) in got
+        # and nothing exploded: candidates stayed tiny
+        assert len(got) < 50
+
+    def test_cap_none_restores_full_recall(self, spark):
+        from waterdata_spark.operators.linkage import link_pairs
+
+        df = spark.createDataFrame(
+            [(1, "abcd"), (2, "abce"), (3, "abcf")], "id long, key string"
+        )
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in link_pairs(
+                df, blocking=["prefix:3"], max_block_size=2
+            ).collect()
+        }
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in link_pairs(
+                df, blocking=["prefix:3"], max_block_size=None
+            ).collect()
+        }
+        assert capped == set()
+        assert full == {(1, 2), (1, 3), (2, 3)}
