@@ -484,3 +484,74 @@ class TestLmPerplexity:
         )
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestUpsample:
+    def test_integer_rates_exact_and_tagged(self, spark):
+        from waterdata_spark.operators.sampling import upsample
+
+        df = spark.createDataFrame([(i, "s") for i in range(50)], "doc_id long, src string")
+        out = upsample(df, 2.0, "doc_id").collect()
+        assert len(out) == 100
+        per = {}
+        for r in out:
+            per.setdefault(r["doc_id"], []).append(r["replica"])
+        assert all(sorted(v) == [0, 1] for v in per.values())
+
+    def test_fractional_rate_expected_multiplicity(self, spark):
+        """rate 2.3: every row twice, a deterministic ~30% a third
+        time — total within a loose concentration bound, exact
+        replica sets {0,1} or {0,1,2}."""
+        from waterdata_spark.operators.sampling import upsample
+
+        n = 2000
+        df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        out = upsample(df, 2.3, "doc_id").collect()
+        per = {}
+        for r in out:
+            per.setdefault(r["doc_id"], []).append(r["replica"])
+        assert all(sorted(v) in ([0, 1], [0, 1, 2]) for v in per.values())
+        total = len(out)
+        assert abs(total - 2.3 * n) < 4 * (0.3 * 0.7 * n) ** 0.5 + 1
+
+    def test_per_stratum_dict_and_zero_rate(self, spark):
+        from waterdata_spark.operators.sampling import upsample
+
+        df = spark.createDataFrame(
+            [(i, ["wiki", "crawl", "junk"][i % 3]) for i in range(300)],
+            "doc_id long, src string",
+        )
+        out = upsample(df, {"wiki": 3.0, "crawl": 1.0}, "doc_id", strata_col="src")
+        rows = out.collect()
+        by_src = {}
+        for r in rows:
+            by_src[r["src"]] = by_src.get(r["src"], 0) + 1
+        assert by_src["wiki"] == 300 and by_src["crawl"] == 100
+        assert "junk" not in by_src  # missing stratum -> rate 0
+
+    def test_deterministic_and_partition_stable(self, spark):
+        from waterdata_spark.operators.sampling import upsample
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+        key = lambda rows: sorted((r["doc_id"], r["replica"]) for r in rows)
+        a = key(upsample(df, 1.4, "doc_id").collect())
+        b = key(upsample(df.repartition(13), 1.4, "doc_id").collect())
+        c = key(upsample(df, 1.4, "doc_id", seed="other").collect())
+        assert a == b
+        assert a != c
+
+    def test_mixture_rates_uncapped_feeds_upsample(self, spark):
+        from waterdata_spark.operators.sampling import mixture_rates, upsample
+
+        counts = {"wiki": 100, "crawl": 10_000}
+        rates = mixture_rates(counts, target_rows=10_100, alpha=0.5, cap=False)
+        assert rates["wiki"] > 1.0  # alpha<1 upweights the small source
+        capped = mixture_rates(counts, target_rows=10_100, alpha=0.5)
+        assert capped["wiki"] == 1.0
+        df = spark.createDataFrame(
+            [(i, "wiki" if i < 100 else "crawl") for i in range(10_100)],
+            "doc_id long, src string",
+        )
+        out = upsample(df, rates, "doc_id", strata_col="src")
+        total = out.count()
+        assert abs(total - 10_100) < 200  # expected total == target

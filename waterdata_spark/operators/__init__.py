@@ -43,6 +43,7 @@ from waterdata_spark.operators.sampling import (
     mixture_rates,
     stratified_sample,
     stratified_sample_exact,
+    upsample,
 )
 from waterdata_spark.operators.linkage import link_pairs, linked_dedup
 from waterdata_spark.operators.selection import (
@@ -112,6 +113,7 @@ __all__ = [
     "star_contraction_components",
     "stratified_sample",
     "stratified_sample_exact",
+    "upsample",
     "suffixed_join",
     "with_quantized_vector",
 ]

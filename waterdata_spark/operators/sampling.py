@@ -90,15 +90,17 @@ def stratified_sample_exact(
 
 
 def mixture_rates(
-    counts: dict, target_rows: int | None = None, alpha: float = 1.0
+    counts: dict, target_rows: int | None = None, alpha: float = 1.0, cap: bool = True
 ) -> dict:
     """Per-source sampling rates for a temperature-weighted data mix:
     source weights ∝ count^alpha (alpha=1 → natural proportions,
     alpha<1 → upweight small sources — the standard multilingual /
     multi-domain rebalancing), scaled so the expected total is
-    ``target_rows`` (default: the natural total). Rates are capped at
-    1.0 — sampling can't manufacture rows; repeat-epoch upsampling is
-    a training-loop concern, not a sampling one.
+    ``target_rows`` (default: the natural total). With ``cap=True``
+    (default) rates are capped at 1.0 — the pure-sampling contract for
+    :func:`stratified_sample`; ``cap=False`` returns the raw rates
+    (possibly >1) for :func:`upsample`, which materializes repeated
+    epochs deterministically.
 
     Driver-side arithmetic on |sources| numbers (the counts come from
     one groupBy-count of the corpus); feed the result to
@@ -110,7 +112,81 @@ def mixture_rates(
     target = total if target_rows is None else target_rows
     weights = {k: (v**alpha if v else 0.0) for k, v in counts.items()}
     wsum = sum(weights.values()) or 1.0
-    return {
-        k: min(1.0, (weights[k] / wsum) * target / counts[k]) if counts[k] else 0.0
+    raw = {
+        k: (weights[k] / wsum) * target / counts[k] if counts[k] else 0.0
         for k in counts
     }
+    return {k: min(1.0, v) for k, v in raw.items()} if cap else raw
+
+
+def upsample(
+    df: DataFrame,
+    rates: dict | float,
+    id_col: str,
+    strata_col: str | None = None,
+    seed: str = "upsample42",
+    replica_col: str = "replica",
+) -> DataFrame:
+    """Materialize a data mix whose rates may EXCEED 1.0 — the
+    repeated-epochs side of mixture building (public mixes routinely
+    upsample curated sources: a rate of 2.3 means every row appears
+    twice and a deterministic 30% of rows a third time). The ≤1.0
+    samplers cannot express this; :func:`mixture_rates` with
+    ``cap=False`` produces the uncapped rates this consumes.
+
+    Per row with rate r: replicas 0..floor(r)-1 always, plus replica
+    floor(r) iff the row's salted-hash uniform < frac(r) — expected
+    multiplicity exactly r, deterministic, rerun- and partition-stable
+    (same contract as :func:`hash_sample`; the salt includes floor(r)
+    so changing a source's rate re-draws only the fractional margin).
+    ``replica_col`` tags the copy index — downstream packing/shuffling
+    interleaves replicas instead of emitting them adjacent.
+
+    Scale shape: one broadcast join for per-stratum rates (|strata|
+    rows), one explode bounded by ceil(r) per row — no shuffle at all;
+    the output is exactly as large as the mix demands."""
+    if isinstance(rates, dict):
+        if strata_col is None:
+            raise ValueError("strata_col is required when rates is a dict")
+        spark = df.sparkSession
+        rdf = F.broadcast(
+            spark.createDataFrame(
+                [(k, float(v)) for k, v in rates.items()],
+                schema=f"{strata_col} {dict(df.dtypes)[strata_col]}, __rate double",
+            )
+        )
+        out = df.join(rdf, strata_col, "left").withColumn(
+            "__rate", F.coalesce("__rate", F.lit(0.0))
+        )
+    else:
+        out = df.withColumn("__rate", F.lit(float(rates)))
+    n_full = F.floor("__rate").cast("int")
+    frac = F.col("__rate") - n_full.cast("double")
+    u = _hash_u_salted(id_col, seed, n_full)
+    # the lambda captures u/n_full/frac (re-evaluated per element —
+    # the known interpreted-HOF cost), but the array has ceil(r)+1
+    # elements, so the re-evaluation is a bounded handful of md5s per
+    # row, not the O(m^2) capture trap sliding_windows exists to avoid
+    out = (
+        out.withColumn(
+            "__reps",
+            F.filter(
+                F.sequence(F.lit(0), n_full),
+                lambda i: (i < n_full) | ((i == n_full) & (u < frac)),
+            ),
+        )
+        .withColumn(replica_col, F.explode("__reps"))
+        .drop("__rate", "__reps")
+    )
+    return out
+
+
+def _hash_u_salted(id_col: str, seed: str, extra) -> F.Column:
+    """:func:`_hash_u` with an extra column-valued salt component."""
+    h = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"), extra.cast("string"), F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(float(16**15))
