@@ -1827,3 +1827,51 @@ class TestLinkageBlockCap:
         }
         assert capped == set()
         assert full == {(1, 2), (1, 3), (2, 3)}
+
+
+class TestNearDedupStream:
+    def test_signature_dedup_stream_equals_batch(self, spark, tmp_path):
+        """A 3-micro-batch doc stream deduped at signature granularity
+        keeps exactly the batch twin's survivors (exact_dedup on the
+        same signature digest): the later re-wrapped copy of doc 1
+        drops (same shingle SET as doc 1 — sha2-of-text would miss
+        it), distinct docs survive."""
+        from waterdata_spark.operators.dedup import exact_dedup
+        from waterdata_spark.operators.dedup_approx import minhash_signature
+        from waterdata_spark.streaming.ops import near_dedup_stream, run_stream_to_memory
+
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+        rows = [
+            (1, base, 100),
+            (2, "a completely different second document body " * 4, 200),
+            (3, base, 300),            # exact copy, later arrival
+            (4, "yet another distinct third document here " * 4, 400),
+        ]
+        src = tmp_path / "stream"
+        src.mkdir()
+        for i, batch in enumerate([rows[:2], rows[2:3], rows[3:]]):
+            spark.createDataFrame(
+                batch, "doc_id long, text string, off long"
+            ).selectExpr(
+                "doc_id", "text",
+                "timestamp_micros(1700000000000000 + off*1000000) AS event_ts",
+            ).coalesce(1).write.parquet(str(src / f"f{i}"))
+        stream = spark.readStream.schema(
+            "doc_id long, text string, event_ts timestamp"
+        ).option("maxFilesPerTrigger", 1).parquet(str(src / "*"))
+        got = {
+            r["doc_id"]
+            for r in run_stream_to_memory(
+                near_dedup_stream(stream), "near_dedup_t"
+            ).collect()
+        }
+
+        batch_df = spark.createDataFrame(
+            [(i, t) for i, t, _ in rows], "doc_id long, text string"
+        ).withColumn(
+            "__sig", F.concat_ws("|", minhash_signature(F.col("text"), 16, 8))
+        )
+        want = {
+            r["doc_id"] for r in exact_dedup(batch_df, ["__sig"], "doc_id").collect()
+        }
+        assert got == want == {1, 2, 4}

@@ -232,3 +232,46 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def near_dedup_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "event_ts",
+    watermark: str = "2 hours",
+    n_hashes: int = 16,
+    k: int = 8,
+) -> DataFrame:
+    """Within-stream NEAR-dup dedup at SIGNATURE granularity: keep the
+    first arrival per full-minhash-signature digest, state evicted by
+    the watermark. Two documents collide iff all ``n_hashes`` minhash
+    values agree — guaranteed for identical shingle SETS (reordered /
+    re-wrapped copies of the same content, which exact sha2 dedup
+    misses) and probabilistically (~j^n_hashes) for light edits,
+    while true LSH banding
+    (partial-signature match) stays a batch/ingest-gate concern:
+    band-level streaming state would need a doc-level join-back per
+    micro-batch that Structured Streaming cannot express without
+    arbitrary state, and the signature-digest form keeps the
+    ``dropDuplicatesWithinWatermark`` state contract — O(docs per
+    watermark window) fixed-width keys, no custom state store.
+
+    The signature is computed per row (column form — one pass, the
+    digest immediately collapses it, no per-element re-reference), so
+    the stream shuffles one 64-bit-ish digest per document, never
+    text. Batch twin: exact_dedup on the same signature column.
+    Completes the family: ``dedup_stream`` (exact content),
+    ``hygiene.dedup_against_stream_sink`` (near-dup vs a frozen
+    reference), this (near-identical within the stream itself)."""
+    from waterdata_spark.operators.dedup_approx import minhash_signature
+
+    sig = F.sha2(
+        F.concat_ws("|", minhash_signature(F.col(text_col), n_hashes, k)), 256
+    )
+    return (
+        docs.withColumn("__sig", sig)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__sig"])
+        .drop("__sig")
+    )
