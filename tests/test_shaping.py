@@ -482,8 +482,12 @@ class TestLmPerplexity:
             lm_perplexity(corpus, corpus.select("text"), n_buckets=1024)
             ._jdf.queryExecution().executedPlan().toString()
         )
-        assert "SortMergeJoin" not in plan
-        assert "BroadcastHashJoin" in plan
+        # the MODEL-table joins (bigram + 2x unigram) must broadcast;
+        # the one permitted sort-merge is the final corpus <- scores
+        # join on doc_id, which is legitimately SMJ when both sides
+        # are big
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert plan.count("SortMergeJoin") <= 1
 
 
 class TestUpsample:

@@ -64,13 +64,16 @@ def _changelog(base, batch: int):
 
 
 def _snapshot_hash(df) -> tuple[int, int]:
-    """Order-insensitive content digest: (row count, bit_xor of
-    per-row xxhash64 over all columns) — xor, not sum: ANSI mode
-    makes a long sum of 1.5M hashes overflow."""
+    """Order-insensitive content digest: (row count, SUM of per-row
+    xxhash64 over all columns, summed as decimal(38,0)) — sum, not
+    bit_xor (any identical-row PAIR xor-cancels, so duplicate-row
+    merge bugs could compare equal) and not a long sum (ANSI overflow
+    at 1.5M hashes)."""
     row = df.select(
         F.xxhash64(*[F.col(c) for c in sorted(df.columns)]).alias("__h")
     ).select(
-        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(__h)").alias("h")
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__h").cast("decimal(38,0)")).alias("h"),
     ).collect()[0]
     return row["n"], row["h"]
 

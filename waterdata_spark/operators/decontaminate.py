@@ -112,6 +112,11 @@ def trimmed_gram_lengths(
     action in the whole decontamination plan."""
     import warnings
 
+    if on_trim not in ("warn", "raise"):
+        # a typo ('Raise', 'error') must not silently degrade the
+        # data-deletion guard to the warn path
+        raise ValueError(f"on_trim must be 'warn' or 'raise', got {on_trim!r}")
+
     by_freq = (
         eval_hashes.groupBy("__len").count().orderBy(F.desc("count"), F.asc("__len")).collect()
     )

@@ -449,12 +449,13 @@ def star_contraction_components(
         no_parent_child = (
             e.select(F.col("v").alias("u")).join(e, "u", "left_semi").isEmpty()
         )
-        single_parent = (
+        # short-circuit: only pay the second emptiness job when the
+        # first clause already holds
+        converged = no_parent_child and (
             e.groupBy("u").agg(F.count(F.lit(1)).alias("__np"))
             .filter(F.col("__np") > 1)
             .isEmpty()
         )
-        converged = no_parent_child and single_parent
     else:
         if not converged:
             raise RuntimeError(f"star contraction did not converge in {max_rounds} rounds")

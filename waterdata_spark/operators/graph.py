@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from waterdata_spark.operators.dedup_approx import _release_checkpoint
+
 
 def pagerank(
     nodes: DataFrame,
@@ -60,6 +62,10 @@ def pagerank(
         "node", "__deg", F.lit(1.0 / n_nodes).alias("rank")
     ).localCheckpoint(eager=True)
     teleport = (1.0 - damping) / n_nodes
+    # base's blocks are dead once the initial rank frame is
+    # materialized — ranks is its own eager checkpoint
+    _release_checkpoint(base)
+    prev_ckpt = ranks  # the PRE-drop checkpointed frame of the last round
     for _ in range(max_iter):
         dangling = (
             ranks.filter(F.col("__deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
@@ -96,12 +102,16 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
         delta = new_ranks.agg(F.sum(F.abs(F.col("rank") - F.col("__old")))).first()[0]
-        prev = ranks
+        # release the PREVIOUS round's checkpoint — the frame that was
+        # actually localCheckpointed (post-drop projections have no
+        # LogicalRDD at the analyzed root, so releasing `ranks` would
+        # silently no-op and pin every round's blocks; code-review r7)
+        _release_checkpoint(prev_ckpt)
+        prev_ckpt = new_ranks
         ranks = new_ranks.drop("__old")
-        try:
-            prev._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
         if delta is not None and delta < tol:
             break
+    # the edge list is dead once the loop ends (the returned plan reads
+    # only the final checkpointed rank frame)
+    _release_checkpoint(e)
     return ranks.select("node", "rank")

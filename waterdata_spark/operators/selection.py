@@ -97,8 +97,20 @@ def importance_weights(
     The raw model is fit on ``corpus`` itself (the DSIR setup: raw =
     the big crawl being filtered); the target model on ``target``.
     Documents with no grams (empty/null text) get weight 0.0."""
-    tc = _bucket_counts(target, text_col, n_buckets, hash_fn, use_bigrams)
-    rc = _bucket_counts(corpus, text_col, n_buckets, hash_fn, use_bigrams)
+    from waterdata_spark.plans import cachereg
+
+    # the eager normalizer actions below would otherwise re-run the
+    # full corpus/target gram explode when the returned lazy plan is
+    # consumed — persist the tiny (<=n_buckets-row) count frames so
+    # each side's expensive scan happens exactly once (code-review r7)
+    tc = cachereg.register(
+        "selection.dsir_tc",
+        _bucket_counts(target, text_col, n_buckets, hash_fn, use_bigrams).persist(),
+    )
+    rc = cachereg.register(
+        "selection.dsir_rc",
+        _bucket_counts(corpus, text_col, n_buckets, hash_fn, use_bigrams).persist(),
+    )
     nt = tc.agg(F.sum("cnt")).first()[0] or 0
     nr = rc.agg(F.sum("cnt")).first()[0] or 0
     denom_t = math.log(nt + alpha * n_buckets)
@@ -211,11 +223,19 @@ def lm_perplexity(
     practically MBs for a curated reference — it broadcasts); scoring
     is one narrow explode of corpus bigrams + two broadcast joins +
     one map-side-combinable avg per doc."""
+    from waterdata_spark.plans import cachereg
+
     uni_b = _bucket(F.col("__g"), n_buckets, hash_fn)
     r_toks = reference.select(
         F.explode(_gram_array(F.col(text_col), use_bigrams=False)).alias("__g")
     ).select(uni_b.alias("b"))
-    uc = r_toks.groupBy("b").agg(F.count(F.lit(1)).alias("cu"))
+    # uc feeds the n_ref action plus TWO broadcast joins, and bc one
+    # more — persist both (<=n_buckets / <=observed-bigram rows) so the
+    # reference is scanned once per model table (code-review r7)
+    uc = cachereg.register(
+        "selection.lm_uc",
+        r_toks.groupBy("b").agg(F.count(F.lit(1)).alias("cu")).persist(),
+    )
     n_ref = uc.agg(F.sum("cu")).first()[0] or 0
 
     def _bigram_buckets(df: DataFrame, extra: list[str]) -> DataFrame:
@@ -232,8 +252,12 @@ def lm_perplexity(
             _bucket(F.col("__p.w2"), n_buckets, hash_fn).alias("b2"),
         )
 
-    bc = _bigram_buckets(reference, []).groupBy("b1", "b2").agg(
-        F.count(F.lit(1)).alias("cb")
+    bc = cachereg.register(
+        "selection.lm_bc",
+        _bigram_buckets(reference, [])
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .persist(),
     )
     denom_u = math.log(n_ref + alpha * n_buckets)
     scored = (

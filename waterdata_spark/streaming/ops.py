@@ -266,8 +266,16 @@ def near_dedup_stream(
     reference), this (near-identical within the stream itself)."""
     from waterdata_spark.operators.dedup_approx import minhash_signature
 
-    sig = F.sha2(
-        F.concat_ws("|", minhash_signature(F.col(text_col), n_hashes, k)), 256
+    # null text → all-null signature → concat_ws('') would give every
+    # null-text row the SAME digest and silently delete all but the
+    # first; null text carries no dedup evidence (the family contract —
+    # minhash_signature_frame emits no row for it), so such rows get a
+    # per-document unique key and always pass through
+    sig = F.when(
+        F.col(text_col).isNull(),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    ).otherwise(
+        F.sha2(F.concat_ws("|", minhash_signature(F.col(text_col), n_hashes, k)), 256)
     )
     return (
         docs.withColumn("__sig", sig)
