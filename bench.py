@@ -1,8 +1,11 @@
 """Benchmark runner (driver contract, BASELINE.md).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+(per-repeat spreads go to stderr as a '# FULL ...' line — the stdout
+line stays bounded so the driver's tail capture always parses, r7
+verdict item 6).
 
 Each query is executed as Spark would in production — full plan,
 results drained via a full-evaluation hash aggregate on a cache-free
@@ -297,7 +300,8 @@ def main() -> None:
 
     # warm the JVM + parquet footers + Python UDF workers so per-query
     # numbers measure the engine, not first-touch JIT / worker spawn
-    QUERIES["q08_distinct_pairs"].fn(spark, sf_dir).count()
+    # (q16: one cheap full-scan aggregate — q08 was consolidated away r8)
+    QUERIES["q16_range_gate"].fn(spark, sf_dir).count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
     names_env = os.environ.get("SPARK_GRAFT_NAMES")
@@ -358,7 +362,18 @@ def main() -> None:
                         }
                         out["sf10"] = sf10
 
-    print(json.dumps(out))
+    # The committed driver artifact must be recoverable from a bounded
+    # tail capture (VERDICT r7 item 6: BENCH_r07.json lost the sf0.1
+    # block to stdout truncation). stdout therefore carries exactly ONE
+    # compact JSON line — totals, per-query mins, sentinel, contended,
+    # scale ratios, NO per-repeat spreads — and the full record
+    # (with spreads) goes to stderr for local archiving.
+    print("# FULL " + json.dumps(out), file=sys.stderr)
+    compact = {k: v for k, v in out.items() if k != "spread"}
+    for blk in ("sf1", "sf10"):
+        if isinstance(compact.get(blk), dict):
+            compact[blk] = {k: v for k, v in compact[blk].items() if k != "spread"}
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -1523,6 +1523,31 @@ class TestRecordLinkage:
         again = sorted(r["id"] for r in linked_dedup(out, max_distance=2).collect())
         assert again == kept
 
+    def test_linked_dedup_forwards_cap_and_normalize(self, spark):
+        """max_block_size / normalize reach link_pairs from the dedup
+        API (ADVICE r7): a degenerate shared-prefix corpus dedupes its
+        true dup only when the cap is lifted, and normalize=False
+        keeps case-distinct keys apart."""
+        from waterdata_spark.operators.linkage import linked_dedup
+
+        rows = [(i, f"Customer#{i:09d}") for i in range(30)]
+        rows.append((9_000, "Customer#000000007"))  # exact dup of id 7
+        df = spark.createDataFrame(rows, "id long, key string")
+        capped = linked_dedup(
+            df, blocking=["prefix:8"], max_distance=0, max_block_size=5
+        ).count()
+        assert capped == 31  # whole corpus is one block > cap: no links
+        uncapped = linked_dedup(
+            df, blocking=["prefix:8"], max_distance=0, max_block_size=None
+        ).count()
+        assert uncapped == 30  # dup of id 7 collapsed
+
+        cased = spark.createDataFrame(
+            [(1, "ACME"), (2, "acme")], "id long, key string"
+        )
+        assert linked_dedup(cased, max_distance=0, normalize=False).count() == 2
+        assert linked_dedup(cased, max_distance=0, normalize=True).count() == 1
+
     def test_multi_strategy_union_catches_first_letter_typo(self, spark):
         """'acme' vs 'bcme': soundex and prefix blocks both split on
         the first letter, but rprefix blocking catches it — the
@@ -1779,6 +1804,28 @@ class TestPagerank:
         )
         ranks = {r["node"]: r["rank"] for r in pagerank(star_n, star_e).collect()}
         assert all(ranks[0] > ranks[v] for v in range(1, 6))
+
+
+class TestPagerankExternalEdges:
+    def test_edges_outside_node_set_preserve_mass(self, spark):
+        """Edges whose dst (or src) is outside ``nodes`` are dropped
+        before outdeg (ADVICE r7): node 2's only out-link leaves the
+        set, so it is dangling, and Σ rank stays exactly 1 — the old
+        behavior counted the external edge in outdeg and leaked its
+        share of rank mass."""
+        from waterdata_spark.operators.graph import pagerank
+
+        nodes = [0, 1, 2]
+        # (2, 99): dst outside set; (98, 0): src outside set
+        edges = [(0, 1), (1, 2), (2, 99), (98, 0), (0, 2)]
+        ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(ndf, edf).collect()}
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+        kept = [(s, t) for s, t in edges if s in nodes and t in nodes]
+        want = TestPagerank._py_pagerank(nodes, kept)
+        for v in nodes:
+            assert got[v] == pytest.approx(want[v], abs=1e-9), v
 
 
 class TestLinkageBlockCap:

@@ -8,12 +8,12 @@ connected-components operators (``dedup_approx.min_id_components``).
 100 TB shape per iteration: ONE join of the (pre-partitioned, pinned)
 edge list against the rank frame on ``src`` + one map-side-combinable
 sum per ``dst`` — shuffle volume is O(E) doubles, never adjacency
-lists; dangling mass is one bounded aggregate (single row). The edge
-list is repartitioned on ``src`` ONCE and localCheckpointed, so every
-iteration's join reuses the same layout instead of re-shuffling the
-graph. Convergence is an exact L1-delta witness (one ``sum`` action
-per round on the checkpointed frame); ``max_iter`` is the diameter
-backstop, same contract as the CC loops.
+lists. The edge list is repartitioned on ``src`` ONCE and
+localCheckpointed, so every iteration's join reuses the same layout
+instead of re-shuffling the graph. Each round runs exactly ONE driver
+action: a single aggregate over the checkpointed rank frame yields
+both the L1 convergence delta and the next round's dangling mass;
+``max_iter`` is the diameter backstop, same contract as the CC loops.
 """
 
 from __future__ import annotations
@@ -39,13 +39,23 @@ def pagerank(
 
     rank_{t+1}(v) = (1-d)/N + d·( Σ_{u→v} rank_t(u)/outdeg(u)
                                   + dangling_mass_t/N )
+
+    Edges whose ``src`` or ``dst`` is not in ``nodes`` are dropped
+    BEFORE outdeg is computed (semi-join both endpoints). Links to
+    pages outside the ranked set are the norm in crawl link graphs;
+    counting them in outdeg while dropping their contribution would
+    silently leak rank mass (Σ rank < 1). With the filter, a node
+    whose only out-links leave the set is correctly dangling.
     """
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select(F.col("node"), F.lit(0.0).alias("rank"))
+    node_keys = nodes.select("node")
     e = (
         edges.select("src", "dst")
         .distinct()
+        .join(node_keys.select(F.col("node").alias("src")), "src", "left_semi")
+        .join(node_keys.select(F.col("node").alias("dst")), "dst", "left_semi")
         .repartition(F.col("src"))
         .localCheckpoint(eager=True)
     )
@@ -66,10 +76,13 @@ def pagerank(
     # materialized — ranks is its own eager checkpoint
     _release_checkpoint(base)
     prev_ckpt = ranks  # the PRE-drop checkpointed frame of the last round
+    # The initial dangling mass needs one bounded aggregate before the
+    # loop; every LATER round's dangling mass is folded into the same
+    # single action as the convergence delta (one job per iteration).
+    dangling = (
+        ranks.filter(F.col("__deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
+    )
     for _ in range(max_iter):
-        dangling = (
-            ranks.filter(F.col("__deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
-        )
         contrib = (
             e.join(
                 ranks.select(
@@ -101,7 +114,16 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        delta = new_ranks.agg(F.sum(F.abs(F.col("rank") - F.col("__old")))).first()[0]
+        # ONE action per round: the L1 convergence delta AND the next
+        # round's dangling mass from the same checkpointed frame.
+        stats = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("__delta"),
+            F.sum(
+                F.when(F.col("__deg") == 0, F.col("rank")).otherwise(F.lit(0.0))
+            ).alias("__dangling"),
+        ).first()
+        delta = stats["__delta"]
+        dangling = stats["__dangling"] or 0.0
         # release the PREVIOUS round's checkpoint — the frame that was
         # actually localCheckpointed (post-drop projections have no
         # LogicalRDD at the analyzed root, so releasing `ranks` would

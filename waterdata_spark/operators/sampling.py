@@ -1,6 +1,7 @@
 """Deterministic sampling operators for training-data pipelines.
 
-The registered query x13 (queries.py) pins the primitive: a salted-md5
+The registered query x19 (queries.py; its 'hash25' leg — the former
+x13, consolidated r8) pins the primitive: a salted-md5
 threshold is reproducible on any engine at any cluster size, unlike
 ``rand()``-based sampling (task-count-dependent) . This module adds the
 stratified forms a class-balanced corpus build needs. Everything is
@@ -145,6 +146,14 @@ def upsample(
     Scale shape: one broadcast join for per-stratum rates (|strata|
     rows), one explode bounded by ceil(r) per row — no shuffle at all;
     the output is exactly as large as the mix demands."""
+    # negative rates are meaningless and would make floor(r) = -1 walk
+    # F.sequence backwards into a phantom replica — reject up front
+    if isinstance(rates, dict):
+        bad = {k: v for k, v in rates.items() if v < 0}
+        if bad:
+            raise ValueError(f"upsample rates must be >= 0, got {bad}")
+    elif float(rates) < 0:
+        raise ValueError(f"upsample rate must be >= 0, got {rates}")
     if isinstance(rates, dict):
         if strata_col is None:
             raise ValueError("strata_col is required when rates is a dict")

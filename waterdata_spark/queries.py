@@ -304,16 +304,9 @@ def q07_topk_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "q08_distinct_pairs",
-    """
-    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-    """,
-    doc="C23 full-row distinct.",
-    tags=["dedup"],
-)
-def q08_distinct_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return load_table(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+# (r8) q08_distinct_pairs was consolidated into q31_set_ops — C23
+# full-row distinct is its 'distinct_pair' leg, still oracle-hashed;
+# the freed slot registers x24_dedup_spans_global (COVERAGE.md trace).
 
 
 @query(
@@ -1362,7 +1355,8 @@ def x11_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     doc="End-to-end LLM training-data prep as ONE declarative plan: exact "
     "dedup (map-side min_by on a sha2 content key — the bodies never "
     "shuffle twice), token-count + mean-token-length quality gate, and "
-    "a deterministic 75/25 md5 train/eval split. Composes X1+X4+x13 the "
+    "a deterministic 75/25 md5 train/eval split. Composes X1+X4+hash-"
+    "sample (x19's 'hash25' leg) the "
     "way a real corpus pipeline chains them; one scan of documents, no "
     "Python in the plan.",
     tags=["text", "llm", "dedup", "composite"],
@@ -1640,25 +1634,42 @@ def q28_json_extract(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q31_set_ops",
     """
-    SELECT c_nationkey AS nationkey, 'both' AS src FROM customer
+    SELECT CAST(c_nationkey AS VARCHAR) AS key, 'both' AS src FROM customer
     INTERSECT
-    SELECT s_nationkey, 'both' FROM supplier
+    SELECT CAST(s_nationkey AS VARCHAR), 'both' FROM supplier
     UNION ALL
-    (SELECT c_nationkey, 'customer_only' FROM customer
+    (SELECT CAST(c_nationkey AS VARCHAR), 'customer_only' FROM customer
      EXCEPT
-     SELECT s_nationkey, 'customer_only' FROM supplier)
+     SELECT CAST(s_nationkey AS VARCHAR), 'customer_only' FROM supplier)
+    UNION ALL
+    SELECT l_returnflag || '|' || l_linestatus, 'distinct_pair'
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
     """,
     doc="Set operations (INTERSECT / EXCEPT, set semantics) — §2.4 notes "
     "them absent from the reference; free from Spark's intersect/"
-    "exceptAll surface.",
-    tags=["setops"],
+    "exceptAll surface. The 'distinct_pair' leg is the former "
+    "q08_distinct_pairs (C23 full-row distinct), consolidated here r8 "
+    "to free a registry slot: the distinct runs on the raw column pair "
+    "(true full-row semantics), then projects to the union schema.",
+    tags=["setops", "dedup"],
 )
 def q31_set_ops(spark: SparkSession, sf: str) -> DataFrame:
-    c = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_nationkey").cast("string").alias("key")
+    )
+    s = load_table(spark, sf, "supplier").select(
+        F.col("s_nationkey").cast("string").alias("key")
+    )
     both = c.intersect(s).withColumn("src", F.lit("both"))
     only_c = c.distinct().exceptAll(s.distinct()).withColumn("src", F.lit("customer_only"))
-    return both.unionByName(only_c)
+    pairs = (
+        load_table(spark, sf, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .select(F.concat_ws("|", "l_returnflag", "l_linestatus").alias("key"))
+        .withColumn("src", F.lit("distinct_pair"))
+    )
+    return both.unionByName(only_c).unionByName(pairs)
 
 
 @query(
@@ -1982,23 +1993,11 @@ def w02_compare_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "x13_hash_sample",
-    """
-    SELECT doc_id, lang
-    FROM documents
-    WHERE md5('sample42:' || CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'
-    """,
-    doc="Deterministic hash sampling (~25%): md5 of a salted key compared "
-    "against a hex threshold — reproducible on any engine/cluster size, "
-    "unlike rand()-based sampling; the standard trick for carving "
-    "stable train/eval splits from a 100 TB corpus.",
-    tags=["sampling", "llm"],
-)
-def x13_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
-    h = F.md5(F.concat(F.lit("sample42:"), F.col("doc_id").cast("string")))
-    return d.filter(h < "40000000000000000000000000000000").select("doc_id", "lang")
+# (r8) x13_hash_sample was consolidated into x19_stratified_sample —
+# the deterministic salted-md5 hash-sample primitive is x19's 'hash25'
+# leg (operators/sampling.hash_sample, same seed, same ~25% threshold),
+# still oracle-hashed; the freed slot registers x25_linked_dedup
+# (COVERAGE.md trace).
 
 
 # ---------------------------------------------------------------------------
@@ -2106,26 +2105,37 @@ def x18_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
                / 1152921504606846976.0 AS u
       FROM documents
     )
-    SELECT doc_id, lang, source FROM t
+    SELECT doc_id, lang, source, 'strat' AS sample FROM t
     WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                         WHEN 'fr' THEN 0.75 ELSE 0.0 END
+    UNION ALL
+    SELECT doc_id, lang, source, 'hash25' AS sample FROM documents
+    WHERE CAST(CAST('0x' || substr(md5('sample42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) AS DOUBLE)
+            / 1152921504606846976.0 < 0.25
     """,
-    doc="Per-stratum deterministic sampling (operators/sampling."
-    "stratified_sample): rates {en: 0.5, de: 0.25, fr: 0.75}, missing "
-    "strata (es, zh) drop to 0.0 per the documented contract. Membership "
-    "is a pure function of (seed, doc_id) — the salted-md5 uniform — so "
-    "the split is reproducible across engines and cluster sizes; the "
-    "rates ride one broadcast of a |strata|-row literal frame.",
+    doc="Deterministic sampling, both forms in one oracle row (r8: the "
+    "former x13_hash_sample is the 'hash25' leg — slot freed for "
+    "x25_linked_dedup). 'strat' = per-stratum rates {en: 0.5, de: "
+    "0.25, fr: 0.75} via operators/sampling.stratified_sample, missing "
+    "strata (es, zh) drop to 0.0 per the documented contract; 'hash25' "
+    "= flat ~25% via operators/sampling.hash_sample. Membership in "
+    "both is a pure function of (seed, doc_id) — the salted-md5 "
+    "uniform — so splits are reproducible across engines and cluster "
+    "sizes, unlike rand()-based sampling; the per-stratum rates ride "
+    "one broadcast of a |strata|-row literal frame.",
     tags=["llm", "sampling"],
 )
 def x19_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.operators.sampling import stratified_sample
+    from waterdata_spark.operators.sampling import hash_sample, stratified_sample
 
     d = load_table(spark, sf, "documents")
-    out = stratified_sample(
+    strat = stratified_sample(
         d, "lang", {"en": 0.5, "de": 0.25, "fr": 0.75}, id_col="doc_id", seed="strat7"
+    ).select("doc_id", "lang", "source", F.lit("strat").alias("sample"))
+    hs = hash_sample(d, id_col="doc_id", fraction=0.25, seed="sample42").select(
+        "doc_id", "lang", "source", F.lit("hash25").alias("sample")
     )
-    return out.select("doc_id", "lang", "source")
+    return strat.unionByName(hs)
 
 
 @query(
@@ -2420,3 +2430,201 @@ def x23_dedup_against(spark: SparkSession, sf: str) -> DataFrame:
         prefilter_margin=0.25,
         hash_fn="md5",
     ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "x24_dedup_spans_global",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, toks, unnest(toks) AS tok, unnest(range(len(toks))) AS pos
+      FROM t WHERE len(toks) > 0
+    ),
+    bf AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN pos >= 3 AND
+                       CAST('0x' || substr(md5(array_to_string(
+                             list_slice(toks, CAST(pos AS INT) - 2, CAST(pos AS INT) + 1), ' ')),
+                           1, 15) AS UBIGINT) % 32 = 0
+                  THEN 1 ELSE 0 END AS bnd
+      FROM tok
+    ),
+    ch AS (
+      SELECT doc_id, pos, tok,
+             COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      FROM bf
+    ),
+    chunks AS (
+      SELECT doc_id, chunk,
+             string_agg(tok, ' ' ORDER BY pos) AS ctext,
+             min(pos) AS start, COUNT(*) AS ntok
+      FROM ch GROUP BY doc_id, chunk
+    ),
+    winners AS (
+      SELECT ctext, doc_id AS wdoc, start AS wstart FROM (
+        SELECT ctext, doc_id, start,
+               ROW_NUMBER() OVER (PARTITION BY ctext ORDER BY doc_id, start) AS rn
+        FROM chunks WHERE ntok >= 8
+      ) WHERE rn = 1
+    ),
+    kept AS (
+      SELECT doc_id, ctext, start, ntok FROM chunks WHERE ntok < 8
+      UNION ALL
+      SELECT c.doc_id, c.ctext, c.start, c.ntok
+      FROM chunks c JOIN winners w
+        ON c.ctext = w.ctext AND c.doc_id = w.wdoc AND c.start = w.wstart
+      WHERE c.ntok >= 8
+    ),
+    agg AS (
+      SELECT doc_id,
+             string_agg(ctext, ' ' ORDER BY start) AS text,
+             CAST(SUM(ntok) AS BIGINT) AS n_tokens_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.text, a.n_tokens_kept,
+           CAST(len(t.toks) - a.n_tokens_kept AS BIGINT) AS n_tokens_dropped
+    FROM agg a JOIN t USING (doc_id)
+    """,
+    doc="X1 GLOBAL duplicate-SPAN removal, oracle-backed (r8 — the r7 "
+    "verdict's top ask: dedup_spans_global REWRITES corpus text, the "
+    "highest blast radius of the un-oracled operators). Content-defined "
+    "chunking (operators/dedup.dedup_spans_global, hash_fn='md5': a "
+    "boundary falls after token i iff md5(4-token window ending at i) "
+    "% 32 == 0 — a pure function of local content, so identical spans "
+    "chunk identically at ANY offset), then every chunk of >= 8 tokens "
+    "keeps only its first corpus occurrence by (doc_id, position) and "
+    "documents are reassembled in order. The DuckDB twin reproduces "
+    "boundary placement from the same md5 window hash but elects "
+    "winners by the exact chunk STRING, so the engine's 96-bit "
+    "xxhash64+crc32 election composite is checked against exact-string "
+    "semantics (the x22 recipe). Engine shape: one narrow tokenize "
+    "pass, one per-doc window shuffle, one fixed-width election "
+    "shuffle, ordered reassembly; the freed q08 slot registers this "
+    "(COVERAGE.md trace).",
+    tags=["dedup", "text", "llm"],
+)
+def x24_dedup_spans_global(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.dedup import dedup_spans_global
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return dedup_spans_global(
+        d,
+        "doc_id",
+        "text",
+        window=4,
+        target_chunk_tokens=32,
+        min_chunk_tokens=8,
+        hash_fn="md5",
+    )
+
+
+@query(
+    "x25_linked_dedup",
+    """
+    WITH RECURSIVE
+    src AS (
+      SELECT p_partkey AS id,
+             p_name || ' ' || CAST(p_partkey AS VARCHAR) AS key
+      FROM part
+      UNION ALL
+      SELECT p_partkey + 100000,
+             substr(p_name || ' ' || CAST(p_partkey AS VARCHAR), 1, 1) || 'x' ||
+             substr(p_name || ' ' || CAST(p_partkey AS VARCHAR), 3)
+      FROM part WHERE p_partkey % 7 = 0
+      UNION ALL
+      SELECT p_partkey + 200000,
+             upper(replace(p_name || ' ' || CAST(p_partkey AS VARCHAR), ' ', '  '))
+      FROM part WHERE p_partkey % 11 = 0
+    ),
+    nk AS (
+      SELECT id, lower(trim(regexp_replace(key, '\\s+', ' ', 'g'))) AS k
+      FROM src WHERE key IS NOT NULL AND key <> ''
+    ),
+    okp AS (SELECT substr(k, 1, 4) AS blk FROM nk GROUP BY 1 HAVING COUNT(*) <= 100),
+    okr AS (SELECT substr(k, length(k) - 3, 4) AS blk FROM nk GROUP BY 1 HAVING COUNT(*) <= 100),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.k AS ka, b.k AS kb
+      FROM nk a JOIN okp o ON substr(a.k, 1, 4) = o.blk
+                JOIN nk b ON substr(b.k, 1, 4) = o.blk
+      UNION
+      SELECT a.id, b.id, a.k, b.k
+      FROM nk a JOIN okr o ON substr(a.k, length(a.k) - 3, 4) = o.blk
+                JOIN nk b ON substr(b.k, length(b.k) - 3, 4) = o.blk
+    ),
+    pairs AS (
+      SELECT id_a, id_b, levenshtein(ka, kb) AS d
+      FROM cand WHERE id_a < id_b AND levenshtein(ka, kb) <= 1
+    ),
+    sym AS (SELECT id_a AS s, id_b AS t FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+    comp(node, lbl) AS (
+      SELECT id, id FROM src
+      UNION
+      SELECT e.t, c.lbl FROM comp c JOIN sym e ON e.s = c.node
+    ),
+    keep AS (SELECT node FROM comp GROUP BY node HAVING min(lbl) = node)
+    SELECT 'pair' AS kind, id_a, id_b, CAST(d AS BIGINT) AS distance FROM pairs
+    UNION ALL
+    SELECT 'kept', node, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM keep
+    """,
+    doc="X2 record linkage, oracle-backed (r8 — the r7 verdict's ask #3: "
+    "linked_dedup DELETES rows). One row hash-checks BOTH halves: "
+    "'pair' rows are operators/linkage.link_pairs (normalize -> "
+    "prefix:4 + rprefix:4 blocking union -> JVM levenshtein <= 1, "
+    "max_block_size=100), 'kept' rows are linked_dedup's survivors "
+    "(min-id connected components, lowest id per cluster — the DuckDB "
+    "twin runs the same recursive-CTE label propagation as x10). The "
+    "input plants three entity populations from part: base keys "
+    "'p_name p_partkey', a mid-string typo copy for every 7th key "
+    "(distance 1, tail block intact), and an UPPERCASE double-spaced "
+    "copy for every 11th (distance 0 after normalize_key). Every "
+    "prefix:4 block exceeds the cap (~280 rows per leading color "
+    "word), so the degenerate-block guard itself is oracle-checked: an "
+    "engine that failed to cap would link sequential keys through the "
+    "shared-prefix blocks and hash-mismatch. The freed x13 slot "
+    "registers this (COVERAGE.md trace).",
+    tags=["dedup", "linkage", "llm"],
+)
+def x25_linked_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.linkage import link_pairs, linked_dedup
+
+    p = load_table(spark, sf, "part")
+    kbase = F.concat(F.col("p_name"), F.lit(" "), F.col("p_partkey").cast("string"))
+    base = p.select(F.col("p_partkey").cast("long").alias("id"), kbase.alias("key"))
+    typo = p.filter(F.col("p_partkey") % 7 == 0).select(
+        (F.col("p_partkey") + 100000).cast("long").alias("id"),
+        F.concat(
+            F.substring(kbase, 1, 1),
+            F.lit("x"),
+            kbase.substr(F.lit(3), F.length(kbase)),
+        ).alias("key"),
+    )
+    cased = p.filter(F.col("p_partkey") % 11 == 0).select(
+        (F.col("p_partkey") + 200000).cast("long").alias("id"),
+        F.upper(F.regexp_replace(kbase, " ", "  ")).alias("key"),
+    )
+    df = base.unionByName(typo).unionByName(cased)
+    blocking = ["prefix:4", "rprefix:4"]
+    pairs = link_pairs(
+        df, None, "id", "key", max_distance=1, blocking=blocking, max_block_size=100
+    )
+    kept = linked_dedup(
+        df, "id", "key", max_distance=1, blocking=blocking, max_block_size=100
+    )
+    return pairs.select(
+        F.lit("pair").alias("kind"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("distance").cast("long").alias("distance"),
+    ).unionByName(
+        kept.select(
+            F.lit("kept").alias("kind"),
+            F.col("id").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.lit(None).cast("long").alias("distance"),
+        )
+    )
