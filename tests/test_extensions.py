@@ -1922,3 +1922,134 @@ class TestNearDedupStream:
             r["doc_id"] for r in exact_dedup(batch_df, ["__sig"], "doc_id").collect()
         }
         assert got == want == {1, 2, 4}
+
+
+class TestBm25:
+    """Okapi BM25 keyword retrieval (operators/retrieval.bm25_topk)."""
+
+    @staticmethod
+    def _py_bm25(doc_rows, query_rows, k=10, k1=1.2, b=0.75, max_df=None):
+        """Pure-Python BM25 with the operator's exact contract:
+        lowercase whitespace terms, distinct query terms, per-term
+        contribution rounded to 9dp then exactly summed (Fraction
+        keeps the sum order-independent), ties by doc id."""
+        import math
+        import re
+        from fractions import Fraction
+
+        def terms(t):
+            return [x for x in re.split(r"\s+", t.strip(" ").lower()) if x]
+
+        docs = {i: terms(t) for i, t in doc_rows}
+        n = len(docs)
+        dl = {i: len(ts) for i, ts in docs.items()}
+        avgdl = sum(dl.values()) / n
+        dfreq = {}
+        for ts in docs.values():
+            for t in set(ts):
+                dfreq[t] = dfreq.get(t, 0) + 1
+        out = {}
+        for qid, qt in query_rows:
+            scores = {}
+            for t in set(terms(qt)):
+                df_t = dfreq.get(t)
+                if df_t is None or (max_df is not None and df_t > max_df):
+                    continue
+                idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+                for d, ts in docs.items():
+                    tf = ts.count(t)
+                    if not tf:
+                        continue
+                    c = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+                    scores[d] = scores.get(d, Fraction(0)) + Fraction(
+                        round(c, 9)
+                    ).limit_denominator(10**9)
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            out[qid] = [
+                (d, r + 1, float(s)) for r, (d, s) in enumerate(ranked)
+            ]
+        return out
+
+    def test_differential_vs_python_on_documents(self, spark):
+        """Rank AND rounded-decimal score agree exactly with the
+        pure-Python reference on real documents, queries cut from
+        document text (guaranteed hits)."""
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.retrieval import bm25_topk
+        from waterdata_spark.schemas import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+        doc_rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        query_rows = [
+            (i, " ".join(t.split()[2:8]))
+            for i, t in doc_rows
+            if i % 37 == 3 and len(t.split()) > 8
+        ][:6]
+        queries = spark.createDataFrame(query_rows, "qid long, qtext string")
+        got = {}
+        for r in bm25_topk(docs, queries, k=5).collect():
+            got.setdefault(r["qid"], []).append(
+                (r["doc_id"], r["rank"], r["score"])
+            )
+        want = self._py_bm25(doc_rows, query_rows, k=5)
+        assert set(got) == {q for q, v in want.items() if v}
+        for qid, rows in got.items():
+            rows.sort(key=lambda x: x[1])
+            assert [x[:2] for x in rows] == [x[:2] for x in want[qid]], qid
+            for (_, _, gs), (_, _, ws) in zip(rows, want[qid]):
+                assert gs == pytest.approx(ws, abs=1e-9)
+
+    def test_partition_stability_and_identical_doc_ties(self, spark):
+        from waterdata_spark.operators.retrieval import bm25_topk
+
+        rows = [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # exact dup of 1
+            (3, "alpha unrelated filler words here now"),
+            (4, "totally different content"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        q = spark.createDataFrame([(7, "alpha beta")], "qid long, qtext string")
+        key = lambda out: [(r["doc_id"], r["rank"], r["score"]) for r in out]
+        a = key(bm25_topk(docs, q, k=4).orderBy("rank").collect())
+        bb = key(bm25_topk(docs.repartition(13), q, k=4).orderBy("rank").collect())
+        assert a == bb
+        # identical docs -> identical decimal scores, tie broken by id
+        assert a[0][0] == 1 and a[1][0] == 2
+        assert a[0][2] == a[1][2]
+        assert [r[0] for r in a] == [1, 2, 3]  # doc 4 shares no term
+
+    def test_max_df_prunes_stopwords(self, spark):
+        """A term present in every document carries ~zero idf; with
+        max_df below N it is dropped and no longer generates
+        candidates."""
+        from waterdata_spark.operators.retrieval import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(i, f"common filler text unique{i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        q = spark.createDataFrame([(1, "common unique3")], "qid long, qtext string")
+        full = bm25_topk(docs, q, k=25).collect()
+        assert len(full) == 20  # 'common' matches everything
+        pruned = bm25_topk(docs, q, k=25, max_df=10).collect()
+        assert [r["doc_id"] for r in pruned] == [3]  # only 'unique3' survives
+
+    def test_plan_broadcasts_query_side(self, spark):
+        """The postings build is the only wide stage: the query-term
+        and idf joins ride broadcasts, never a sort-merge of the
+        corpus against the queries."""
+        from waterdata_spark.operators.retrieval import bm25_topk
+
+        docs = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("word"), (F.col("id") % 17).cast("string"),
+                     F.lit(" tail common")).alias("text"),
+        )
+        q = spark.createDataFrame([(1, "word3 common")], "qid long, qtext string")
+        plan = (
+            bm25_topk(docs, q, k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan

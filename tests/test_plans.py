@@ -312,7 +312,7 @@ class TestCacheHygiene:
 
         cachereg.release_all()
         base = self._settled(spark, 0)
-        QUERIES["x07_cosine_topk"].fn(spark, SF_ORACLE).count()  # registers its persist
+        QUERIES["x16_ann_search"].fn(spark, SF_ORACLE).count()  # registers its persist
         QUERIES["q22_orderby_limit"].fn(spark, SF_ORACLE).count()  # entry drain releases it
         assert self._settled(spark, base) <= base
 

@@ -801,47 +801,82 @@ def x06_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "x07_cosine_topk",
+    "x26_bm25_topk",
     """
-    WITH e AS (
-      SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
-      FROM embeddings WHERE vec_id < 200
+    WITH traw AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
     ),
-    x AS (
-      SELECT vec_id, CAST(i AS INT) AS i,
-             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
-      FROM e
+    tlow AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+      FROM documents
     ),
-    norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
-    dots AS (
-      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
-      FROM x a JOIN x b ON a.i = b.i AND a.vec_id <> b.vec_id
+    base AS (SELECT doc_id, toks, len(toks) AS dl FROM tlow),
+    stats AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM base
+    ),
+    post AS (SELECT doc_id, dl, unnest(toks) AS t FROM base),
+    tf AS (SELECT t, doc_id, dl, COUNT(*) AS tf FROM post GROUP BY 1, 2, 3),
+    dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) <= 390),
+    idf AS (
+      SELECT t, ln(1 + (CAST(s.n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS idf
+      FROM dfq, stats s
+    ),
+    q AS (
+      SELECT doc_id AS qid, array_to_string(list_slice(toks, 3, 8), ' ') AS qtext
+      FROM traw WHERE doc_id % 37 = 3 AND len(toks) >= 8
+    ),
+    qt AS (
+      SELECT DISTINCT qid, t FROM (
+        SELECT qid,
+               unnest(list_filter(regexp_split_to_array(trim(lower(qtext)), '\\s+'), x -> x <> '')) AS t
+        FROM q
+      )
+    ),
+    score AS (
+      SELECT qt.qid, tf.doc_id,
+             SUM(CAST(round(
+               i.idf * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / s.avgdl)),
+               9) AS DECIMAL(38,9))) AS score
+      FROM tf JOIN qt ON tf.t = qt.t JOIN idf i ON i.t = tf.t, stats s
       GROUP BY 1, 2
     )
-    SELECT d.vec_id, d.neighbor_id,
+    SELECT qid, doc_id,
            CAST(ROW_NUMBER() OVER (
-             PARTITION BY d.vec_id
-             ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.neighbor_id ASC
-           ) AS BIGINT) AS rank
-    FROM dots d
-    JOIN norms na ON d.vec_id = na.vec_id
-    JOIN norms nb ON d.neighbor_id = nb.vec_id
-    QUALIFY rank <= 5
+             PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+           CAST(score AS DOUBLE) AS score
+    FROM score QUALIFY rank <= 5
     """,
-    doc="X3 brute-force cosine top-k over the embedding column — the exact "
-    "baseline for ANN (the LSH-bucketed scale path lives in "
-    "operators/similarity.py and is benchmarked, not oracled). Output is "
-    "rank-only (ints): float sums differ in the last ulp across engines, "
-    "ranks don't.",
-    tags=["similarity", "llm"],
+    doc="X3 sparse retrieval (NEW r8): Okapi BM25 top-k over the "
+    "documents table (operators/retrieval.bm25_topk, k1=1.2 b=0.75 "
+    "k=5 max_df=390 — at sf0.01 the synthetic vocabulary is 31 words "
+    "with df 25-402, so the cap demonstrably prunes the hottest terms "
+    "while the rest score) — the sparse half of hybrid retrieval next to the "
+    "dense ANN path, and the targeted-selection / leakage-triage tool "
+    "a training-data pipeline needs beyond exact n-gram "
+    "decontamination. Queries are 6-token slices cut from every 37th "
+    "document. Determinism contract: per-term contributions round to "
+    "9dp and sum as DECIMAL(38,9) — exact and order-independent, so "
+    "identical documents tie exactly (broken by doc id) and the DuckDB "
+    "twin reproduces score AND rank bit-for-bit despite ln/float "
+    "arithmetic. The x07 slot freed by consolidating the self-top-k "
+    "leg into x16 registers this (COVERAGE.md trace).",
+    tags=["retrieval", "text", "llm"],
 )
-def x07_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.operators.similarity import cosine_topk_bruteforce
+def x26_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.retrieval import bm25_topk
 
-    e = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
-    return cosine_topk_bruteforce(e, id_col="vec_id", vec_col="embedding", k=5).select(
-        "vec_id", "neighbor_id", "rank"
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks_raw = tokens(F.col("text"))
+    q = d.filter((F.col("doc_id") % 37 == 3) & (F.size(toks_raw) >= 8)).select(
+        F.col("doc_id").alias("qid"),
+        F.array_join(F.slice(toks_raw, 3, 6), " ").alias("qtext"),
     )
+    return bm25_topk(d, q, k=5, max_df=390)
 
 
 # ---------------------------------------------------------------------------
@@ -1246,28 +1281,74 @@ def x15_embedding_components(spark: SparkSession, sf: str) -> DataFrame:
              list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                     CAST(d.embedding AS DOUBLE[])) AS c
       FROM q CROSS JOIN d
+    ),
+    search AS (
+      SELECT 'search' AS mode, qid AS query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY c DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM p QUALIFY rank <= 5
+    ),
+    e AS (
+      SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings WHERE vec_id < 200
+    ),
+    x AS (
+      SELECT vec_id, CAST(i AS INT) AS i,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+      FROM e
+    ),
+    norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+      FROM x a JOIN x b ON a.i = b.i AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    selfk AS (
+      SELECT 'self' AS mode, d.vec_id AS query_id, d.neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY d.vec_id
+               ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.neighbor_id ASC
+             ) AS BIGINT) AS rank
+      FROM dots d
+      JOIN norms na ON d.vec_id = na.vec_id
+      JOIN norms nb ON d.neighbor_id = nb.vec_id
+      QUALIFY rank <= 5
     )
-    SELECT qid AS query_id, neighbor_id,
-           CAST(ROW_NUMBER() OVER (
-             PARTITION BY qid ORDER BY c DESC, neighbor_id
-           ) AS BIGINT) AS rank
-    FROM p QUALIFY rank <= 5
+    SELECT * FROM search UNION ALL SELECT * FROM selfk
     """,
-    doc="X3 retrieval shape: a QUERY table searched against a DATA "
-    "corpus (every 5th vector queries the rest) — distinct from the "
-    "self-top-k dedup shape. Exact brute-force baseline, rank-only "
-    "output; the IVF scale path (cosine_search_ivf: quantizer fit on "
-    "the data side only, per-cell block matmul) is equivalence-tested "
-    "against this at probe-all and recall-measured at partial probe.",
+    doc="X3 exact dense retrieval, both shapes in one oracle row (r8: "
+    "the former x07_cosine_topk is the 'self' leg — slot freed for "
+    "x26_bm25_topk). 'search' = a QUERY table against a DATA corpus "
+    "(every 5th vector queries the rest; the IVF scale path "
+    "cosine_search_ivf is equivalence-tested against this at probe-all "
+    "and recall-measured at partial probe); 'self' = brute-force "
+    "self-top-k over vec_id < 200 (the dedup shape — the ANN baseline "
+    "the LSH/IVF paths are measured against). Rank-only per leg: float "
+    "sums differ in the last ulp across engines, ranks don't.",
     tags=["similarity", "llm"],
 )
 def x16_ann_search(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.operators.similarity import cosine_search_bruteforce
+    from waterdata_spark.operators.similarity import (
+        cosine_search_bruteforce,
+        cosine_topk_bruteforce,
+    )
 
     e = load_table(spark, sf, "embeddings")
     data = e.filter(F.col("vec_id") % 5 != 0)
     queries = e.filter(F.col("vec_id") % 5 == 0).withColumnRenamed("vec_id", "qid")
-    return cosine_search_bruteforce(data, queries, query_id_col="qid", k=5, sim_col=None)
+    search = cosine_search_bruteforce(
+        data, queries, query_id_col="qid", k=5, sim_col=None
+    ).select(F.lit("search").alias("mode"), "query_id", "neighbor_id", "rank")
+    selfk = cosine_topk_bruteforce(
+        e.filter(F.col("vec_id") < 200), id_col="vec_id", vec_col="embedding", k=5
+    ).select(
+        F.lit("self").alias("mode"),
+        F.col("vec_id").alias("query_id"),
+        "neighbor_id",
+        "rank",
+    )
+    return search.unionByName(selfk)
 
 
 @query(
