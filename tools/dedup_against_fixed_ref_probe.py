@@ -58,7 +58,7 @@ def _frames(spark, corpus_dir: str, ref_dir: str):
 
 
 def _child(corpus_dir: str, ref_dir: str, partitions: int) -> None:
-    from bench import _drain
+    from bench import _drain, _sentinel_sec
     from waterdata_spark.operators.dedup_approx import dedup_against
     from waterdata_spark.session import get_spark
 
@@ -67,6 +67,7 @@ def _child(corpus_dir: str, ref_dir: str, partitions: int) -> None:
     corpus, ref = _frames(spark, corpus_dir, ref_dir)
     corpus.count(), ref.count()  # page-cache warm
     _drain(dedup_against(corpus, ref))  # plan-compile warm, untimed
+    sent_before = _sentinel_sec()
     runs = []
     for _ in range(REPEATS):
         gc.collect()
@@ -74,7 +75,21 @@ def _child(corpus_dir: str, ref_dir: str, partitions: int) -> None:
         t0 = time.monotonic()
         n = _drain(dedup_against(corpus, ref))
         runs.append(round(time.monotonic() - t0, 3))
-    print(json.dumps({"sec": min(runs), "runs": runs, "rows": n}))
+    sent_after = _sentinel_sec()
+    drift = round(
+        max(sent_before, sent_after) / max(min(sent_before, sent_after), 1e-9), 3
+    )
+    print(
+        json.dumps(
+            {
+                "sec": min(runs),
+                "runs": runs,
+                "rows": n,
+                "sentinel_drift": drift,
+                "contended": drift > 1.15,
+            }
+        )
+    )
 
 
 def main() -> None:

@@ -39,7 +39,7 @@ REPEATS = 3
 
 
 def _child(sf_dir: str, partitions: int) -> None:
-    from bench import _drain, _minhash_bench
+    from bench import _drain, _minhash_bench, _sentinel_sec
     from waterdata_spark.session import get_spark
 
     spark = get_spark("x08-scale-probe")
@@ -48,6 +48,7 @@ def _child(sf_dir: str, partitions: int) -> None:
 
     load_table(spark, sf_dir, "documents").count()  # page-cache warm
     _drain(_minhash_bench(spark, sf_dir))  # plan-compile warm, untimed
+    sent_before = _sentinel_sec()
     runs = []
     for _ in range(REPEATS):
         gc.collect()
@@ -55,7 +56,21 @@ def _child(sf_dir: str, partitions: int) -> None:
         t0 = time.monotonic()
         n = _drain(_minhash_bench(spark, sf_dir))
         runs.append(round(time.monotonic() - t0, 3))
-    print(json.dumps({"sec": min(runs), "runs": runs, "rows": n}))
+    sent_after = _sentinel_sec()
+    drift = round(
+        max(sent_before, sent_after) / max(min(sent_before, sent_after), 1e-9), 3
+    )
+    print(
+        json.dumps(
+            {
+                "sec": min(runs),
+                "runs": runs,
+                "rows": n,
+                "sentinel_drift": drift,
+                "contended": drift > 1.15,
+            }
+        )
+    )
 
 
 def main() -> None:

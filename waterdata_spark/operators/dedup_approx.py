@@ -104,6 +104,13 @@ def minhash_signature_frame(
         F.explode(F.array_distinct(char_shingles(F.col(text_col), k))).alias("__s"),
     )
     if hash_fn == "xx":
+        # NB (r8): a one-base-hash + integer-permutation variant
+        # (datasketch's a*h+b trick) was implemented and A/B-measured —
+        # no gain: hashing 8-char shingles is NOT the bottleneck; the
+        # explode row stream and the 16 min-agg buffer updates dominate,
+        # so the independent-hash form is kept for its stronger
+        # min-wise-independence (tools/x08_scale_probe.py for the
+        # saturation analysis).
         aggs = [
             F.min(F.xxhash64(F.lit(i), F.col("__s"))).alias(f"__h{i}")
             for i in range(n_hashes)
