@@ -2053,3 +2053,207 @@ class TestBm25:
         )
         assert plan.count("BroadcastHashJoin") >= 2
         assert "SortMergeJoin" not in plan
+
+
+class TestUrlCanonicalize:
+    """Crawl URL canonicalization (functions/urls.py)."""
+
+    CASES = [
+        # (input, expected canonical)
+        ("HTTP://WWW.Example.COM:80/a/", "http://www.example.com/a"),
+        ("https://example.com:443/x", "https://example.com/x"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://example.com/a?utm_source=x&b=2&a=1#frag", "http://example.com/a?a=1&b=2"),
+        ("http://example.com/a?fbclid=abc", "http://example.com/a"),
+        ("http://example.com/a?gclid=1&utm_campaign=q&keep=v", "http://example.com/a?keep=v"),
+        ("http://example.com/", "http://example.com/"),
+        ("http://example.com", "http://example.com"),
+        ("  http://example.com/a  ", "http://example.com/a"),
+        ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),
+        ("not a url at all", "not a url at all"),
+        ("ftp://Files.Example.com/Pub/", "ftp://files.example.com/Pub"),
+    ]
+
+    def test_battery_and_idempotence(self, spark):
+        from waterdata_spark.functions.urls import canonicalize_url, is_canonical_url
+
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(self.CASES)], "i long, url string"
+        )
+        out = {
+            r["i"]: (r["c"], r["cc"], r["ok"])
+            for r in df.select(
+                "i",
+                canonicalize_url("url").alias("c"),
+                canonicalize_url(canonicalize_url("url")).alias("cc"),
+                is_canonical_url("url").alias("ok"),
+            ).collect()
+        }
+        for i, (u, want) in enumerate(self.CASES):
+            c, cc, ok = out[i]
+            assert c == want, (u, c)
+            assert cc == c, ("not idempotent", u, c, cc)
+            assert ok == (u.strip() != "not a url at all"), u
+
+    def test_url_host_and_null(self, spark):
+        from waterdata_spark.functions.urls import canonicalize_url, url_host
+
+        df = spark.createDataFrame(
+            [(1, "HTTPS://API.Example.org:8443/v1"), (2, None), (3, "nope")],
+            "i long, url string",
+        )
+        got = {
+            r["i"]: (r["h"], r["c"])
+            for r in df.select(
+                "i", url_host("url").alias("h"), canonicalize_url("url").alias("c")
+            ).collect()
+        }
+        assert got[1][0] == "api.example.org"
+        assert got[2] == (None, None)
+        assert got[3][0] == ""
+
+    def test_collapses_crawl_variants_to_one_key(self, spark):
+        """The operational point: all spellings of the same page give
+        ONE dedup key."""
+        from waterdata_spark.functions.urls import canonicalize_url
+
+        variants = [
+            "http://Example.com/page/",
+            "HTTP://example.com:80/page",
+            "http://example.com/page?utm_source=feed",
+            "http://example.com/page#top",
+        ]
+        df = spark.createDataFrame([(u,) for u in variants], "url string")
+        keys = df.select(canonicalize_url("url").alias("k")).distinct().collect()
+        assert len(keys) == 1
+        assert keys[0]["k"] == "http://example.com/page"
+
+
+class TestNaiveBayes:
+    """Hashed-token multinomial NB (operators/classify.py)."""
+
+    B, ALPHA = 4096, 1.0
+
+    def test_differential_vs_python_on_documents(self, spark):
+        """Train on a lang-labeled slice of the real documents table
+        (md5 bucket path), score the rest; predicted label matches a
+        pure-Python NB exactly and the joint log prob to 1e-8."""
+        import hashlib
+        import math
+        import re
+
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.classify import nb_score, nb_train
+        from waterdata_spark.schemas import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+        train = docs.filter(F.col("doc_id") % 3 == 0).select(
+            F.col("lang").alias("label"), "text"
+        )
+        test = docs.filter(F.col("doc_id") % 3 != 0)
+        model = nb_train(train, n_buckets=self.B, hash_fn="md5")
+        got = {
+            r["doc_id"]: (r["predicted"], r["nb_log_prob"])
+            for r in nb_score(
+                test, model, n_buckets=self.B, alpha=self.ALPHA, hash_fn="md5"
+            ).collect()
+        }
+
+        def toks(t):
+            return [x for x in re.split(r"\s+", t.strip(" ")) if x != ""]
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % self.B
+
+        cnt, n_class, n_docs = {}, {}, {}
+        for r in train.collect():
+            c = r["label"]
+            n_docs[c] = n_docs.get(c, 0) + 1
+            for b in (bucket(t) for t in toks(r["text"])):
+                cnt[(c, b)] = cnt.get((c, b), 0) + 1
+                n_class[c] = n_class.get(c, 0) + 1
+        total = sum(n_docs.values())
+        labels = sorted(n_docs)
+        lp = {c: round(math.log(n_docs[c] / total), 9) for c in labels}
+        lu = {
+            c: round(
+                math.log(self.ALPHA) - math.log(n_class.get(c, 0) + self.ALPHA * self.B), 9
+            )
+            for c in labels
+        }
+
+        for r in test.collect():
+            bs = [bucket(t) for t in toks(r["text"])]
+            best = None
+            for c in labels:
+                s = lp[c] + len(bs) * lu[c]
+                s += sum(
+                    round(math.log((cnt.get((c, b), 0) + self.ALPHA) / self.ALPHA), 9)
+                    for b in bs
+                    if (c, b) in cnt
+                )
+                if best is None or s > best[1] + 1e-12:
+                    best = (c, s)
+            want_label, want_score = best
+            g_label, g_score = got[r["doc_id"]]
+            assert g_label == want_label, r["doc_id"]
+            assert g_score == pytest.approx(want_score, abs=1e-8), r["doc_id"]
+
+    def test_language_recovery_and_empty_doc_prior(self, spark):
+        """NB trained on marker-rich language-labeled docs recovers the
+        language of held-out docs (>=0.9 — the synthetic documents
+        table itself is NOT usable here: its 31-word vocabulary is
+        shared across langs, so text barely encodes the label and even
+        an exactly-correct NB sits near the prior); an empty doc gets
+        the majority-prior class."""
+        from waterdata_spark.functions.text import LANG_MARKERS
+        from waterdata_spark.operators.classify import nb_score, nb_train
+
+        langs = sorted(LANG_MARKERS)[:4]
+        rows = []
+        for i in range(240):
+            # index by i//2 so the even/odd train split sees every class
+            lang = langs[0] if (i // 2) % 3 == 0 else langs[(i // 2) % 4]
+            text = " ".join(LANG_MARKERS[lang] * 4 + ["shared", "noise", "words"])
+            rows.append((i, lang, text))
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        train = docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.col("lang").alias("label"), "text"
+        )
+        test = docs.filter(F.col("doc_id") % 2 != 0)
+        model = nb_train(train, n_buckets=self.B)
+        scored = nb_score(test, model, n_buckets=self.B)
+        n, hits = 0, 0
+        for r in scored.collect():
+            n += 1
+            hits += int(r["predicted"] == r["lang"])
+        assert hits / n >= 0.9, f"accuracy {hits/n}"
+
+        empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        majority = (
+            train.groupBy("label").count().orderBy(F.col("count").desc(), "label")
+            .first()["label"]
+        )
+        got = nb_score(empty, model, n_buckets=self.B).first()
+        assert got["predicted"] == majority
+
+    def test_shuffle_fallback_matches_broadcast(self, spark):
+        from waterdata_spark.operators.classify import nb_score, nb_train
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.schemas import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+        train = docs.limit(40).select(F.col("lang").alias("label"), "text")
+        test = docs.limit(60)
+        model = nb_train(train, n_buckets=self.B)
+        a = {
+            (r["doc_id"], r["predicted"], r["nb_log_prob"])
+            for r in nb_score(test, model, n_buckets=self.B).collect()
+        }
+        b = {
+            (r["doc_id"], r["predicted"], r["nb_log_prob"])
+            for r in nb_score(
+                test, model, n_buckets=self.B, max_broadcast_rows=0
+            ).collect()
+        }
+        assert a == b

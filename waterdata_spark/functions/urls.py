@@ -1,0 +1,97 @@
+"""URL canonicalization for crawl curation — the dedup key problem
+BEFORE content dedup: the same page arrives as `HTTP://Example.com:80/a/`,
+`http://example.com/a?utm_source=x`, and `http://example.com/a#frag`,
+and a crawl frontier / URL-level dedup pass needs one canonical form
+(standard practice in every public crawl pipeline; the normalizations
+below are the RFC 3986 §6 safe set plus tracking-parameter removal).
+
+Everything is a pure JVM expression chain (regexp_extract / filter /
+array_sort — no UDF, no shuffle), so canonicalization runs at scan
+speed and the canonical form is reproducible in DuckDB for the oracle
+(RE2-safe patterns only: no lookarounds, no backreferences).
+
+Normalizations applied by :func:`canonicalize_url`:
+- scheme and host lowercased;
+- default port stripped (:80 for http, :443 for https);
+- fragment dropped;
+- tracking query parameters dropped (utm_*, fbclid, gclid, msclkid,
+  mc_cid, mc_eid — the public tracking-param canon);
+- remaining query parameters SORTED (param order is almost never
+  semantic; sorting makes ?a=1&b=2 and ?b=2&a=1 collide);
+- empty query dropped;
+- trailing slash stripped from non-root paths.
+
+Non-goals (documented, not silently wrong): percent-encoding
+normalization, IDN/punycode, relative-reference resolution, and
+userinfo handling — inputs are assumed to be absolute crawl URLs.
+Strings that do not parse as scheme://... pass through with only a
+trim, flagged by :func:`is_canonical_url` = false.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: RE2-safe absolute-URL splitter: scheme, authority, path, ?query, #fragment
+URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+
+#: query parameters that never affect content identity
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid)(=.*)?$"
+
+
+def _part(url: Column, idx: int) -> Column:
+    return F.regexp_extract(url, URL_RE, idx)
+
+
+def is_canonical_url(c: Column | str) -> Column:
+    """True iff the trimmed string parses as an absolute scheme://
+    URL (i.e. :func:`canonicalize_url` did real work on it)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.trim(col).rlike(URL_RE)
+
+
+def canonicalize_url(c: Column | str) -> Column:
+    """Canonical form of an absolute URL (see module doc for the exact
+    normalization set). Non-URL strings pass through trimmed. Null in,
+    null out."""
+    url = F.trim(F.col(c) if isinstance(c, str) else c)
+    scheme = F.lower(_part(url, 1))
+    authority = F.lower(_part(url, 2))
+    # default-port strip is scheme-conditional
+    authority = F.when(
+        (scheme == "http") & authority.endswith(":80"),
+        F.substring(authority, 1, F.length(authority) - 3),
+    ).otherwise(
+        F.when(
+            (scheme == "https") & authority.endswith(":443"),
+            F.substring(authority, 1, F.length(authority) - 4),
+        ).otherwise(authority)
+    )
+    path = _part(url, 3)
+    # strip ONE trailing slash from non-root paths ("/a/" -> "/a")
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    rawq = _part(url, 4)  # includes the leading '?' or ''
+    params = F.filter(
+        F.split(F.substring(rawq, 2, F.length(rawq)), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        authority,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return F.when(url.rlike(URL_RE), rebuilt).otherwise(url)
+
+
+def url_host(c: Column | str) -> Column:
+    """Lowercased host (authority minus any :port) of an absolute URL;
+    '' for non-URLs — the group-by key for host-level crawl stats."""
+    col = F.trim(F.col(c) if isinstance(c, str) else c)
+    return F.lower(F.regexp_replace(_part(col, 2), r":[0-9]+$", ""))

@@ -229,21 +229,40 @@ def q04_full_outer_order_counts(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q05_customers_without_big_orders",
     """
-    SELECT c_custkey, c_name
+    SELECT c_custkey, c_name, 'without' AS side
     FROM customer c
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
     )
+    UNION ALL
+    SELECT c_custkey, c_name, 'with' AS side
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+    )
     """,
-    doc="Left-anti join — the engine's replacement for the reference's "
-    "null-split emulation (down/down_water_prep.py:511-512).",
-    tags=["join", "anti"],
+    doc="Left-anti AND left-semi join, both halves of the reference's "
+    "null-split idiom in one oracle row (down/down_water_prep.py:"
+    "511-512; r8: the former q25_semi_join is the 'with' leg — slot "
+    "freed for x27_url_canonicalize).",
+    tags=["join", "anti", "semi"],
 )
 def q05_customers_without_big_orders(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 450000)
     c = load_table(spark, sf, "customer")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    without = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("side", F.lit("without"))
+    )
+    with_ = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .withColumn("side", F.lit("with"))
+    )
+    return without.unionByName(with_)
 
 
 @query(
@@ -355,31 +374,11 @@ def q11_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
     return a.unionByName(b)
 
 
-@query(
-    "q12_date_parts",
-    """
-    SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
-           CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS ship_month,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-    FROM lineitem
-    GROUP BY 1, 2
-    """,
-    doc="C38 date functions + agg by derived calendar keys.",
-    tags=["date", "agg"],
-)
-def q12_date_parts(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem")
-    return (
-        li.groupBy(
-            F.year("l_shipdate").cast("long").alias("ship_year"),
-            F.month("l_shipdate").cast("long").alias("ship_month"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            _sum_money("l_extendedprice", 2, "total_price"),
-        )
-    )
+# (r8) q12_date_parts was consolidated into q20_rollup_cube_gsets —
+# C38's calendar-key derivation (year/month extraction + agg) is q20's
+# 'date_rollup' leg, still oracle-hashed (and upgraded: the rollup also
+# yields the per-year and grand totals); the freed slot registers
+# x28_nb_classify (COVERAGE.md trace).
 
 
 @query(
@@ -995,6 +994,18 @@ def q19_sessionize(spark: SparkSession, sf: str) -> DataFrame:
            COUNT(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    UNION ALL
+    SELECT 'date_rollup' AS src,
+           CAST(yr AS VARCHAR) AS l_returnflag,
+           CAST(mo AS VARCHAR) AS l_linestatus,
+           CAST(GROUPING(yr, mo) AS BIGINT) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM (SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+                 CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS mo,
+                 l_quantity
+          FROM lineitem)
+    GROUP BY ROLLUP(yr, mo)
     """,
     doc="Multi-dimensional aggregation lattices in one entry (formerly "
     "q20 rollup / q30 cube / q35 grouping sets — consolidated so every "
@@ -1002,8 +1013,11 @@ def q19_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     "and CUBE via the DataFrame surface, arbitrary GROUPING SETS via "
     "the SQL entry point, each tagged by src and disambiguated with "
     "grouping_id. Each branch is one Expand+Aggregate pass (§2.4 marks "
-    "all three absent from the reference).",
-    tags=["agg", "rollup", "cube", "grouping-sets"],
+    "all three absent from the reference). r8: the 'date_rollup' leg "
+    "absorbs the former q12_date_parts — C38's derived calendar keys "
+    "(year/month extraction) rolled up over (year, month) — freeing a "
+    "slot for x28_nb_classify.",
+    tags=["agg", "rollup", "cube", "grouping-sets", "date"],
 )
 def q20_rollup_cube_gsets(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
@@ -1030,10 +1044,32 @@ def q20_rollup_cube_gsets(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+    li2 = li.select(
+        F.year("l_shipdate").cast("long").alias("yr"),
+        F.month("l_shipdate").cast("long").alias("mo"),
+        "l_quantity",
+    )
+    date_leg = (
+        li2.rollup("yr", "mo")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            _sum_money("l_quantity", 2, "sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("date_rollup").alias("src"),
+            F.col("yr").cast("string").alias("l_returnflag"),
+            F.col("mo").cast("string").alias("l_linestatus"),
+            "gid",
+            "sum_qty",
+            "n",
+        )
+    )
     return (
         lattice(li.rollup("l_returnflag", "l_linestatus"), "rollup")
         .unionByName(lattice(li.cube("l_returnflag", "l_linestatus"), "cube"))
         .unionByName(gsets)
+        .unionByName(date_leg)
     )
 
 
@@ -1602,24 +1638,9 @@ def q24_window_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "q25_semi_join",
-    """
-    SELECT c_custkey, c_name
-    FROM customer c
-    WHERE EXISTS (
-      SELECT 1 FROM orders o
-      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
-    )
-    """,
-    doc="Left-semi join (EXISTS) — the matched half of the reference's "
-    "null-split idiom; dual of q05's anti join.",
-    tags=["join", "semi"],
-)
-def q25_semi_join(spark: SparkSession, sf: str) -> DataFrame:
-    o = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 450000)
-    c = load_table(spark, sf, "customer")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+# (r8) q25_semi_join was consolidated into q05 — the left-semi EXISTS
+# half is q05's 'with' leg, still oracle-hashed; the freed slot
+# registers x27_url_canonicalize (COVERAGE.md trace).
 
 
 @query(
@@ -2709,3 +2730,190 @@ def x25_linked_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("long").alias("distance"),
         )
     )
+
+
+@query(
+    "x27_url_canonicalize",
+    """
+    WITH u AS (
+      SELECT c_custkey,
+             (CASE WHEN c_custkey % 3 = 0 THEN 'HTTP'
+                   WHEN c_custkey % 3 = 1 THEN 'https' ELSE 'http' END)
+             || '://Shop-' || CAST(c_custkey % 40 AS VARCHAR) || '.Example.COM'
+             || (CASE WHEN c_custkey % 4 = 0 THEN
+                   (CASE WHEN c_custkey % 3 = 1 THEN ':443' ELSE ':80' END)
+                 ELSE '' END)
+             || '/catalog/item-' || CAST(c_custkey AS VARCHAR)
+             || (CASE WHEN c_custkey % 5 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN c_custkey % 2 = 0 THEN
+                   '?utm_source=feed&b=' || CAST(c_custkey % 7 AS VARCHAR) || '&a=1'
+                 ELSE '' END)
+             || (CASE WHEN c_custkey % 6 = 0 THEN '#top' ELSE '' END) AS url
+      FROM customer
+    ),
+    parts AS (
+      SELECT c_custkey, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$', 1)) AS scheme,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$', 2)) AS auth,
+             regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$', 3) AS path,
+             regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$', 4) AS rawq
+      FROM u
+    ),
+    norm AS (
+      SELECT c_custkey, url, scheme,
+             CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+                    THEN substr(auth, 1, length(auth) - 3)
+                  WHEN scheme = 'https' AND auth LIKE '%:443'
+                    THEN substr(auth, 1, length(auth) - 4)
+                  ELSE auth END AS auth2,
+             CASE WHEN length(path) > 1 AND path LIKE '%/'
+                    THEN substr(path, 1, length(path) - 1)
+                  ELSE path END AS path2,
+             array_to_string(list_sort(list_filter(
+               string_split(substr(rawq, 2), '&'),
+               x -> x <> '' AND NOT regexp_matches(
+                 x, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid)(=.*)?$')
+             )), '&') AS qstr
+      FROM parts
+    )
+    SELECT c_custkey, url,
+           scheme || '://' || auth2 || path2
+             || (CASE WHEN qstr <> '' THEN '?' || qstr ELSE '' END) AS canon_url,
+           regexp_replace(auth2, ':[0-9]+$', '') AS host
+    FROM norm
+    """,
+    doc="Crawl URL canonicalization (NEW r8, functions/urls.py): the "
+    "dedup-key problem BEFORE content dedup — scheme/host lowercasing, "
+    "default-port strip (:80 http / :443 https), fragment drop, "
+    "tracking-parameter removal (utm_*/fbclid/gclid/msclkid/mc_*), "
+    "query-parameter SORT, trailing-slash strip. Inputs are built "
+    "deterministically from customer keys so every normalization path "
+    "fires (mixed-case scheme+host, default and non-default ports, "
+    "tracking+real params out of order, trailing slashes, fragments); "
+    "the DuckDB twin reproduces the full regexp chain (RE2-safe: no "
+    "lookarounds) value-for-value, canonical string AND extracted "
+    "host. Pure JVM expression chain — no UDF, no shuffle; runs at "
+    "scan speed on a 100 TB frontier. The q25 slot freed by the "
+    "semi-join consolidation registers this (COVERAGE.md trace).",
+    tags=["url", "text", "llm"],
+)
+def x27_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.functions.urls import canonicalize_url, url_host
+
+    c = load_table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    url = F.concat(
+        F.when(k % 3 == 0, F.lit("HTTP"))
+        .when(k % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("http")),
+        F.lit("://Shop-"),
+        (k % 40).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(
+            k % 4 == 0,
+            F.when(k % 3 == 1, F.lit(":443")).otherwise(F.lit(":80")),
+        ).otherwise(F.lit("")),
+        F.lit("/catalog/item-"),
+        k.cast("string"),
+        F.when(k % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&b="), (k % 7).cast("string"), F.lit("&a=1")),
+        ).otherwise(F.lit("")),
+        F.when(k % 6 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    return c.select(
+        "c_custkey",
+        url.alias("url"),
+        canonicalize_url(url).alias("canon_url"),
+        url_host(url).alias("host"),
+    )
+
+
+@query(
+    "x28_nb_classify",
+    """
+    WITH train AS (
+      SELECT lang AS label, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 <> 0),
+    ttok AS (
+      SELECT label,
+             CAST(CAST('0x' || substr(md5(t), 1, 15) AS UBIGINT) % 4096 AS BIGINT) AS b
+      FROM (SELECT label,
+                   unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS t
+            FROM train)
+    ),
+    cnt AS (SELECT label, b, COUNT(*) AS cnt FROM ttok GROUP BY 1, 2),
+    ncls AS (SELECT label, COUNT(*) AS n_class FROM ttok GROUP BY 1),
+    nd AS (SELECT label, COUNT(*) AS n_docs FROM train GROUP BY 1),
+    consts AS (
+      SELECT nd.label,
+             round(ln(CAST(nd.n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM nd)), 9) AS lp,
+             round(ln(1.0) - ln(CAST(ncls.n_class AS DOUBLE) + 1.0 * 4096), 9) AS lu
+      FROM nd JOIN ncls USING (label)
+    ),
+    adj AS (
+      SELECT label, b,
+             CAST(round(ln((CAST(cnt AS DOUBLE) + 1.0) / 1.0), 9) AS DECIMAL(20,9)) AS a
+      FROM cnt
+    ),
+    stok AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(t), 1, 15) AS UBIGINT) % 4096 AS BIGINT) AS b
+      FROM (SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS t
+            FROM test)
+    ),
+    ntok AS (
+      SELECT t.doc_id, COUNT(s.b) AS n
+      FROM test t LEFT JOIN stok s USING (doc_id) GROUP BY 1
+    ),
+    hit AS (
+      SELECT s.doc_id, a.label, SUM(a.a) AS hit_adj
+      FROM stok s JOIN adj a ON a.b = s.b
+      GROUP BY 1, 2
+    ),
+    scoredall AS (
+      SELECT n.doc_id, c.label,
+             CAST(c.lp AS DECIMAL(20,9))
+               + CAST(n.n * c.lu AS DECIMAL(20,9))
+               + COALESCE(h.hit_adj, CAST(0 AS DECIMAL(20,9))) AS score
+      FROM ntok n CROSS JOIN consts c
+      LEFT JOIN hit h ON h.doc_id = n.doc_id AND h.label = c.label
+    ),
+    best AS (
+      SELECT doc_id, label, CAST(score AS DOUBLE) AS nb_log_prob
+      FROM scoredall
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) = 1
+    )
+    SELECT t.doc_id, t.lang, b.label AS predicted, b.nb_log_prob
+    FROM test t JOIN best b USING (doc_id)
+    """,
+    doc="Hashed-token multinomial Naive Bayes classification (NEW r8, "
+    "operators/classify.py) — the supervised corpus labeler of public "
+    "pretraining pipelines (the fastText-supervised role), here as the "
+    "closed-form member that trains as PURE AGGREGATION and scores as "
+    "one broadcast join + one map-side sum. The oracle row is a real "
+    "task: train on the lang-labeled third of the documents table "
+    "(md5 bucket path, B=4096), classify the held-out two thirds; the "
+    "DuckDB twin reproduces training counts, the ln((cnt+α)/α) "
+    "hit adjustments (9dp-decimal summed — order-independent, the "
+    "bm25 recipe), the closed-form unseen-mass term, and the "
+    "tie-broken argmax, value-for-value including the joint log "
+    "probability. The q12 slot freed by the date_rollup consolidation "
+    "registers this (COVERAGE.md trace).",
+    tags=["classify", "llm"],
+)
+def x28_nb_classify(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.classify import nb_score, nb_train
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    train = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("lang").alias("label"), "text"
+    )
+    test = docs.filter(F.col("doc_id") % 3 != 0)
+    model = nb_train(train, n_buckets=4096, hash_fn="md5")
+    return nb_score(
+        test, model, n_buckets=4096, alpha=1.0, hash_fn="md5"
+    ).select("doc_id", "lang", "predicted", "nb_log_prob")
