@@ -2257,3 +2257,103 @@ class TestNaiveBayes:
             ).collect()
         }
         assert a == b
+
+
+class TestUrlDedupStream:
+    def test_stream_equals_batch_on_canonical_key(self, spark, tmp_path):
+        """Crawl variants of the same page arriving across micro-batches
+        collapse to the first arrival; stream == batch (exact_dedup on
+        the canonical URL)."""
+        from waterdata_spark.functions.urls import canonicalize_url
+        from waterdata_spark.operators.dedup import exact_dedup
+        from waterdata_spark.streaming.ops import run_stream_to_memory, url_dedup_stream
+
+        rows = [
+            (1, "http://Example.com/page/", 0),
+            (2, "HTTP://example.com:80/page", 60),       # same page, later
+            (3, "http://example.com/page?utm_source=x", 120),  # same page
+            (4, "http://example.com/other", 180),
+            (5, None, 240),                               # null passes through
+        ]
+        src = tmp_path / "urls"
+        src.mkdir()
+        for i, batch in enumerate([rows[:2], rows[2:4], rows[4:]]):
+            spark.createDataFrame(
+                batch, "page_id long, url string, off long"
+            ).selectExpr(
+                "page_id", "url",
+                "timestamp_micros(1700000000000000 + off*1000000) AS event_ts",
+            ).coalesce(1).write.parquet(str(src / f"f{i}"))
+        stream = spark.readStream.schema(
+            "page_id long, url string, event_ts timestamp"
+        ).option("maxFilesPerTrigger", 1).parquet(str(src / "*"))
+        got = {
+            r["page_id"]
+            for r in run_stream_to_memory(
+                url_dedup_stream(stream), "url_dedup_t"
+            ).collect()
+        }
+
+        batch_df = spark.createDataFrame(
+            [(i, u) for i, u, _ in rows], "page_id long, url string"
+        ).withColumn(
+            "__k",
+            F.coalesce(
+                canonicalize_url(F.col("url")),
+                F.concat(F.lit("null:"), F.col("page_id").cast("string")),
+            ),
+        )
+        want = {
+            r["page_id"] for r in exact_dedup(batch_df, ["__k"], "page_id").collect()
+        }
+        assert got == want == {1, 4, 5}
+
+
+class TestRrfFuse:
+    def test_fusion_matches_python_and_handles_missing_docs(self, spark):
+        """RRF of a sparse and a dense ranking matches the pure-Python
+        definition exactly (9dp-decimal sums); docs missing from one
+        list contribute only from the other."""
+        from fractions import Fraction
+
+        from waterdata_spark.operators.retrieval import rrf_fuse
+
+        sparse = [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2)]
+        dense = [(1, 11, 1), (1, 13, 2), (2, 21, 1), (2, 22, 2), (2, 20, 3)]
+        a = spark.createDataFrame(sparse, "qid long, doc_id long, rank long")
+        b = spark.createDataFrame(dense, "qid long, doc_id long, rank long")
+        out = rrf_fuse([a, b], k=10, rrf_k=60)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["qid"], []).append(
+                (r["rank"], r["doc_id"], r["rrf_score"])
+            )
+
+        scores = {}
+        for lst in (sparse, dense):
+            for q, d, rk in lst:
+                scores[(q, d)] = scores.get((q, d), Fraction(0)) + Fraction(
+                    round(1.0 / (60 + rk), 9)
+                ).limit_denominator(10**9)
+        want = {}
+        for (q, d), s in scores.items():
+            want.setdefault(q, []).append((d, s))
+        for q in want:
+            ranked = sorted(want[q], key=lambda t: (-t[1], t[0]))
+            got_q = sorted(got[q])
+            assert [(i + 1, d) for i, (d, _) in enumerate(ranked)] == [
+                (rk, d) for rk, d, _ in got_q
+            ], q
+            for (rk, d, gs), (d2, ws) in zip(got_q, ranked):
+                assert gs == pytest.approx(float(ws), abs=1e-9)
+        # doc 11 appears in both lists for q1 -> fused rank 1
+        assert got[1][0][1] == 11
+
+    def test_identical_lists_tie_break_by_doc_id(self, spark):
+        from waterdata_spark.operators.retrieval import rrf_fuse
+
+        l1 = spark.createDataFrame(
+            [(1, 5, 1), (1, 3, 1)], "qid long, doc_id long, rank long"
+        )
+        out = rrf_fuse([l1], k=5).orderBy("rank").collect()
+        assert [(r["rank"], r["doc_id"]) for r in out] == [(1, 3), (2, 5)]

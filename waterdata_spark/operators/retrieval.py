@@ -150,3 +150,61 @@ def bm25_topk(
             F.col("__score").cast("double").alias("score"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_id_col: str = "qid",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid-retrieval fusion by Reciprocal Rank Fusion (Cormack,
+    Clarke & Büttcher 2009 — the public-standard way to combine a
+    sparse BM25 ranking with a dense ANN ranking without score
+    calibration):
+
+        rrf(q, d) = Σ_lists 1 / (rrf_k + rank_list(q, d))
+
+    Each input frame carries (query id, doc id, rank); a document
+    missing from a list simply contributes nothing (the RRF
+    convention). Returns ``(qid, doc_id, rank, rrf_score)`` — the
+    fused top-``k`` per query, ties broken by ascending doc id.
+
+    Determinism contract: 1/(rrf_k+rank) is rounded to 9 dp and summed
+    as DECIMAL(20,9) — exact and order-independent (the bm25_topk
+    recipe), so fused ranks are stable across engines/partitionings.
+
+    Scale shape: one union of rank rows (3 small columns each — the
+    candidate lists, never corpora) + one map-side-combinable sum per
+    (query, doc) + a per-query window over fused candidates only.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    contrib = F.round(
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rank_col).cast("double")), 9
+    ).cast("decimal(20,9)")
+    parts = [
+        r.select(
+            F.col(query_id_col).alias("__q"),
+            F.col(id_col).alias("__d"),
+            contrib.alias("__c"),
+        )
+        for r in rankings
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    fused = allr.groupBy("__q", "__d").agg(F.sum("__c").alias("__s"))
+    w = Window.partitionBy("__q").orderBy(F.col("__s").desc(), F.col("__d").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__q").alias(query_id_col),
+            F.col("__d").alias(id_col),
+            "rank",
+            F.col("__s").cast("double").alias("rrf_score"),
+        )
+    )

@@ -283,3 +283,38 @@ def near_dedup_stream(
         .dropDuplicatesWithinWatermark(["__sig"])
         .drop("__sig")
     )
+
+
+def url_dedup_stream(
+    pages: DataFrame,
+    id_col: str = "page_id",
+    url_col: str = "url",
+    ts_col: str = "event_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming crawl-frontier URL dedup: keep the FIRST arrival per
+    CANONICAL URL (functions/urls.canonicalize_url — case, default
+    ports, fragments, tracking params, param order, trailing slashes
+    all collapse), state evicted by the watermark. The fetch-queue
+    gate that stops a crawler re-enqueueing the same page under its
+    thousand spellings, upstream of every content-level dedup stage.
+
+    Same state contract as :func:`dedup_stream` /
+    :func:`near_dedup_stream`: the canonical form reduces to one sha2
+    digest per row before the shuffle (fixed-width keys, URLs never
+    ride the state store), ``dropDuplicatesWithinWatermark`` bounds
+    state to the watermark window. Null URLs carry no identity and
+    always pass through (per-row unique key — the family contract).
+    Batch twin: ``exact_dedup`` on the canonical-URL column."""
+    from waterdata_spark.functions.urls import canonicalize_url
+
+    key = F.when(
+        F.col(url_col).isNull(),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    ).otherwise(F.sha2(canonicalize_url(F.col(url_col)), 256))
+    return (
+        pages.withColumn("__uk", key)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__uk"])
+        .drop("__uk")
+    )
