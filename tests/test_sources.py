@@ -396,3 +396,250 @@ class TestSortedLayout:
         a = li.agg(F.sum(F.crc32(F.concat_ws("|", "l_orderkey", "l_extendedprice")))).collect()[0][0]
         b = back.agg(F.sum(F.crc32(F.concat_ws("|", "l_orderkey", "l_extendedprice")))).collect()[0][0]
         assert a == b
+
+
+def _warc_record(
+    wtype: bytes, uri: bytes | None, payload: bytes, ctype: bytes = b"text/plain"
+) -> bytes:
+    hdrs = [
+        b"WARC/1.0",
+        b"WARC-Type: " + wtype,
+        b"WARC-Record-ID: <urn:uuid:" + wtype + b"-" + (uri or b"x") + b">",
+        b"WARC-Date: 2024-01-01T00:00:00Z",
+        b"Content-Type: " + ctype,
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    if uri is not None:
+        hdrs.insert(3, b"WARC-Target-URI: " + uri)
+    return b"\r\n".join(hdrs) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _http_payload(body: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+
+
+class TestWarc:
+    """WARC/WET reader: pure-Python record walk + Spark end-to-end."""
+
+    def _archive(self) -> bytes:
+        body = b"<html><body>Hello <b>crawl</b>\r\n\r\nworld</body></html>"
+        return (
+            _warc_record(b"warcinfo", None, b"software: test\r\n")
+            + _warc_record(b"request", b"http://a.example/", b"GET / HTTP/1.1\r\n")
+            + _warc_record(
+                b"response",
+                b"http://a.example/",
+                _http_payload(body),
+                ctype=b"application/http; msgtype=response",
+            )
+            + _warc_record(b"conversion", b"http://a.example/", b"Hello crawl world")
+        )
+
+    def test_split_records_framing(self):
+        """Content-Length framing survives blank lines INSIDE payloads
+        (a separator scan would mis-split the response body here)."""
+        from waterdata_spark.sources.warc import split_warc_records
+
+        recs = list(split_warc_records(self._archive()))
+        assert [h["warc-type"] for h, _, _ in recs] == [
+            "warcinfo", "request", "response", "conversion",
+        ]
+        # the response payload contains \r\n\r\n and is intact
+        hdr, payload, trunc = recs[2]
+        assert payload == _http_payload(
+            b"<html><body>Hello <b>crawl</b>\r\n\r\nworld</body></html>"
+        )
+        assert not trunc
+        assert hdr["warc-target-uri"] == "http://a.example/"
+
+    def test_split_records_resyncs_after_damage(self):
+        """A damaged region (no Content-Length) is skipped; the walk
+        resyncs at the next version line — one bad record must not
+        kill a 1 GB archive's task."""
+        from waterdata_spark.sources.warc import split_warc_records
+
+        damaged = (
+            b"WARC/1.0\r\nWARC-Type: response\r\nno-length: x\r\n\r\ngarbage"
+            + self._archive()
+        )
+        recs = list(split_warc_records(damaged))
+        assert [h["warc-type"] for h, _, _ in recs] == [
+            "warcinfo", "request", "response", "conversion",
+        ]
+
+    def test_gzip_members_equal_plain(self):
+        """Per-record gzip members (the .warc.gz convention) parse
+        identically to the plain stream."""
+        import gzip
+
+        from waterdata_spark.sources.warc import (
+            _gunzip_members,
+            split_warc_records,
+        )
+
+        plain = self._archive()
+        # one member per record, concatenated
+        parts = plain.split(b"WARC/1.0")
+        members = b"".join(
+            gzip.compress(b"WARC/1.0" + p) for p in parts if p
+        )
+        assert _gunzip_members(members) == plain
+        a = [(h["warc-type"], p) for h, p, _ in split_warc_records(plain)]
+        b = [
+            (h["warc-type"], p)
+            for h, p, _ in split_warc_records(_gunzip_members(members))
+        ]
+        assert a == b
+
+    def test_read_warc_end_to_end(self, spark, tmp_path):
+        from waterdata_spark.sources.warc import read_warc
+
+        f = tmp_path / "seg-00000.warc"
+        f.write_bytes(self._archive())
+        out = read_warc(spark, str(f)).orderBy("warc_type").collect()
+        # default types: response + conversion only
+        assert [r["warc_type"] for r in out] == ["conversion", "response"]
+        resp = out[1]
+        # HTTP envelope stripped -> payload is the document body
+        assert resp["payload"].startswith(b"<html>")
+        assert resp["target_uri"] == "http://a.example/"
+        assert resp["text"].startswith("<html>")
+        assert not resp["truncated"]
+        # conversion text survives decode
+        assert out[0]["text"] == "Hello crawl world"
+
+    def test_read_warc_truncation_cap(self, spark, tmp_path):
+        from waterdata_spark.sources.warc import read_warc
+
+        f = tmp_path / "big.warc"
+        f.write_bytes(
+            _warc_record(b"conversion", b"http://b.example/", b"x" * 1000)
+        )
+        r = read_warc(spark, str(f), max_payload_bytes=64).collect()[0]
+        assert r["truncated"] and r["content_length"] == 64
+
+    def test_read_wet(self, spark, tmp_path):
+        from waterdata_spark.sources.warc import read_wet
+
+        f = tmp_path / "seg.warc.gz"
+        import gzip
+
+        f.write_bytes(gzip.compress(self._archive()))
+        out = read_wet(spark, str(f)).collect()
+        assert len(out) == 1
+        assert out[0]["text"] == "Hello crawl world"
+        assert "payload" not in out[0].asDict()
+
+
+class TestJsonl:
+    def test_roundtrip_and_corrupt_capture(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from waterdata_spark.sources.jsonl import read_jsonl, split_corrupt
+
+        p = tmp_path / "docs.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "text": "alpha"}\n'
+            "this line is not json\n"
+            '{"doc_id": 2, "text": null}\n'
+        )
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        df = read_jsonl(spark, str(p), schema)
+        clean, quarantine = split_corrupt(df)
+        assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+        assert "_corrupt_record" not in clean.columns
+        bad = quarantine.collect()
+        assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+    def test_write_omits_nulls(self, spark, tmp_path):
+        import glob as g
+
+        from waterdata_spark.sources.jsonl import write_jsonl
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None)], "doc_id long, text string"
+        )
+        out = str(tmp_path / "out")
+        write_jsonl(df.coalesce(1), out)
+        lines = []
+        for part in g.glob(out + "/part-*"):
+            lines += open(part).read().splitlines()
+        assert any('"text":"a"' in l for l in lines)
+        # null field omitted entirely (release convention)
+        assert any(l == '{"doc_id":2}' for l in lines)
+
+
+class TestCrawlIngestPipeline:
+    """End-to-end crawl ingestion: WARC archive → URL-level dedup
+    (canonical key) → html_to_text extraction → token-count gate →
+    content-level exact dedup → per-host quota. Every stage is an
+    existing operator; the test pins the hand-offs between them."""
+
+    def test_warc_to_corpus(self, spark, tmp_path):
+        import gzip
+
+        from pyspark.sql import functions as F
+
+        from waterdata_spark.functions.text import html_to_text, token_count
+        from waterdata_spark.functions.urls import canonicalize_url, url_host
+        from waterdata_spark.operators.dedup import exact_dedup
+        from waterdata_spark.operators.sampling import stratified_sample_exact
+        from waterdata_spark.sources.warc import read_warc
+
+        page = b"<html><body><p>A decent page with enough words to keep.</p></body></html>"
+        recs = [
+            # same page under two URL spellings -> URL dedup collapses
+            (b"http://A.example/doc?utm_source=x", page),
+            (b"http://a.example/doc", page),
+            # different URL, identical CONTENT -> content dedup collapses
+            (b"http://a.example/copy", page),
+            # short junk -> token gate drops
+            (b"http://a.example/junk", b"<html><body>hi</body></html>"),
+            # second host survives
+            (b"http://b.example/other",
+             b"<html><body><p>Entirely different words over here my friend.</p></body></html>"),
+        ]
+        blob = b"".join(
+            _warc_record(
+                b"response", u, _http_payload(p),
+                ctype=b"application/http; msgtype=response",
+            )
+            for u, p in recs
+        )
+        f = tmp_path / "crawl-0.warc.gz"
+        f.write_bytes(gzip.compress(blob))
+
+        docs = (
+            read_warc(spark, str(f), types=("response",))
+            .withColumn("url", canonicalize_url("target_uri"))
+            .withColumn("host", url_host("target_uri"))
+        )
+        # stage 1: URL-level dedup (first spelling wins deterministically
+        # via min record id — here min canonical-url string id is fine)
+        docs = exact_dedup(
+            docs.withColumn("doc_id", F.col("target_uri")), ["url"], "doc_id"
+        )
+        # stage 2: extraction + token gate
+        docs = docs.withColumn("text", html_to_text("text")).filter(
+            token_count("text") >= 5
+        )
+        # stage 3: content-level dedup
+        docs = exact_dedup(docs, ["text"], "doc_id")
+        # stage 4: per-host quota (cap 10 — no-op here, shape check)
+        docs = stratified_sample_exact(docs, "host", 10, "doc_id")
+
+        out = {r["url"]: r["text"] for r in docs.collect()}
+        assert set(out) == {
+            "http://a.example/doc",
+            "http://b.example/other",
+        }
+        assert out["http://a.example/doc"] == (
+            "A decent page with enough words to keep."
+        )
