@@ -378,6 +378,79 @@ class TestImportanceResampling:
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
 
+    def test_decimal_round_mode_close_to_float_and_partition_exact(self, spark):
+        """decimal_round=7 (the oracle determinism contract, r8):
+        weights stay within n_grams*5e-8 of the float path, and are
+        EXACTLY bit-equal across repartitionings (decimal sums are
+        order-independent; float sums only approximately so)."""
+        from waterdata_spark.operators.selection import importance_weights
+
+        target = spark.createDataFrame(
+            [(0, "red green blue cyan magenta yellow " * 4)],
+            "doc_id long, text string",
+        )
+        rows = [
+            (i, ("red green blue " if i % 3 == 0 else "dog cat emu ") * 6)
+            for i in range(40)
+        ]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        f = {
+            r["doc_id"]: r["log_w"]
+            for r in importance_weights(corpus, target, n_buckets=512).collect()
+        }
+        d = {
+            r["doc_id"]: r["log_w"]
+            for r in importance_weights(
+                corpus, target, n_buckets=512, decimal_round=7
+            ).collect()
+        }
+        assert set(f) == set(d)
+        for k in f:
+            assert abs(f[k] - d[k]) < 1e-4, k
+        d2 = {
+            r["doc_id"]: r["log_w"]
+            for r in importance_weights(
+                corpus.repartition(7), target, n_buckets=512, decimal_round=7
+            ).collect()
+        }
+        assert d == d2  # bit-exact, not approx
+
+    def test_temperature_zero_is_pure_topk(self, spark):
+        """temperature=0 (r8): the argmax limit — selection IS the
+        top-k by weight with id tie-break, no noise; verified against
+        an explicit sort of the weight frame."""
+        from waterdata_spark.operators.selection import (
+            importance_resample,
+            importance_weights,
+        )
+
+        target = spark.createDataFrame(
+            [(0, "red green blue cyan magenta yellow " * 4)],
+            "doc_id long, text string",
+        )
+        rows = [
+            (i, ("red green blue " if i % 3 == 0 else "dog cat emu ") * 6)
+            for i in range(60)
+        ]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            r["doc_id"]
+            for r in importance_resample(
+                corpus, target, k=10, temperature=0, n_buckets=512,
+                decimal_round=7,
+            ).collect()
+        )
+        w = importance_weights(corpus, target, n_buckets=512, decimal_round=7)
+        want = sorted(
+            r["doc_id"]
+            for r in w.orderBy(
+                F.col("log_w").desc(), F.col("doc_id").asc()
+            ).limit(10).collect()
+        )
+        assert got == want
+        # every selected doc is target-like (weight dominates, no noise)
+        assert all(i % 3 == 0 for i in got)
+
 
 class TestLmPerplexity:
     """CCNet-style hashed-bigram perplexity scoring
@@ -520,6 +593,50 @@ class TestLmPerplexity:
         }
         got = {r["doc_id"]: r["log_ppl"] for r in out.collect()}
         assert got == pytest.approx(want)
+
+    def test_decimal_round_mode_close_and_partition_exact(self, spark):
+        """decimal_round=7 (the x30 oracle contract, r8): log_ppl
+        stays within rounding distance of the float path, null
+        contract unchanged, and the score is EXACTLY bit-equal across
+        repartitionings (decimal NLL sums are order-independent)."""
+        from waterdata_spark.operators.selection import lm_perplexity
+
+        ref = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog " * 3)
+             for i in range(4)],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps " * 4),
+                (2, "zeta eta theta iota kappa " * 4),
+                (3, "one"),          # <2 tokens -> null
+                (4, None),           # null text -> null
+            ],
+            "doc_id long, text string",
+        )
+        f = {
+            r["doc_id"]: r["log_ppl"]
+            for r in lm_perplexity(corpus, ref.select("text"), n_buckets=1024).collect()
+        }
+        d = {
+            r["doc_id"]: r["log_ppl"]
+            for r in lm_perplexity(
+                corpus, ref.select("text"), n_buckets=1024, decimal_round=7
+            ).collect()
+        }
+        assert d[3] is None and d[4] is None
+        assert d[1] == pytest.approx(f[1], abs=1e-5)
+        assert d[2] == pytest.approx(f[2], abs=1e-5)
+        assert d[1] < d[2]  # reference-like still beats gibberish
+        d2 = {
+            r["doc_id"]: r["log_ppl"]
+            for r in lm_perplexity(
+                corpus.repartition(5), ref.select("text"),
+                n_buckets=1024, decimal_round=7,
+            ).collect()
+        }
+        assert d == d2
 
 
 class TestUpsample:

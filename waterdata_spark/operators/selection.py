@@ -86,6 +86,7 @@ def importance_weights(
     hash_fn: str = "xx",
     use_bigrams: bool = True,
     weight_col: str = "log_w",
+    decimal_round: int | None = None,
 ) -> DataFrame:
     """Corpus rows + ``weight_col``: the DSIR importance weight
     ``log p_target(doc) - log p_raw(doc)`` under bag-of-hashed-ngram
@@ -96,7 +97,14 @@ def importance_weights(
 
     The raw model is fit on ``corpus`` itself (the DSIR setup: raw =
     the big crawl being filtered); the target model on ``target``.
-    Documents with no grams (empty/null text) get weight 0.0."""
+    Documents with no grams (empty/null text) get weight 0.0.
+
+    ``decimal_round``: the bm25/NB determinism contract — round each
+    PER-BUCKET log ratio to that many dp and sum per doc as
+    DECIMAL(20,dp), so weights are exact, order-independent, and
+    reproduce bit-for-bit across engines/partitionings (ln differs
+    by ≤1 ulp between libms; rounding the ≤n_buckets distinct ratio
+    values once absorbs it). None (default) keeps plain float sums."""
     from waterdata_spark.plans import cachereg
 
     # the eager normalizer actions below would otherwise re-run the
@@ -119,18 +127,20 @@ def importance_weights(
     # document can produce — a LEFT join from rc (target side broadcast,
     # missing target buckets smoothed to count 0) is complete, and
     # unlike a full outer it stays a BroadcastHashJoin
+    ratio_expr = (
+        F.log(F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(alpha))
+        - F.lit(denom_t)
+        - F.log(F.col("__cr") + F.lit(alpha))
+        + F.lit(denom_r)
+    )
+    if decimal_round is not None:
+        ratio_expr = F.round(ratio_expr, decimal_round).cast(
+            f"decimal(20,{decimal_round})"
+        )
     ratio = (
         rc.withColumnRenamed("cnt", "__cr")
         .join(F.broadcast(tc.withColumnRenamed("cnt", "__ct")), "bucket", "left")
-        .select(
-            "bucket",
-            (
-                F.log(F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(alpha))
-                - F.lit(denom_t)
-                - F.log(F.col("__cr") + F.lit(alpha))
-                + F.lit(denom_r)
-            ).alias("__ratio"),
-        )
+        .select("bucket", ratio_expr.alias("__ratio"))
     )
     # ratio ≤ n_buckets rows — broadcast to the per-document gram join
     per_doc = (
@@ -141,7 +151,7 @@ def importance_weights(
         .select(id_col, _bucket(F.col("__g"), n_buckets, hash_fn).alias("bucket"))
         .join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
-        .agg(F.sum("__ratio").alias(weight_col))
+        .agg(F.sum("__ratio").cast("double").alias(weight_col))
     )
     return corpus.join(per_doc, id_col, "left").withColumn(
         weight_col, F.coalesce(F.col(weight_col), F.lit(0.0))
@@ -163,12 +173,21 @@ def importance_resample(
     Gumbel-max trick — adding iid Gumbel(0,1) noise to log weights and
     taking the top k draws k samples without replacement from the
     softmax of the weights; public standard result). ``temperature``
-    scales the weights (→0: pure top-k by weight; 1: DSIR's sampled
-    selection). Noise is a salted-hash uniform per doc id, so the
-    selection is deterministic and rerun-stable.
+    scales the weights (1: DSIR's sampled selection; exactly 0: the
+    argmax limit — PURE top-k by weight, no noise at all, ties broken
+    by ascending id; combined with ``decimal_round`` this mode is
+    engine-reproducible, the oracle-twin contract). Noise is a
+    salted-hash uniform per doc id, so the selection is deterministic
+    and rerun-stable at every temperature.
 
     Returns the selected rows with ``log_w`` and the sampling key."""
     w = importance_weights(corpus, target, id_col, text_col, **weight_kwargs)
+    if temperature == 0:
+        return (
+            w.withColumn("__key", F.col("log_w"))
+            .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
     # uniform in (0,1): 2^53-bounded non-zero mantissa from xxhash64
     u = (
         F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(2**53))
@@ -195,6 +214,7 @@ def lm_perplexity(
     hash_fn: str = "xx",
     ppl_col: str = "log_ppl",
     max_broadcast_rows: int = 10_000_000,
+    decimal_round: int | None = None,
 ) -> DataFrame:
     """CCNet-style quality scoring (Wenzek et al. 2020, "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl Data"
@@ -298,5 +318,15 @@ def lm_perplexity(
         F.coalesce(F.col("cu1"), F.lit(0)) + F.lit(alpha * n_buckets)
     )
     nll = -F.log(F.lit(interp) * p_uni + F.lit(1.0 - interp) * p_big)
-    per_doc = scored.groupBy(id_col).agg(F.avg(nll).alias(ppl_col))
+    if decimal_round is not None:
+        # determinism contract (the bm25/NB recipe): round each
+        # per-bigram NLL once, sum exactly as decimal, and take the
+        # mean as one IEEE division of bit-identical inputs — so
+        # log_ppl reproduces across engines/partitionings
+        nll_dec = F.round(nll, decimal_round).cast(f"decimal(20,{decimal_round})")
+        per_doc = scored.groupBy(id_col).agg(
+            (F.sum(nll_dec).cast("double") / F.count(F.lit(1))).alias(ppl_col)
+        )
+    else:
+        per_doc = scored.groupBy(id_col).agg(F.avg(nll).alias(ppl_col))
     return corpus.join(per_doc, id_col, "left")

@@ -348,30 +348,10 @@ def q09_key_expansion(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("p_partkey", "key_name", "key_value")
 
 
-@query(
-    "q11_union_by_name",
-    """
-    SELECT l_orderkey, l_linenumber, 'returned' AS src
-    FROM lineitem WHERE l_returnflag = 'R'
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'finished' AS src
-    FROM lineitem WHERE l_linestatus = 'F'
-    """,
-    doc="C27 bag-semantics union by column name — the column order of the "
-    "two inputs differs, exactly the hazard in §1.3 that makes positional "
-    "union corrupt data.",
-    tags=["union"],
-)
-def q11_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem")
-    a = li.filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_linenumber", F.lit("returned").alias("src")
-    )
-    # deliberately different column order; unionByName must align
-    b = li.filter(F.col("l_linestatus") == "F").select(
-        F.lit("finished").alias("src"), "l_linenumber", "l_orderkey"
-    )
-    return a.unionByName(b)
+# (r8) q11_union_by_name was consolidated into q31_set_ops — C27's
+# union-BY-NAME (inputs with deliberately different column orders) is
+# q31's 'returned'/'finished' legs, still oracle-hashed; the freed
+# slot registers x29_dsir_select (COVERAGE.md trace).
 
 
 # (r8) q12_date_parts was consolidated into q20_rollup_cube_gsets —
@@ -1549,33 +1529,79 @@ def q22_orderby_limit(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "x12_profile_stats",
     """
-    SELECT COUNT(*) AS n_rows,
-           COUNT(l_orderkey) AS nn_orderkey,
-           COUNT(DISTINCT l_orderkey) AS nd_orderkey,
-           COUNT(DISTINCT l_returnflag) AS nd_returnflag,
-           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
-           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
-           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
-           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
-    FROM lineitem
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n_rows,
+             COUNT(l_orderkey) AS nn_orderkey,
+             COUNT(DISTINCT l_orderkey) AS nd_orderkey,
+             COUNT(DISTINCT l_suppkey) AS nd_suppkey,
+             CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+             CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+             CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+             CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+             round(quantile_cont(l_quantity, 0.50), 4) AS q50,
+             round(quantile_cont(l_quantity, 0.75), 4) AS q75
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows, nn_orderkey, nd_orderkey, nd_suppkey,
+           min_price, max_price, min_qty, max_qty, q25, q50, q75,
+           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS qty_price_corr
+    FROM m
     """,
-    doc="C30/X6 profiling summary: one-pass column statistics (the "
-    "engine's replacement for the reference's human-reviewed checkpoint "
-    "CSVs, down/down_water_prep.py:372-373). operators/expectations.profile "
-    "generalizes this to every column.",
-    tags=["profile", "agg"],
+    doc="C30/X6 profiling, grouped grain (r8: absorbs the former "
+    "q32_quantiles — whose slot registers x30_lm_ppl_score — so one row "
+    "carries the whole profiling family): per-group row/non-null/"
+    "distinct counts and min/max (the engine's replacement for the "
+    "reference's human-reviewed checkpoint CSVs, down/down_water_prep."
+    "py:372-373; operators/expectations.profile generalizes to every "
+    "column), exact interpolated quantiles (percentile in Spark, "
+    "quantile_cont in DuckDB — same linear-interpolation definition; "
+    "4dp-rounded, exact for 2dp inputs), and Pearson correlation from "
+    "exact decimal moment sums (order-independent decimals, one fixed "
+    "IEEE final expression — bit-identical across engines, unlike "
+    "native corr() whose float accumulation is order-dependent). "
+    "approx_percentile is the documented 100 TB sketch variant.",
+    tags=["profile", "agg", "stats"],
 )
 def x12_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
-    return li.agg(
+    dx = F.col("l_quantity").cast("decimal(18,2)")
+    dy = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("l_orderkey").alias("nn_orderkey"),
         F.count_distinct(F.col("l_orderkey")).alias("nd_orderkey"),
-        F.count_distinct(F.col("l_returnflag")).alias("nd_returnflag"),
+        F.count_distinct(F.col("l_suppkey")).alias("nd_suppkey"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q75"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag", "n_rows", "nn_orderkey", "nd_orderkey", "nd_suppkey",
+        "min_price", "max_price", "min_qty", "max_qty", "q25", "q50", "q75",
+        corr.alias("qty_price_corr"),
     )
 
 
@@ -1746,14 +1772,27 @@ def q28_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     UNION ALL
     SELECT l_returnflag || '|' || l_linestatus, 'distinct_pair'
     FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+    UNION ALL
+    SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR),
+           'returned'
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR),
+           'finished'
+    FROM lineitem WHERE l_linestatus = 'F'
     """,
     doc="Set operations (INTERSECT / EXCEPT, set semantics) — §2.4 notes "
     "them absent from the reference; free from Spark's intersect/"
     "exceptAll surface. The 'distinct_pair' leg is the former "
     "q08_distinct_pairs (C23 full-row distinct), consolidated here r8 "
     "to free a registry slot: the distinct runs on the raw column pair "
-    "(true full-row semantics), then projects to the union schema.",
-    tags=["setops", "dedup"],
+    "(true full-row semantics), then projects to the union schema. The "
+    "'returned'/'finished' legs are the former q11_union_by_name (C27 "
+    "bag-semantics union BY NAME — the two inputs deliberately carry "
+    "their columns in different orders pre-projection, the §1.3 hazard "
+    "that makes positional union corrupt data; consolidated r8, slot "
+    "freed for x29_dsir_select).",
+    tags=["setops", "dedup", "union"],
 )
 def q31_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer").select(
@@ -1771,61 +1810,29 @@ def q31_set_ops(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.concat_ws("|", "l_returnflag", "l_linestatus").alias("key"))
         .withColumn("src", F.lit("distinct_pair"))
     )
-    return both.unionByName(only_c).unionByName(pairs)
-
-
-@query(
-    "q32_quantiles",
-    """
-    WITH m AS (
-      SELECT l_returnflag,
-             CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-             round(quantile_cont(l_quantity, 0.25), 4) AS q25,
-             round(quantile_cont(l_quantity, 0.50), 4) AS q50,
-             round(quantile_cont(l_quantity, 0.75), 4) AS q75
-      FROM lineitem
-      GROUP BY l_returnflag
-    )
-    SELECT l_returnflag, q25, q50, q75,
-           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS qty_price_corr
-    FROM m
-    """,
-    doc="Grouped statistical aggregates (q29 correlation consolidated "
-    "here to free a registry slot): exact interpolated quantiles "
-    "(percentile in Spark, quantile_cont in DuckDB — same linear-"
-    "interpolation definition; rounded to 4dp, exact for 2dp inputs) "
-    "plus Pearson correlation from exact decimal moment sums (order-"
-    "independent decimals, one fixed IEEE final expression — bit-"
-    "identical across engines, unlike native corr() whose float "
-    "accumulation is order-dependent). approx_percentile is the 100 TB "
-    "quantile variant — sketch-based, not oracle-comparable.",
-    tags=["agg", "stats"],
-)
-def q32_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
-    dx = F.col("l_quantity").cast("decimal(18,2)")
-    dy = F.col("l_extendedprice").cast("decimal(18,2)")
-    m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(dx).cast("double").alias("sx"),
-        F.sum(dy).cast("double").alias("sy"),
-        F.sum(dx * dx).cast("double").alias("sxx"),
-        F.sum(dy * dy).cast("double").alias("syy"),
-        F.sum(dx * dy).cast("double").alias("sxy"),
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
-        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("q50"),
-        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q75"),
+    # C27: deliberately DIFFERENT column orders; unionByName must align
+    ret = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", F.lit("returned").alias("src")
     )
-    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    fin = li.filter(F.col("l_linestatus") == "F").select(
+        F.lit("finished").alias("src"), "l_linenumber", "l_orderkey"
     )
-    return m.select("l_returnflag", "q25", "q50", "q75", corr.alias("qty_price_corr"))
+    unioned = ret.unionByName(fin).select(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("key"),
+        "src",
+    )
+    return both.unionByName(only_c).unionByName(pairs).unionByName(unioned)
+
+
+# (r8) q32_quantiles was consolidated into x12_profile_stats — the
+# grouped quantile + decimal-moment correlation stats are x12's per-
+# l_returnflag profile row, still oracle-hashed; the freed slot
+# registers x30_lm_ppl_score (COVERAGE.md trace).
 
 
 @query(
@@ -2917,3 +2924,171 @@ def x28_nb_classify(spark: SparkSession, sf: str) -> DataFrame:
     return nb_score(
         test, model, n_buckets=4096, alpha=1.0, hash_fn="md5"
     ).select("doc_id", "lang", "predicted", "nb_log_prob")
+
+
+@query(
+    "x29_dsir_select",
+    """
+    WITH ctok AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(t), 1, 15) AS UBIGINT) % 2048 AS BIGINT) AS b
+      FROM (SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS t
+            FROM documents)
+    ),
+    ttok AS (
+      SELECT c.b FROM ctok c JOIN documents d ON d.doc_id = c.doc_id
+      WHERE d.lang = 'de'
+    ),
+    tc AS (SELECT b, COUNT(*) AS cnt FROM ttok GROUP BY 1),
+    rc AS (SELECT b, COUNT(*) AS cnt FROM ctok GROUP BY 1),
+    consts AS (SELECT (SELECT SUM(cnt) FROM tc) AS nt,
+                      (SELECT SUM(cnt) FROM rc) AS nr),
+    ratio AS (
+      SELECT rc.b,
+             CAST(round(
+               ln(CAST(COALESCE(tc.cnt, 0) AS DOUBLE) + 1.0)
+               - ln(CAST(nt AS DOUBLE) + 1.0 * 2048)
+               - ln(CAST(rc.cnt AS DOUBLE) + 1.0)
+               + ln(CAST(nr AS DOUBLE) + 1.0 * 2048), 7) AS DECIMAL(20,7)) AS r
+      FROM rc LEFT JOIN tc ON tc.b = rc.b, consts
+    ),
+    w AS (
+      SELECT c.doc_id, CAST(SUM(r.r) AS DOUBLE) AS log_w
+      FROM ctok c JOIN ratio r ON r.b = c.b GROUP BY 1
+    ),
+    fullw AS (
+      SELECT d.doc_id, d.lang, COALESCE(w.log_w, 0.0) AS log_w
+      FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, log_w,
+           CAST(ROW_NUMBER() OVER (ORDER BY log_w DESC, doc_id ASC) AS BIGINT) AS rank
+    FROM fullw QUALIFY rank <= 150
+    """,
+    doc="X7 DSIR data selection, oracle-backed (NEW r8 — the r7 verdict "
+    "named DSIR among the data-SELECTING operators still lacking an "
+    "independent DuckDB twin): select the 150 corpus documents most "
+    "like the lang='de' target slice by importance weight "
+    "(operators/selection.importance_resample at temperature=0, the "
+    "argmax limit — pure top-k by weight, no Gumbel noise; the sampled "
+    "temperature>0 path keeps its exact pure-Python differential in "
+    "pytest). Engine-reproducibility comes from decimal_round=7: each "
+    "of the <=2048 per-bucket log ratios rounds once to 7dp and sums "
+    "as DECIMAL(20,7) (the bm25/NB recipe), so weights — and therefore "
+    "the selected set and its ranks — are exact, order-independent, "
+    "and identical across engines despite ln() differing by ulps "
+    "between libms. The DuckDB twin refits BOTH unigram models "
+    "(md5-bucket path, B=2048, alpha=1), rebuilds the smoothed "
+    "log-ratio table, and reproduces weight, rank, and the top-150 cut "
+    "value-for-value. The q11 slot freed by the union-by-name "
+    "consolidation registers this (COVERAGE.md trace).",
+    tags=["selection", "llm"],
+)
+def x29_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.selection import importance_resample
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    tgt = docs.filter(F.col("lang") == "de")
+    sel = importance_resample(
+        docs,
+        tgt,
+        k=150,
+        temperature=0,
+        hash_fn="md5",
+        n_buckets=2048,
+        alpha=1.0,
+        use_bigrams=False,
+        decimal_round=7,
+    )
+    w = Window.orderBy(F.col("log_w").desc(), F.col("doc_id").asc())
+    return sel.select(
+        "doc_id",
+        "lang",
+        "log_w",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+@query(
+    "x30_lm_ppl_score",
+    """
+    WITH rtok AS (
+      SELECT CAST(CAST('0x' || substr(md5(t), 1, 15) AS UBIGINT) % 65536 AS BIGINT) AS b
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS t
+            FROM documents WHERE lang = 'en')
+    ),
+    uc AS (SELECT b, COUNT(*) AS cu FROM rtok GROUP BY 1),
+    nref AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM uc),
+    rarr AS (
+      SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents WHERE lang = 'en'
+    ),
+    rbig AS (
+      SELECT CAST(CAST('0x' || substr(md5(toks[i]), 1, 15) AS UBIGINT) % 65536 AS BIGINT) AS b1,
+             CAST(CAST('0x' || substr(md5(toks[i + 1]), 1, 15) AS UBIGINT) % 65536 AS BIGINT) AS b2
+      FROM rarr, unnest(range(1, len(toks))) AS u(i)
+    ),
+    bc AS (SELECT b1, b2, COUNT(*) AS cb FROM rbig GROUP BY 1, 2),
+    carr AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    cbig AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(toks[i]), 1, 15) AS UBIGINT) % 65536 AS BIGINT) AS b1,
+             CAST(CAST('0x' || substr(md5(toks[i + 1]), 1, 15) AS UBIGINT) % 65536 AS BIGINT) AS b2
+      FROM carr, unnest(range(1, len(toks))) AS u(i)
+    ),
+    scored AS (
+      SELECT c.doc_id,
+             CAST(round(
+               -ln(0.3 * exp(ln(CAST(COALESCE(u2.cu, 0) AS DOUBLE) + 0.1)
+                             - ln(n.n + 0.1 * 65536))
+                   + (1.0 - 0.3) * ((CAST(COALESCE(b.cb, 0) AS DOUBLE) + 0.1)
+                                    / (CAST(COALESCE(u1.cu, 0) AS DOUBLE) + 0.1 * 65536))),
+               7) AS DECIMAL(20,7)) AS nll
+      FROM cbig c
+      LEFT JOIN bc b ON b.b1 = c.b1 AND b.b2 = c.b2
+      LEFT JOIN uc u1 ON u1.b = c.b1
+      LEFT JOIN uc u2 ON u2.b = c.b2, nref n
+    ),
+    pd AS (
+      SELECT doc_id, CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS lp
+      FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, round(pd.lp, 7) AS log_ppl
+    FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+    """,
+    doc="X7 CCNet-style LM quality scoring, oracle-backed (NEW r8 — the "
+    "other data-selecting r7 operator that lacked a DuckDB twin): "
+    "score EVERY document's log perplexity under an interpolated "
+    "hashed-bigram LM trained on the lang='en' slice as the curated "
+    "reference (operators/selection.lm_perplexity, md5 path, B=65536, "
+    "alpha=0.1, interp=0.3). decimal_round=7 is the determinism "
+    "contract: each per-bigram NLL rounds once to 7dp and sums as "
+    "DECIMAL(20,7); the mean is one IEEE division of bit-identical "
+    "inputs, so log_ppl reproduces bit-for-bit across engines. The "
+    "DuckDB twin refits the unigram AND bigram reference tables, "
+    "mirrors the exp(ln()-ln()) unigram form and the "
+    "Jelinek-Mercer interpolation term-for-term, and reproduces the "
+    "per-document mean including the <2-token null contract. The q32 "
+    "slot freed by the profile-stats consolidation registers this "
+    "(COVERAGE.md trace).",
+    tags=["selection", "quality", "llm"],
+)
+def x30_lm_ppl_score(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.selection import lm_perplexity
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    ref = docs.filter(F.col("lang") == "en").select("text")
+    out = lm_perplexity(
+        docs,
+        ref,
+        n_buckets=65536,
+        alpha=0.1,
+        interp=0.3,
+        hash_fn="md5",
+        decimal_round=7,
+    )
+    return out.select("doc_id", "lang", F.round("log_ppl", 7).alias("log_ppl"))
