@@ -643,3 +643,80 @@ class TestCrawlIngestPipeline:
         assert out["http://a.example/doc"] == (
             "A decent page with enough words to keep."
         )
+
+
+class TestTrainingShards:
+    def test_write_manifest_and_roundtrip(self, spark, tmp_path):
+        from waterdata_spark.sources.shards import (
+            read_training_shards,
+            write_training_shards,
+            with_shard,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"document number {i} with some words") for i in range(200)],
+            "doc_id long, text string",
+        )
+        out = str(tmp_path / "release")
+        man = write_training_shards(df, out, n_shards=8)
+        assert man["total_rows"] == 200
+        assert set(man["shards"]) == set(range(8))
+        assert sum(s["rows"] for s in man["shards"].values()) == 200
+        # one file per shard directory (the bucketed.py lesson)
+        import glob as g
+
+        for k in range(8):
+            files = [
+                f
+                for f in g.glob(f"{out}/__shard={k}/*")
+                if not f.endswith((".crc", "_SUCCESS"))
+            ]
+            assert len(files) == 1, (k, files)
+        back = read_training_shards(spark, out)
+        assert back.count() == 200
+        assert {r["doc_id"] for r in back.collect()} == set(range(200))
+        # partition pruning path: one shard only
+        one = read_training_shards(spark, out, shards=[3])
+        assert one.count() == man["shards"][3]["rows"]
+
+    def test_assignment_deterministic_under_partitioning(self, spark, tmp_path):
+        from waterdata_spark.sources.shards import with_shard
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(500)], "doc_id long, text string"
+        )
+        a = {
+            r["doc_id"]: r["__shard"]
+            for r in with_shard(df, "doc_id", 16).collect()
+        }
+        b = {
+            r["doc_id"]: r["__shard"]
+            for r in with_shard(df.repartition(13), "doc_id", 16).collect()
+        }
+        assert a == b
+        assert set(a.values()) == set(range(16))  # all shards populated
+
+    def test_manifest_digest_detects_content_change(self, spark, tmp_path):
+        from waterdata_spark.sources.shards import write_training_shards
+
+        rows = [(i, f"text {i}") for i in range(50)]
+        df1 = spark.createDataFrame(rows, "doc_id long, text string")
+        df2 = spark.createDataFrame(
+            [(i, t + ("!" if i == 7 else "")) for i, t in rows],
+            "doc_id long, text string",
+        )
+        m1 = write_training_shards(df1, str(tmp_path / "r1"), n_shards=4)
+        m2 = write_training_shards(df2, str(tmp_path / "r2"), n_shards=4)
+        diff = [
+            k
+            for k in m1["shards"]
+            if m1["shards"][k]["digest"] != m2["shards"][k]["digest"]
+        ]
+        # exactly the shard holding doc 7 differs
+        assert len(diff) == 1
+        same = [
+            k
+            for k in m1["shards"]
+            if m1["shards"][k] == m2["shards"][k]
+        ]
+        assert len(same) == 3

@@ -1,0 +1,125 @@
+"""Deterministic sharded corpus release (beyond the reference contract).
+
+The last step of a training-data pipeline is publishing the corpus as
+N equal-ish shards plus a manifest — the public release convention
+(shard files + index) that lets trainers stream, shuffle at shard
+granularity, and resume. The two properties that matter at 100 TB:
+
+- **deterministic assignment**: shard(doc) = xxhash64(id, salt) mod N
+  — a pure function of the row, so re-runs, repartitioned inputs, and
+  incremental rebuilds place every document in the SAME shard (diffable
+  releases); no round-robin, which is partitioning-dependent.
+- **bounded driver state**: the manifest is one N-row aggregate
+  (count, bytes, content digest per shard) — never per-document.
+
+One shuffle total: the repartition to one task per shard IS the write
+layout (`sources/bucketed.py` learned this the hard way — without it
+every task writes a file into every shard directory, exploding file
+count). Shard content digests are order-independent sums of per-row
+hashes, so two releases can be compared shard-by-shard without
+reading data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "manifest.json"
+
+
+def with_shard(
+    df: DataFrame, id_col: str, n_shards: int, salt: str = "shard42"
+) -> DataFrame:
+    """Rows + ``__shard`` in [0, n_shards): the deterministic
+    hash-assignment (same contract as sampling.hash_sample)."""
+    return df.withColumn(
+        "__shard",
+        F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+    fmt: str = "json",
+    salt: str = "shard42",
+    mode: str = "error",
+) -> dict:
+    """Write ``df`` as ``shard=K`` partitions (JSONL by default, the
+    release convention; ``fmt='parquet'`` for columnar) plus a
+    ``manifest.json`` of per-shard ``{rows, bytes, digest}``.
+
+    Returns the manifest dict. ``bytes`` is the text payload size
+    (UTF-8), ``digest`` an order-independent sum of per-row
+    xxhash64(id, text) — compare manifests to diff two releases
+    without reading a shard."""
+    sharded = with_shard(df, id_col, n_shards, salt)
+    # ONE task per shard -> one file per shard directory (the
+    # bucketed.py file-explosion lesson); n_shards is the write
+    # parallelism, pick it >= cluster cores for big releases
+    (
+        sharded.repartition(n_shards, "__shard")
+        .write.partitionBy("__shard")
+        .mode(mode)
+        .format(fmt)
+        .option("ignoreNullFields", True)
+        .save(path)
+    )
+    stats = (
+        sharded.groupBy("__shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                F.coalesce(F.octet_length(F.col(text_col)), F.lit(0))
+            ).alias("bytes"),
+            F.sum(
+                F.xxhash64(F.col(id_col).cast("string"), F.col(text_col)).cast(
+                    "decimal(38,0)"  # never overflows a LongType sum
+                )
+            ).alias("digest"),
+        )
+        .collect()  # bounded: exactly n_shards rows
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "format": fmt,
+        "salt": salt,
+        "id_col": id_col,
+        "total_rows": int(sum(r["rows"] for r in stats)),
+        "shards": {
+            int(r["__shard"]): {
+                "rows": int(r["rows"]),
+                "bytes": int(r["bytes"]),
+                "digest": int(r["digest"]),
+            }
+            for r in stats
+        },
+    }
+    with open(os.path.join(path, MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, schema=None, shards: list[int] | None = None
+) -> DataFrame:
+    """Read a release back; ``shards`` restricts to specific shard ids
+    (partition pruning — the scan touches only those directories)."""
+    man = json.load(open(os.path.join(path, MANIFEST)))
+    reader = spark.read.format(man["format"])
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(path)
+    if shards is not None:
+        df = df.filter(F.col("__shard").isin(shards))
+    return df
