@@ -2357,3 +2357,194 @@ class TestRrfFuse:
         )
         out = rrf_fuse([l1], k=5).orderBy("rank").collect()
         assert [(r["rank"], r["doc_id"]) for r in out] == [(1, 3), (2, 5)]
+
+
+class TestSemDeDup:
+    """SemDeDup (Abbas 2023): frozen-centroid assignment, within-cluster
+    threshold graph, min-id components, least-prototypical election."""
+
+    THR = 0.4
+
+    @staticmethod
+    def _py_semdedup(ids, X, C, thr, dp=6):
+        """Independent pure-numpy/union-find implementation."""
+        import numpy as np
+
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        U = X / n
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        S = np.round(U @ (C / cn).T, dp)
+        lab = S.argmax(axis=1)
+        cos = S[np.arange(len(lab)), lab]
+        parent = {int(i): int(i) for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for c in range(C.shape[0]):
+            idx = np.where(lab == c)[0]
+            Sub = np.round(U[idx] @ U[idx].T, dp)
+            for i in range(len(idx)):
+                for j in range(i + 1, len(idx)):
+                    if Sub[i, j] >= thr:
+                        ra, rb = find(int(ids[idx[i]])), find(int(ids[idx[j]]))
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+        comp = {int(i): find(int(i)) for i in ids}
+        best = {}
+        for k, i in enumerate(ids):
+            cand = (cos[k], int(i))
+            key = comp[int(i)]
+            if key not in best or cand < best[key]:
+                best[key] = cand
+        labels = {(int(i), int(lab[k]), comp[int(i)]) for k, i in enumerate(ids)}
+        return labels, {v[1] for v in best.values()}
+
+    @staticmethod
+    def _real(spark):
+        import numpy as np
+
+        e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        rows = sorted(e.collect(), key=lambda r: r["vec_id"])
+        ids = np.array([r["vec_id"] for r in rows])
+        X = np.array([r["embedding"] for r in rows], dtype="float64")
+        return e, ids, X
+
+    def test_differential_pure_python(self, spark):
+        import numpy as np
+
+        from waterdata_spark.operators.semdedup import (
+            FROZEN_CENTROIDS_64D_K4,
+            semdedup,
+            semdedup_labels,
+        )
+
+        e, ids, X = self._real(spark)
+        C = np.array(FROZEN_CENTROIDS_64D_K4)
+        want_labels, want_surv = self._py_semdedup(ids, X, C, self.THR)
+        L = semdedup_labels(e, "vec_id", "embedding", self.THR, C)
+        got = {(r["vec_id"], r["cluster"], r["component"]) for r in L.collect()}
+        assert got == want_labels
+        got_surv = {r["vec_id"] for r in L.filter("survivor").collect()}
+        assert got_surv == want_surv
+        out = semdedup(e, "vec_id", "embedding", self.THR, centroids=C)
+        assert {r["vec_id"] for r in out.collect()} == want_surv
+        # all original columns intact
+        assert out.columns == e.columns
+
+    def test_planted_exact_duplicate_one_survives(self, spark):
+        from waterdata_spark.operators.semdedup import (
+            FROZEN_CENTROIDS_64D_K4,
+            semdedup,
+        )
+
+        e, _, _ = self._real(spark)
+        v = e.filter(F.col("vec_id") == 3).select(
+            F.lit(900001).cast("long").alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        df = e.select("vec_id", "embedding", "label").unionByName(v)
+        out = semdedup(df, "vec_id", "embedding", self.THR, FROZEN_CENTROIDS_64D_K4)
+        got = {r["vec_id"] for r in out.collect()}
+        # identical vectors co-assign and tie on cos — min id survives,
+        # so the planted copy can never outlive its original
+        assert 900001 not in got
+        assert not ({3, 900001} <= got)
+
+    def test_single_centroid_matches_global_graph(self, spark):
+        """k=1 ⇒ every pair is compared ⇒ SemDeDup == exact-graph dedup."""
+        import numpy as np
+
+        from waterdata_spark.operators.semdedup import semdedup_labels
+
+        e, ids, X = self._real(spark)
+        C = np.ones((1, X.shape[1]))
+        want_labels, want_surv = self._py_semdedup(ids, X, C, self.THR)
+        L = semdedup_labels(e, "vec_id", "embedding", self.THR, C)
+        assert {r["vec_id"] for r in L.filter("survivor").collect()} == want_surv
+        assert {(r["vec_id"], r["component"]) for r in L.collect()} == {
+            (i, c) for i, _, c in want_labels
+        }
+
+    def test_idempotent_with_fixed_centroids(self, spark):
+        from waterdata_spark.operators.semdedup import (
+            FROZEN_CENTROIDS_64D_K4,
+            semdedup,
+        )
+
+        e, _, _ = self._real(spark)
+        once = semdedup(e, "vec_id", "embedding", self.THR, FROZEN_CENTROIDS_64D_K4)
+        twice = semdedup(
+            once, "vec_id", "embedding", self.THR, FROZEN_CENTROIDS_64D_K4
+        )
+        assert {r["vec_id"] for r in twice.collect()} == {
+            r["vec_id"] for r in once.collect()
+        }
+
+    def test_repartition_stable(self, spark):
+        from waterdata_spark.operators.semdedup import (
+            FROZEN_CENTROIDS_64D_K4,
+            semdedup,
+        )
+
+        e, _, _ = self._real(spark)
+        a = semdedup(e, "vec_id", "embedding", self.THR, FROZEN_CENTROIDS_64D_K4)
+        b = semdedup(
+            e.repartition(7, "label"),
+            "vec_id",
+            "embedding",
+            self.THR,
+            FROZEN_CENTROIDS_64D_K4,
+        )
+        assert {r["vec_id"] for r in a.collect()} == {r["vec_id"] for r in b.collect()}
+
+    def test_udf_path_equals_literal_path(self, spark):
+        from waterdata_spark.operators.semdedup import (
+            FROZEN_CENTROIDS_64D_K4,
+            semdedup_labels,
+        )
+
+        e, _, _ = self._real(spark)
+        lit = semdedup_labels(e, "vec_id", "embedding", self.THR, FROZEN_CENTROIDS_64D_K4)
+        udf = semdedup_labels(
+            e,
+            "vec_id",
+            "embedding",
+            self.THR,
+            FROZEN_CENTROIDS_64D_K4,
+            literal_max_elems=0,  # force the Arrow closure path
+        )
+        assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, udf.collect()))
+
+    def test_assignment_plan_is_jvm_only(self, spark):
+        from waterdata_spark.operators.semdedup import (
+            FROZEN_CENTROIDS_64D_K4,
+            assign_clusters,
+        )
+
+        e, _, _ = self._real(spark)
+        asg = assign_clusters(e, "vec_id", "embedding", FROZEN_CENTROIDS_64D_K4)
+        plan = asg._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        assert "InPandas" not in plan
+
+    def test_fit_centroids_production_path(self, spark):
+        """int-k path: sampled k-means centroids; exact duplicates are
+        still caught (identical vectors co-assign for ANY centroids)."""
+        from waterdata_spark.operators.semdedup import semdedup
+
+        e, _, _ = self._real(spark)
+        v = e.filter(F.col("vec_id") == 7).select(
+            F.lit(900002).cast("long").alias("vec_id"), "embedding", "label"
+        )
+        df = e.select("vec_id", "embedding", "label").unionByName(v)
+        out = semdedup(df, "vec_id", "embedding", self.THR, centroids=4, seed=7)
+        got = {r["vec_id"] for r in out.collect()}
+        assert not ({7, 900002} <= got)
+        assert 0 < len(got) <= df.count()

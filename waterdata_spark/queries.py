@@ -1246,10 +1246,58 @@ def x10_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_dedup(d, "doc_id", "text", n_hashes=8, n_bands=4, k=8, threshold=0.6)
 
 
+def _semdedup_centroid_values() -> str:
+    """The frozen k=4 oracle centroids as DuckDB VALUES rows — the SAME
+    constants the Spark side normalizes and rides as plan literals
+    (`operators/semdedup.FROZEN_CENTROIDS_64D_K4`), so assignment is
+    reproducible in both engines. `list_cosine_similarity` normalizes
+    internally; Spark dots pre-normalized unit vectors — same value."""
+    from waterdata_spark.operators.semdedup import FROZEN_CENTROIDS_64D_K4
+
+    return ",\n      ".join(
+        f"({j}, CAST([{', '.join(repr(float(v)) for v in c)}] AS DOUBLE[]))"
+        for j, c in enumerate(FROZEN_CENTROIDS_64D_K4)
+    )
+
+
 @query(
-    "x15_embedding_components",
-    """
+    "x31_semdedup",
+    f"""
     WITH RECURSIVE
+    cents(cid, c) AS (VALUES
+      {_semdedup_centroid_values()}),
+    sims AS (
+      SELECT e.vec_id, ct.cid,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c), 6) AS sim
+      FROM embeddings e CROSS JOIN cents ct
+    ),
+    assign AS (
+      SELECT vec_id, cid, sim FROM (
+        SELECT vec_id, cid, sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        FROM sims) WHERE rn = 1
+    ),
+    sp AS (
+      SELECT aa.vec_id AS id_a, ab.vec_id AS id_b
+      FROM assign aa JOIN assign ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
+      JOIN embeddings a ON a.vec_id = aa.vec_id
+      JOIN embeddings b ON b.vec_id = ab.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    ),
+    ssym AS (SELECT id_a AS src, id_b AS dst FROM sp UNION ALL SELECT id_b, id_a FROM sp),
+    scomp(node, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, c.lbl FROM scomp c JOIN ssym e ON e.src = c.node
+    ),
+    slab AS (SELECT node, min(lbl) AS component FROM scomp GROUP BY node),
+    winners AS (
+      SELECT component, node FROM (
+        SELECT l.component, l.node,
+               ROW_NUMBER() OVER (PARTITION BY l.component ORDER BY a.sim ASC, l.node ASC) AS rn
+        FROM slab l JOIN assign a ON a.vec_id = l.node) WHERE rn = 1
+    ),
     p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1262,29 +1310,55 @@ def x10_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
       UNION
       SELECT e.dst, c.lbl FROM comp c JOIN sym e ON e.src = c.node
     )
-    SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS component
+    SELECT 'cc' AS mode, node AS vec_id, CAST(min(lbl) AS BIGINT) AS component
     FROM comp GROUP BY node
+    UNION ALL
+    SELECT 'sem' AS mode, node AS vec_id, CAST(component AS BIGINT) AS component
+    FROM winners
     """,
-    doc="X2 similarity-graph clustering over the embedding column: exact "
-    "cosine-threshold edges (rounded to 6dp before the comparison so "
-    "the cut reproduces across engines) → min-id connected components "
-    "to convergence. Every vector gets its component label — the full "
-    "CC answer is value-hash-checked against DuckDB's recursive CTE, "
-    "same recipe as embedding_dedup's keep-one-per-cluster form.",
+    doc="X2 embedding-space dedup, both shapes in one oracle row (r8: "
+    "the former x15_embedding_components is the 'cc' leg — slot kept "
+    "at 50). 'cc' = exact cosine-threshold edges (6dp-rounded cut) → "
+    "min-id connected components to convergence, every vector "
+    "labelled. 'sem' = SemDeDup (Abbas 2023, arXiv:2303.09540): "
+    "nearest-centroid assignment over the FROZEN k=4 centroids "
+    "(argmax of 6dp-rounded cosine, lowest-cid ties), WITHIN-cluster "
+    "cosine>=0.4 edges, min-id components, and the paper's election — "
+    "keep the group member LEAST similar to its centroid (lowest "
+    "rounded cosine, then lowest id). The DuckDB twin reproduces "
+    "assignment, the intra-cluster pair graph, the recursive-CTE "
+    "components, AND the survivor election value-for-value — the full "
+    "data-deleting cascade is hash-checked, not just rows-only.",
     tags=["dedup", "similarity", "llm"],
 )
-def x15_embedding_components(spark: SparkSession, sf: str) -> DataFrame:
+def x31_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     from waterdata_spark.operators.dedup_approx import (
         cosine_threshold_edges,
         min_id_components,
+    )
+    from waterdata_spark.operators.semdedup import (
+        FROZEN_CENTROIDS_64D_K4,
+        semdedup_labels,
     )
 
     e = load_table(spark, sf, "embeddings")
     edges = cosine_threshold_edges(e, "vec_id", "embedding", threshold=0.4)
     labels = min_id_components(e.select(F.col("vec_id").alias("node")), edges)
-    return labels.select(
-        F.col("node").alias("vec_id"), F.col("label").cast("long").alias("component")
+    cc = labels.select(
+        F.lit("cc").alias("mode"),
+        F.col("node").alias("vec_id"),
+        F.col("label").cast("long").alias("component"),
     )
+    sem = (
+        semdedup_labels(e, "vec_id", "embedding", 0.4, FROZEN_CENTROIDS_64D_K4)
+        .filter(F.col("survivor"))
+        .select(
+            F.lit("sem").alias("mode"),
+            "vec_id",
+            F.col("component").cast("long").alias("component"),
+        )
+    )
+    return cc.unionByName(sem)
 
 
 @query(
