@@ -163,6 +163,114 @@ class TestDedup:
         # the planted banner survives exactly once across the corpus
         assert sum(t.count(banner) for t in got.values()) == 1
 
+    def test_remove_boilerplate_lines_semantics(self, spark):
+        """A line reaching the distinct-document threshold is removed
+        EVERYWHERE — including its first occurrence (the contract that
+        separates boilerplate removal from line dedup). Within-doc
+        repetition alone does not trip the threshold; short separator
+        lines pass through; emptied docs drop."""
+        from waterdata_spark.operators.dedup import remove_boilerplate_lines
+
+        df = spark.createDataFrame(
+            [
+                (1, "COOKIE BANNER\nbody one\n-\nbody one\nCOOKIE BANNER"),
+                (2, "COOKIE BANNER\nbody two\n-"),
+                (3, "COOKIE BANNER"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_boilerplate_lines(df, min_docs=2, min_line_chars=2).collect()
+        }
+        # banner (3 docs) removed everywhere; within-doc dup 'body one'
+        # (1 doc) survives both copies; '-' passes below min chars
+        assert out[1]["text"] == "body one\n-\nbody one"
+        assert out[1]["n_lines_kept"] == 3 and out[1]["n_lines_dropped"] == 2
+        assert out[2]["text"] == "body two\n-"
+        assert 3 not in out  # emptied -> dropped
+
+        kept_all = {
+            r["doc_id"]: r
+            for r in remove_boilerplate_lines(
+                df, min_docs=2, min_line_chars=2, drop_empty_docs=False
+            ).collect()
+        }
+        assert kept_all[3]["text"] == "" and kept_all[3]["n_lines_kept"] == 0
+
+    def test_remove_boilerplate_lines_frac_threshold_and_validation(self, spark):
+        from waterdata_spark.operators.dedup import remove_boilerplate_lines
+
+        # 10 docs share a banner; a pair-line appears in only 2 docs.
+        rows = [
+            (i, f"GLOBAL BANNER\ndoc {i} body" + ("\nPAIR LINE" if i < 2 else ""))
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # frac 0.5 -> threshold max(2, ceil(5)) = 5: banner goes, pair stays
+        out = {
+            r["doc_id"]: r["text"]
+            for r in remove_boilerplate_lines(df, min_docs=2, min_doc_frac=0.5).collect()
+        }
+        assert all("GLOBAL BANNER" not in t for t in out.values())
+        assert out[0] == "doc 0 body\nPAIR LINE"
+        # min_docs floor applies when frac*n is tiny
+        out2 = remove_boilerplate_lines(df, min_docs=3, min_doc_frac=0.01)
+        got2 = {r["doc_id"]: r["text"] for r in out2.collect()}
+        assert got2[0] == "doc 0 body\nPAIR LINE"  # 2 docs < floor 3
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            remove_boilerplate_lines(df, min_docs=1)
+        with _pytest.raises(ValueError):
+            remove_boilerplate_lines(df, min_doc_frac=1.5)
+
+    def test_remove_boilerplate_lines_differential_on_documents(self, spark):
+        """On real documents made multi-line (the x22 transform), the
+        operator agrees line-for-line with a pure-Python reimplementation
+        of the distinct-doc-frequency rule, and is idempotent."""
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.dedup import remove_boilerplate_lines
+        from waterdata_spark.schemas import load_table
+
+        docs = (
+            load_table(spark, SF_SMOKE, "documents")
+            .selectExpr("doc_id", "replace(text, ' the ', '\\n') AS text")
+            .limit(120)
+        )
+        rows = sorted(
+            ((r["doc_id"], r["text"]) for r in docs.collect()), key=lambda x: x[0]
+        )
+        from collections import defaultdict
+
+        docs_per_line: dict = defaultdict(set)
+        for did, text in rows:
+            for line in text.split("\n"):
+                t = line.strip()
+                if t:
+                    docs_per_line[t].add(did)
+        hot = {t for t, ds in docs_per_line.items() if len(ds) >= 2}
+        assert hot, "fixture must exercise the threshold"
+        want = {}
+        for did, text in rows:
+            kept = [
+                line
+                for line in text.split("\n")
+                if line.strip() and line.strip() not in hot
+            ]
+            if kept:
+                want[did] = "\n".join(kept)
+
+        out = remove_boilerplate_lines(docs, min_docs=2)
+        got = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert got == want
+        again = remove_boilerplate_lines(
+            out.select("doc_id", "text"), min_docs=2
+        )
+        got2 = {r["doc_id"]: r["text"] for r in again.collect()}
+        assert got2 == got  # idempotent: survivors are all below threshold
+
     def test_dedup_against_exact(self, spark):
         """Cross-corpus exact dedup: corpus rows whose content exists
         in the reference drop; self-duplicates inside the corpus

@@ -144,12 +144,7 @@ def dedup_lines_global(
     identity is a 96-bit composite (xxhash64 + crc32 of the trimmed
     line) so a corpus-scale collision cannot silently delete a line.
     """
-    from waterdata_spark.functions.text import lines
-
-    ls = df.select(
-        F.col(id_col),
-        F.posexplode(lines(F.col(text_col))).alias("__idx", "__line"),
-    ).withColumn("__t", F.trim("__line"))
+    ls = _exploded_lines(df, id_col, text_col)
     scored = ls.withColumn(
         "__h", F.struct(F.xxhash64("__t").alias("a"), F.crc32(F.col("__t").cast("binary")).alias("b"))
     ).withColumn(
@@ -165,6 +160,33 @@ def dedup_lines_global(
         (~dedupable)
         | ((F.col("__win.i") == F.col(id_col)) & (F.col("__win.x") == F.col("__idx")))
     )
+    return _reassemble_lines(kept, df, id_col, text_col, drop_empty_docs)
+
+
+def _exploded_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shared head of the line-granularity corpus operators: one row
+    per (document, line index), blank lines already dropped by
+    ``lines()``'s normalization, plus the trimmed identity ``__t``."""
+    from waterdata_spark.functions.text import lines
+
+    return df.select(
+        F.col(id_col),
+        F.posexplode(lines(F.col(text_col))).alias("__idx", "__line"),
+    ).withColumn("__t", F.trim("__line"))
+
+
+def _reassemble_lines(
+    kept: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    drop_empty_docs: bool,
+) -> DataFrame:
+    """Shared tail: group surviving lines back by document and rebuild
+    text in original order, with kept/dropped audit counts against the
+    document's pre-filter line total."""
+    from waterdata_spark.functions.text import lines
+
     out = (
         kept.groupBy(id_col)
         .agg(
@@ -195,6 +217,76 @@ def dedup_lines_global(
     if drop_empty_docs:
         out = out.filter(F.col("n_lines_kept") > 0)
     return out
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_doc_frac: float | None = None,
+    min_line_chars: int = 1,
+    drop_empty_docs: bool = True,
+) -> DataFrame:
+    """X1/X9: corpus-wide BOILERPLATE line removal (CCNet, Wenzek 2020
+    §3.1 removes paragraphs duplicated across shards; RefinedWeb,
+    Penedo 2023 §3.4 line-level corrections): a line whose DISTINCT-
+    document frequency reaches the threshold is deleted from EVERY
+    document — including the first occurrence. That is the difference
+    from :func:`dedup_lines_global`, which keeps the first copy: a
+    cookie banner on 10M pages is not content anywhere, not even where
+    it first appeared.
+
+    Threshold: ``min_docs`` documents, or when ``min_doc_frac`` is
+    given, ``max(min_docs, ceil(frac * corpus_doc_count))`` — the
+    fraction form costs one bounded count() action and tracks corpus
+    growth so re-crawls don't need retuning.
+
+    Shape at 100 TB: lines shuffle ONCE on the fixed-width trimmed-
+    line hash to count distinct parent documents (two-phase partial
+    aggregation — the (hash, doc) pairs combine map-side), the hot set
+    is joined back on the same key, and surviving lines reassemble per
+    document exactly like :func:`dedup_lines_global`. Line identity is
+    the same 96-bit xxhash64+crc32 composite, checked against exact-
+    string semantics by the x22 oracle's ``boiler`` leg. No windows
+    over the corpus, no driver-side state beyond the optional count.
+
+    Lines shorter than ``min_line_chars`` after trim pass through
+    untouched (separators are not boilerplate evidence). Returns
+    ``(id_col, text_col, n_lines_kept, n_lines_dropped)``; documents
+    reduced to nothing drop entirely when ``drop_empty_docs``.
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 — a 1-document 'boilerplate' threshold would delete every line")
+    threshold = min_docs
+    if min_doc_frac is not None:
+        if not (0.0 < min_doc_frac <= 1.0):
+            raise ValueError("min_doc_frac must be in (0, 1]")
+        import math
+
+        n_docs = df.select(id_col).distinct().count()
+        threshold = max(min_docs, math.ceil(min_doc_frac * n_docs))
+
+    ls = _exploded_lines(df, id_col, text_col)
+    scored = ls.withColumn(
+        "__h",
+        F.struct(
+            F.xxhash64("__t").alias("a"),
+            F.crc32(F.col("__t").cast("binary")).alias("b"),
+        ),
+    )
+    dedupable = F.length("__t") >= min_line_chars
+    hot = (
+        scored.filter(dedupable)
+        .groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= threshold)
+        .select("__h", F.lit(True).alias("__hot"))
+    )
+    kept = scored.join(hot, "__h", "left").filter(
+        (~dedupable) | F.col("__hot").isNull()
+    )
+    return _reassemble_lines(kept, df, id_col, text_col, drop_empty_docs)
 
 
 def dedup_against_exact(

@@ -2464,7 +2464,7 @@ def x21_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH arr AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\r?\n'),
+             list_filter(regexp_split_to_array(replace(text, ' the ', chr(10)), '\r?\n'),
                          x -> trim(x) <> '') AS lns
       FROM documents
     ),
@@ -2488,29 +2488,65 @@ def x21_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
              string_agg(line, chr(10) ORDER BY idx) AS text,
              COUNT(*) AS n_lines_kept
       FROM kept GROUP BY doc_id
+    ),
+    hot AS (
+      SELECT trim(line) AS t FROM ls
+      GROUP BY trim(line) HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    bkept AS (
+      SELECT doc_id, idx, line FROM ls
+      WHERE trim(line) NOT IN (SELECT t FROM hot)
+    ),
+    bagg AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY idx) AS text,
+             COUNT(*) AS n_lines_kept
+      FROM bkept GROUP BY doc_id
     )
-    SELECT a.doc_id, a.text,
+    SELECT 'dedup' AS mode, a.doc_id, a.text,
            CAST(a.n_lines_kept AS BIGINT) AS n_lines_kept,
            CAST(t.n_total - a.n_lines_kept AS BIGINT) AS n_lines_dropped
     FROM agg a JOIN tot t USING (doc_id)
+    UNION ALL
+    SELECT 'boiler' AS mode, b.doc_id, b.text,
+           CAST(b.n_lines_kept AS BIGINT) AS n_lines_kept,
+           CAST(t.n_total - b.n_lines_kept AS BIGINT) AS n_lines_dropped
+    FROM bagg b JOIN tot t USING (doc_id)
     """,
-    doc="X1 C4-style GLOBAL line dedup (Raffel et al. 2020 §2.2): every "
-    "line keeps only its first corpus occurrence, deterministic by "
-    "(doc_id, line index); later occurrences are deleted from their "
-    "documents and empty documents drop. The r6 operator that REWRITES "
-    "corpus text, now oracle-backed (r6 verdict item 2): the DuckDB twin "
-    "elects winners by grouping on the trimmed line string itself, so the "
-    "engine's 96-bit hash composite is checked against exact-string "
-    "semantics. Engine shape: one min_by shuffle on the fixed-width line "
-    "hash (text never rides the first shuffle), order-preserving "
-    "reassembly via sort_array(collect_list).",
+    doc="X1/X9 line-granularity corpus rewriting, both global shapes in "
+    "one oracle row (r8). 'dedup' = C4-style GLOBAL line dedup (Raffel "
+    "et al. 2020 §2.2): every line keeps only its first corpus "
+    "occurrence, deterministic by (doc_id, line index). 'boiler' = "
+    "CCNet/RefinedWeb-style boilerplate removal (Wenzek 2020 §3.1, "
+    "Penedo 2023 §3.4): a line whose distinct-document frequency "
+    "reaches 2 is deleted from EVERY document including the first — "
+    "cookie banners are content nowhere. The corpus is made multi-line "
+    "for the check by a literal replace both engines share (' the ' -> "
+    "newline), so 43 lines recur across documents at sf0.01 and both "
+    "legs do real work. The DuckDB twin elects/filters by the trimmed "
+    "line STRING itself, so the engine's 96-bit hash composite is "
+    "checked against exact-string semantics on both paths. Engine "
+    "shape: one shuffle on the fixed-width line hash (min_by election "
+    "/ two-phase distinct-doc count), order-preserving reassembly via "
+    "sort_array(collect_list).",
     tags=["dedup", "text", "llm"],
 )
 def x22_dedup_lines_global(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.operators.dedup import dedup_lines_global
+    from waterdata_spark.operators.dedup import (
+        dedup_lines_global,
+        remove_boilerplate_lines,
+    )
 
-    d = load_table(spark, sf, "documents").select("doc_id", "text")
-    return dedup_lines_global(d, "doc_id", "text")
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+    dd = dedup_lines_global(d, "doc_id", "text").select(
+        F.lit("dedup").alias("mode"), "doc_id", "text", "n_lines_kept", "n_lines_dropped"
+    )
+    bb = remove_boilerplate_lines(d, "doc_id", "text", min_docs=2).select(
+        F.lit("boiler").alias("mode"), "doc_id", "text", "n_lines_kept", "n_lines_dropped"
+    )
+    return dd.unionByName(bb)
 
 
 @query(
