@@ -2548,3 +2548,87 @@ class TestSemDeDup:
         got = {r["vec_id"] for r in out.collect()}
         assert not ({7, 900002} <= got)
         assert 0 < len(got) <= df.count()
+
+
+class TestKMeans:
+    """Distributed Lloyd's k-means (operators/clustering) — the exact
+    scaled-integer update contract and the seeded-init path."""
+
+    def test_kmeans_differential_exact(self, spark):
+        """Two full iterations from the frozen centroids must match the
+        pure-Python Lloyd twin EXACTLY — every label and every centroid
+        component bit-for-bit (order-independent integer sums)."""
+        import numpy as np
+
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.clustering import kmeans, kmeans_python
+        from waterdata_spark.operators.semdedup import FROZEN_CENTROIDS_64D_K4
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings")
+        model, asg = kmeans(
+            e, "vec_id", "embedding", init_centroids=FROZEN_CENTROIDS_64D_K4, n_iter=2
+        )
+        got = {r["vec_id"]: r["cluster"] for r in asg.collect()}
+        vecs = {r["vec_id"]: list(r["embedding"]) for r in e.collect()}
+        C_py, lab_py = kmeans_python(vecs, FROZEN_CENTROIDS_64D_K4, 2)
+        assert got == lab_py
+        assert np.array_equal(model.centroids, np.asarray(C_py))
+        assert sum(model.sizes) == len(vecs)
+
+    def test_kmeans_partitioning_invariance(self, spark):
+        """Same centroids and labels no matter how the input is
+        partitioned — the point of integer sums."""
+        import numpy as np
+
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.clustering import kmeans
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+        m1, a1 = kmeans(e.coalesce(1), "vec_id", "embedding", k=3, n_iter=2, seed=11)
+        m2, a2 = kmeans(
+            e.repartition(13), "vec_id", "embedding", k=3, n_iter=2, seed=11
+        )
+        assert np.array_equal(m1.centroids, m2.centroids)
+        assert {tuple(r) for r in a1.collect()} == {tuple(r) for r in a2.collect()}
+
+    def test_kmeans_empty_cluster_keeps_previous_centroid(self, spark):
+        """A centroid that captures no members survives the update
+        unchanged (Lloyd convention) instead of going NaN."""
+        import numpy as np
+
+        from waterdata_spark.operators.clustering import kmeans
+
+        rows = [
+            (1, [1.0, 0.05]),
+            (2, [1.0, -0.05]),
+            (3, [0.05, 1.0]),
+            (4, [-0.05, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        init = [[1.0, 0.0], [0.0, 1.0], [-1.0, -1.0]]
+        model, asg = kmeans(
+            df, "vec_id", "embedding", init_centroids=init, n_iter=3
+        )
+        assert model.sizes[2] == 0
+        assert np.array_equal(model.centroids[2], np.asarray(init[2]))
+        labels = {r["vec_id"]: r["cluster"] for r in asg.collect()}
+        assert labels == {1: 0, 2: 0, 3: 1, 4: 1}
+
+    def test_kmeans_validation(self, spark):
+        import pytest as _pytest
+
+        from waterdata_spark.operators.clustering import kmeans
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+        )
+        with _pytest.raises(ValueError):
+            kmeans(df, "vec_id", "embedding")  # neither k nor init
+        with _pytest.raises(ValueError):
+            kmeans(df, "vec_id", "embedding", k=2, init_centroids=[[1.0, 0.0]])
+        with _pytest.raises(ValueError):
+            kmeans(df, "vec_id", "embedding", k=2, n_iter=0)
+        with _pytest.raises(ValueError):
+            kmeans(df, "vec_id", "embedding", k=5)  # k > n vectors

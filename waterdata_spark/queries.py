@@ -1309,12 +1309,60 @@ def _semdedup_centroid_values() -> str:
       SELECT vec_id, vec_id FROM embeddings
       UNION
       SELECT e.dst, c.lbl FROM comp c JOIN sym e ON e.src = c.node
+    ),
+    ex AS (
+      SELECT vec_id,
+             unnest(range(len(embedding))) AS d,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    st0 AS (
+      SELECT a.cid, x.d,
+             SUM(CAST(round(CAST(x.v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM ex x JOIN assign a USING (vec_id) GROUP BY a.cid, x.d
+    ),
+    c1 AS (
+      SELECT c0.cid, COALESCE(u.c, c0.c) AS c
+      FROM cents c0 LEFT JOIN (
+        SELECT cid, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS c
+        FROM st0 GROUP BY cid) u USING (cid)
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, ct.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c), 6)
+                 DESC, ct.cid) AS rn
+        FROM embeddings e CROSS JOIN c1 ct) WHERE rn = 1
+    ),
+    st1 AS (
+      SELECT a.cid, x.d,
+             SUM(CAST(round(CAST(x.v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM ex x JOIN a1 a USING (vec_id) GROUP BY a.cid, x.d
+    ),
+    c2 AS (
+      SELECT c1.cid, COALESCE(u.c, c1.c) AS c
+      FROM c1 LEFT JOIN (
+        SELECT cid, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY d) AS c
+        FROM st1 GROUP BY cid) u USING (cid)
+    ),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, ct.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c), 6)
+                 DESC, ct.cid) AS rn
+        FROM embeddings e CROSS JOIN c2 ct) WHERE rn = 1
     )
     SELECT 'cc' AS mode, node AS vec_id, CAST(min(lbl) AS BIGINT) AS component
     FROM comp GROUP BY node
     UNION ALL
     SELECT 'sem' AS mode, node AS vec_id, CAST(component AS BIGINT) AS component
     FROM winners
+    UNION ALL
+    SELECT 'km' AS mode, vec_id, CAST(cid AS BIGINT) AS component FROM a2
     """,
     doc="X2 embedding-space dedup, both shapes in one oracle row (r8: "
     "the former x15_embedding_components is the 'cc' leg — slot kept "
@@ -1328,7 +1376,16 @@ def _semdedup_centroid_values() -> str:
     "rounded cosine, then lowest id). The DuckDB twin reproduces "
     "assignment, the intra-cluster pair graph, the recursive-CTE "
     "components, AND the survivor election value-for-value — the full "
-    "data-deleting cascade is hash-checked, not just rows-only.",
+    "data-deleting cascade is hash-checked, not just rows-only. "
+    "'km' (r8) = distributed Lloyd's k-means "
+    "(`operators/clustering.kmeans`): TWO full iterations from the "
+    "same frozen centroids — rounded-cosine argmax assignment, then "
+    "the EXACT update (components round once at 1e6 and sum as "
+    "integers, centroid = sum/(n*1e6) — order-independent, bit-equal "
+    "across engines) — labels after the second update. The twin "
+    "unrolls both iterations in SQL, reproducing the scaled-integer "
+    "sums and both re-assignments value-for-value, so the trainer's "
+    "whole loop is hash-checked, not just one assignment pass.",
     tags=["dedup", "similarity", "llm"],
 )
 def x31_semdedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1358,7 +1415,17 @@ def x31_semdedup(spark: SparkSession, sf: str) -> DataFrame:
             F.col("component").cast("long").alias("component"),
         )
     )
-    return cc.unionByName(sem)
+    from waterdata_spark.operators.clustering import kmeans
+
+    _, asg = kmeans(
+        e, "vec_id", "embedding", init_centroids=FROZEN_CENTROIDS_64D_K4, n_iter=2
+    )
+    km = asg.select(
+        F.lit("km").alias("mode"),
+        "vec_id",
+        F.col("cluster").cast("long").alias("component"),
+    )
+    return cc.unionByName(sem).unionByName(km)
 
 
 @query(
