@@ -2632,3 +2632,94 @@ class TestKMeans:
             kmeans(df, "vec_id", "embedding", k=2, n_iter=0)
         with _pytest.raises(ValueError):
             kmeans(df, "vec_id", "embedding", k=5)  # k > n vectors
+
+
+class TestPCAWhitening:
+    """Exact-moment distributed PCA + whitening (operators/embeddings;
+    Su 2021 BERT-whitening)."""
+
+    def test_fit_differential_exact_and_partition_invariant(self, spark):
+        import numpy as np
+
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.embeddings import fit_pca, fit_pca_python
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings")
+        m = fit_pca(e, "embedding", 8)
+        vecs = [list(r["embedding"]) for r in e.collect()]
+        mp = fit_pca_python(vecs, 8)
+        assert np.array_equal(m.mean, mp.mean)
+        assert np.array_equal(m.components, mp.components)
+        assert np.array_equal(m.eigenvalues, mp.eigenvalues)
+        # order-independent integer moments: any partitioning, same bits
+        m2 = fit_pca(e.repartition(17), "embedding", 8)
+        assert np.array_equal(m.components, m2.components)
+        # eigenvalues descending, all finite
+        assert all(
+            m.eigenvalues[i] >= m.eigenvalues[i + 1]
+            for i in range(len(m.eigenvalues) - 1)
+        )
+
+    def test_projection_matches_numpy_and_whitening_decorrelates(self, spark):
+        import numpy as np
+
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.embeddings import fit_pca, project_pca
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings")
+        m = fit_pca(e, "embedding", 8)
+        out = project_pca(e, "embedding", m, whiten=True)
+        assert out.schema[out.columns[-1]].dataType.simpleString() == "array<double>"
+        rows = out.select("vec_id", "pca").collect()
+        P = np.array([list(r["pca"]) for r in rows])
+        X = np.array(
+            [list(r["embedding"]) for r in e.orderBy("vec_id").collect()],
+            dtype=np.float64,
+        )
+        # align by vec_id
+        by_id = {r["vec_id"]: list(r["pca"]) for r in rows}
+        srt = sorted(by_id)
+        P = np.array([by_id[i] for i in srt])
+        ref = (X - m.mean) @ m.components.T / np.sqrt(m.eigenvalues)
+        assert np.abs(P - ref).max() < 1e-9
+        # whitened: unit variance per axis, near-zero cross-covariance
+        C = np.cov(P.T, bias=True)
+        assert np.abs(np.diag(C) - 1.0).max() < 1e-6
+        off = np.abs(C - np.diag(np.diag(C))).max()
+        assert off < 1e-5
+
+    def test_components_orthonormal_and_truncation_reduces(self, spark):
+        import numpy as np
+
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.embeddings import fit_pca, project_pca
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings").limit(100)
+        m = fit_pca(e, "embedding", 4)
+        G = m.components @ m.components.T
+        assert np.abs(G - np.eye(4)).max() < 1e-10
+        out = project_pca(e, "embedding", m, out_col="z")
+        assert out.select(
+            (F.size("z") == 4).alias("ok")
+        ).filter(~F.col("ok")).count() == 0
+        # deterministic sign: largest-|component| entry positive
+        for k in range(4):
+            assert m.components[k][np.argmax(np.abs(m.components[k]))] > 0
+
+    def test_fit_validation(self, spark):
+        import pytest as _pytest
+
+        from waterdata_spark.operators.embeddings import fit_pca
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [0.5, 1.0])], "vec_id long, embedding array<float>"
+        )
+        with _pytest.raises(ValueError):
+            fit_pca(df, "embedding", 0)
+        with _pytest.raises(ValueError):
+            fit_pca(df, "embedding", 3)
+        with _pytest.raises(ValueError):
+            fit_pca(df.filter("vec_id > 99"), "embedding", 1)
