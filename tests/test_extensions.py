@@ -2723,3 +2723,36 @@ class TestPCAWhitening:
             fit_pca(df, "embedding", 3)
         with _pytest.raises(ValueError):
             fit_pca(df.filter("vec_id > 99"), "embedding", 1)
+
+
+class TestEmbeddingPipelineComposition:
+    """The r8 geometry stack composes: whiten -> distributed k-means ->
+    SemDeDup over the whitened space — the shape a real curation
+    pipeline runs (Su 2021 whitening feeding Abbas 2023 clustering)."""
+
+    def test_whiten_kmeans_semdedup_end_to_end(self, spark):
+        import numpy as np
+
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.clustering import kmeans
+        from waterdata_spark.operators.embeddings import fit_pca, project_pca
+        from waterdata_spark.operators.semdedup import semdedup
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings")
+        m = fit_pca(e, "embedding", 16)
+        w = project_pca(e, "embedding", m, out_col="z", whiten=True).select(
+            "vec_id", "z"
+        )
+        model, asg = kmeans(w, "vec_id", "z", k=4, n_iter=3, seed=5)
+        assert sum(model.sizes) == e.count()
+        assert model.centroids.shape == (4, 16)
+        # every cluster non-degenerate on this data
+        assert min(model.sizes) > 0
+        # rerun determinism end-to-end (fit + train are exact)
+        model2, _ = kmeans(w, "vec_id", "z", k=4, n_iter=3, seed=5)
+        assert np.array_equal(model.centroids, model2.centroids)
+        # SemDeDup over the whitened space with the trained centroids
+        out = semdedup(w, "vec_id", "z", threshold=0.9, centroids=model.centroids)
+        assert 0 < out.count() <= e.count()
+        assert out.columns == ["vec_id", "z"]

@@ -509,3 +509,72 @@ class TestHtmlToText:
         )
         got = {r["id"]: r["t"] for r in df.select("id", html_to_text("raw").alias("t")).collect()}
         assert got[1] is None and got[2] == "x" and got[3] == ""
+
+
+class TestNormalizeUnicode:
+    """normalize_unicode laws — the pre-dedup normalizer (CCNet §3)."""
+
+    def test_folding_accents_case_and_nulls(self, spark):
+        from waterdata_spark.functions.text import normalize_unicode
+
+        df = spark.createDataFrame(
+            [("ﬁne Ａscii café",), ("Straße",), (None,), ("plain ascii 123",)],
+            "t string",
+        )
+        got = [
+            (r["n"], r["sa"])
+            for r in df.select(
+                normalize_unicode("t").alias("n"),
+                normalize_unicode("t", strip_accents=True).alias("sa"),
+            ).collect()
+        ]
+        assert got[0] == ("fine ascii café", "fine ascii cafe")
+        assert got[1] == ("strasse", "strasse")  # casefold, not lower
+        assert got[2] == (None, None)
+        assert got[3] == ("plain ascii 123", "plain ascii 123")  # ASCII fixpoint
+
+    def test_composed_and_decomposed_unify_for_dedup(self, spark):
+        """The dedup motivation: NFC and NFD spellings of the same text
+        must hash identically after normalization."""
+        import unicodedata
+
+        from waterdata_spark.functions.text import normalize_unicode
+        from waterdata_spark.operators.dedup import exact_dedup
+
+        nfc = unicodedata.normalize("NFC", "café au lait")
+        nfd = unicodedata.normalize("NFD", "café au lait")
+        assert nfc != nfd  # different byte strings going in
+        df = spark.createDataFrame(
+            [(1, nfc), (2, nfd), (3, "other doc")], "doc_id long, text string"
+        )
+        normed = df.select("doc_id", normalize_unicode("text").alias("text"))
+        out = exact_dedup(normed, ["text"], "doc_id")
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+    def test_idempotent_all_flag_combinations(self, spark):
+        import pyspark.sql.functions as F
+
+        from waterdata_spark.functions.text import normalize_unicode
+
+        df = spark.createDataFrame(
+            [("ﬁ Ａ café ß ＫＡＮＡ ㎒ Ⅷ",), ("mixed ＣＡＳＥ é́ text",)],
+            "t string",
+        )
+        for lower in (True, False):
+            for sa in (True, False):
+                once = df.select(
+                    normalize_unicode("t", lower=lower, strip_accents=sa).alias("n")
+                )
+                twice = once.select(
+                    "n",
+                    normalize_unicode("n", lower=lower, strip_accents=sa).alias("nn"),
+                )
+                assert twice.filter(F.col("n") != F.col("nn")).count() == 0
+
+    def test_bad_form_raises(self, spark):
+        import pytest as _pytest
+
+        from waterdata_spark.functions.text import normalize_unicode
+
+        with _pytest.raises(ValueError):
+            normalize_unicode("t", form="NFX")

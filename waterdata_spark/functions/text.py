@@ -428,3 +428,58 @@ def html_to_text(c: Column | str) -> Column:
     out = F.regexp_replace(out, r"\n{3,}", "\n\n")
     # trim() strips spaces only — edge NEWLINES need the regex form
     return F.regexp_replace(out, r"^\s+|\s+$", "")
+
+
+def normalize_unicode(
+    c: Column | str,
+    form: str = "NFKC",
+    lower: bool = True,
+    strip_accents: bool = False,
+) -> Column:
+    """Unicode normalization for dedup/linkage preprocessing — the
+    step every published crawl pipeline runs before hashing text
+    (CCNet, Wenzek 2020 §3: lowercase + NFD accent strip before
+    paragraph hashes; Gopher/fastText lang-ID conventions): full-width
+    and ligature folding (NFKC: 'ﬁ' -> 'fi', 'Ａ' -> 'A'), composed/
+    decomposed unification (café is one string whether the é arrived
+    as one codepoint or two), optional casefold and accent strip.
+    Without this, byte-identical CONTENT hashes differently across
+    encoders and MinHash recall silently drops.
+
+    This is the documented exception to the no-Python-UDF rule: the
+    JVM expression surface has no Unicode normalizer, so this is an
+    Arrow-batched pandas UDF (never row-at-a-time Python). Keep it
+    OFF the hot path of operators that don't need it — it is a
+    deliberate opt-in preprocessor, zero shuffle, linear per row.
+
+    ``strip_accents`` decomposes (NFKD) and drops combining marks
+    (category Mn), then re-applies ``form``. ``lower`` uses Python
+    ``str.casefold`` (the Unicode-correct lowercase: 'ß' -> 'ss').
+    Null in -> null out. Idempotent for every flag combination
+    (law-tested).
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    import pandas as pd  # noqa: F401  (Arrow batch transport)
+
+    @F.pandas_udf("string")
+    def _norm(s):
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize(form, x)
+            if strip_accents:
+                y = unicodedata.normalize("NFKD", y)
+                y = "".join(ch for ch in y if not unicodedata.combining(ch))
+                y = unicodedata.normalize(form, y)
+            if lower:
+                y = y.casefold()
+                # casefold can re-introduce compositions NFKC would fold
+                y = unicodedata.normalize(form, y)
+            return y
+
+        return s.map(one)
+
+    return _norm(F.col(c) if isinstance(c, str) else c)
