@@ -2616,6 +2616,28 @@ class TestKMeans:
         labels = {r["vec_id"]: r["cluster"] for r in asg.collect()}
         assert labels == {1: 0, 2: 0, 3: 1, 4: 1}
 
+    def test_kmeans_arrow_and_literal_paths_agree(self, spark):
+        """k=16 x 64-d (1024 elems) runs the Arrow closure under the
+        default 512 literal budget — same centroids and labels as the
+        forced-literal plan (the two assignment kernels are
+        interchangeable)."""
+        import numpy as np
+
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.clustering import kmeans
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings").limit(300)
+        m_arrow, a_arrow = kmeans(e, "vec_id", "embedding", k=16, n_iter=2, seed=3)
+        m_lit, a_lit = kmeans(
+            e, "vec_id", "embedding", k=16, n_iter=2, seed=3,
+            literal_max_elems=32_768,
+        )
+        assert np.array_equal(m_arrow.centroids, m_lit.centroids)
+        got_a = {(r["vec_id"], r["cluster"]) for r in a_arrow.collect()}
+        got_l = {(r["vec_id"], r["cluster"]) for r in a_lit.collect()}
+        assert got_a == got_l
+
     def test_kmeans_validation(self, spark):
         import pytest as _pytest
 

@@ -331,3 +331,61 @@ class TestCacheHygiene:
         got = {(r["node"], r["label"]) for r in labels.collect()}
         assert got == {(i, 0) for i in range(6)}
         assert self._settled(spark, base + 1) <= base + 1
+
+
+class TestGeometryPlans:
+    """r8 geometry trainers: pin the plan shapes that make them scale —
+    the k-means update combines map-side and shuffles only k*dim keyed
+    partials; PCA projection stays JVM-only (no Python in the scan)."""
+
+    def test_kmeans_update_partial_agg_no_python(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from waterdata_spark.operators.semdedup import (
+            FROZEN_CENTROIDS_64D_K4,
+            _with_assignment,
+        )
+        from waterdata_spark.operators.similarity import (
+            _unit_norms,
+            with_unit_vector,
+        )
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_ORACLE, "embeddings")
+        unit = with_unit_vector(e.select("vec_id", "embedding"), "embedding")
+        asg = _with_assignment(
+            unit,
+            _unit_norms(np.asarray(FROZEN_CENTROIDS_64D_K4)),
+            6,
+            32_768,
+            "__cl",
+            "__cos",
+        )
+        stats = (
+            asg.select("__cl", F.posexplode("embedding").alias("__d", "__v"))
+            .groupBy("__cl", "__d")
+            .agg(
+                F.sum(
+                    F.round(F.col("__v").cast("double") * F.lit(1e6), 0).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        s = assert_plan(stats, max_exchanges=1)
+        # map-side combine before the k*dim exchange
+        assert s.text.count("HashAggregate") >= 2
+        # assignment + reduce all JVM: no Python evaluation anywhere
+        assert "BatchEvalPython" not in s.text and "ArrowEvalPython" not in s.text
+
+    def test_pca_projection_zero_shuffle_jvm_only(self, spark):
+        from waterdata_spark.operators.embeddings import fit_pca, project_pca
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_ORACLE, "embeddings").limit(50)
+        m = fit_pca(e, "embedding", 4)
+        out = project_pca(e, "embedding", m, whiten=True)
+        s = assert_plan(out, max_exchanges=0)
+        assert "BatchEvalPython" not in s.text and "ArrowEvalPython" not in s.text

@@ -129,7 +129,7 @@ def kmeans(
     seed: int = 7,
     round_dp: int = 6,
     scale: int = 10**6,
-    literal_max_elems: int = 32_768,
+    literal_max_elems: int = 512,
     cluster_col: str = "cluster",
     cos_col: str = "cos_to_centroid",
 ) -> tuple[KMeansModel, DataFrame]:
@@ -140,9 +140,22 @@ def kmeans(
 
     ``init_centroids`` freezes initialization (the oracle/differential
     form); otherwise ``k`` seeds deterministically by hash order. The
-    input is persisted for the iteration loop and unpersisted before
-    return; the returned assignment frame re-derives from ``df``
-    lazily, so callers can persist it themselves if they iterate it.
+    input is scanned n_iter+1 times and deliberately NOT cached here:
+    measured at 200k x 64-d, successive fits with an internal
+    persist/unpersist cycle degraded 5 -> 16s (storage ping-pong in a
+    long-lived JVM) while plain rescans held 4.4-6.2s — a parquet scan
+    plus normalize is cheaper than cache churn. If ``df`` is an
+    EXPENSIVE derivation (joins, UDFs), persist it upstream before
+    calling; the returned assignment frame is lazy, so persist that
+    too if you iterate it.
+
+    ``literal_max_elems`` defaults LOWER than SemDeDup's assignment
+    (512 vs 32k): the trainer evaluates the assignment expression
+    n_iter+1 times, and at k*dim = 1024 the generated literal-dot code
+    is big enough that JIT compilation goes unstable (measured at 200k
+    x 64-d, k=16: literal path 24-50s per fit vs Arrow 11-14s). The
+    Arrow closure is the steadier production path; the literal path
+    stays for small k where it beats Arrow transport.
     """
     if init_centroids is None:
         if k is None:
@@ -156,22 +169,16 @@ def kmeans(
         raise ValueError("n_iter must be >= 1")
 
     base = df.select(F.col(id_col), F.col(vec_col))
-    unit = with_unit_vector(base, vec_col).persist()
-    try:
-        sizes: list[int] = []
-        for _ in range(n_iter):
-            asg = _with_assignment(
-                unit, _unit_norms(C), round_dp, literal_max_elems, "__cl", "__cos"
-            )
-            C, sizes = _update_centroids(asg, vec_col, C, scale)
-        final = _with_assignment(
-            unit, _unit_norms(C), round_dp, literal_max_elems, cluster_col, cos_col
-        ).select(id_col, cluster_col, cos_col)
-        # materialize the k*dim-bounded final assignment plan before
-        # releasing the iteration cache
-        final = final.localCheckpoint(eager=True)
-    finally:
-        unit.unpersist()
+    unit = with_unit_vector(base, vec_col)
+    sizes: list[int] = []
+    for _ in range(n_iter):
+        asg = _with_assignment(
+            unit, _unit_norms(C), round_dp, literal_max_elems, "__cl", "__cos"
+        )
+        C, sizes = _update_centroids(asg, vec_col, C, scale)
+    final = _with_assignment(
+        unit, _unit_norms(C), round_dp, literal_max_elems, cluster_col, cos_col
+    ).select(id_col, cluster_col, cos_col)
     return KMeansModel(centroids=C, sizes=sizes, n_iter=n_iter), final
 
 

@@ -80,7 +80,12 @@ def fit_pca(
     if not first:
         raise ValueError("fit_pca: empty input")
     d = len(first)
-    n = int(first[0]["n"])
+    ns = {int(r["n"]) for r in first}
+    if len(ns) != 1:
+        raise ValueError(
+            f"fit_pca: ragged vectors — per-dimension counts differ ({sorted(ns)})"
+        )
+    n = ns.pop()
     if not (1 <= n_components <= d):
         raise ValueError(f"n_components must be in [1, {d}]")
     s1 = np.zeros(d, dtype=object)
