@@ -578,3 +578,46 @@ class TestNormalizeUnicode:
 
         with _pytest.raises(ValueError):
             normalize_unicode("t", form="NFX")
+
+
+class TestTopNgrams:
+    def test_matches_pure_python_counter(self, spark):
+        from collections import Counter, defaultdict
+
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.functions.text import top_ngrams
+        from waterdata_spark.schemas import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").limit(150)
+        rows = [r["text"] for r in docs.collect()]
+        occ: Counter = Counter()
+        dfreq: dict = defaultdict(set)
+        for did, text in enumerate(rows):
+            toks = text.lower().split()
+            for i in range(len(toks) - 1):
+                g = f"{toks[i]} {toks[i+1]}"
+                occ[g] += 1
+                dfreq[g].add(did)
+        want = sorted(
+            ((g, c, len(dfreq[g])) for g, c in occ.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+        got = [
+            (r["ngram"], r["occurrences"], r["doc_freq"])
+            for r in top_ngrams(docs, "text", n=2, k=10).collect()
+        ]
+        assert got == want
+
+    def test_min_docs_floor_and_determinism(self, spark):
+        from waterdata_spark.functions.text import top_ngrams
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c d"), (3, "c d c d")],
+            "doc_id long, text string",
+        )
+        got = [
+            tuple(r)
+            for r in top_ngrams(df, "text", n=2, k=10, min_docs=2).collect()
+        ]
+        # 'a b' occurs 3x in 2 docs; 'c d' 3x in 2 docs; others 1 doc only
+        assert got == [("a b", 3, 2), ("c d", 3, 2)]

@@ -483,3 +483,56 @@ def normalize_unicode(
         return s.map(one)
 
     return _norm(F.col(c) if isinstance(c, str) else c)
+
+
+def top_ngrams(
+    df,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+    min_docs: int = 1,
+    lowercase: bool = True,
+):
+    """Corpus-wide n-gram heavy hitters: the top-``k`` word n-grams by
+    total occurrence count, with document frequency alongside — the
+    diagnostic that finds template boilerplate BEFORE you pick
+    :func:`~waterdata_spark.operators.dedup.remove_boilerplate_lines`
+    thresholds, and the corpus-level counterpart of the per-document
+    ``top_ngram_fraction`` Gopher signal (Rae 2021 §A1.1 uses exactly
+    this statistic class).
+
+    Returns ``(ngram, occurrences, doc_freq)`` sorted by occurrences
+    desc, then ngram asc (deterministic ties). ``min_docs`` drops
+    grams seen in fewer documents (noise floor).
+
+    Shape at 100 TB: explode → two-phase aggregate on the gram string
+    (map-side combine collapses each task to its distinct grams;
+    doc_freq is a count_distinct expansion on the same shuffle), then
+    TakeOrderedAndProject for the top-k — no full sort, no window.
+    Hot grams are exactly what combiners flatten, so gram skew is
+    absorbed map-side. The gram strings themselves ride the shuffle
+    (bounded by n * word length); for corpus-scale runs prefer n >= 2
+    and the default token split, which cap the distinct-gram blowup.
+    """
+    from pyspark.sql import functions as _F
+
+    src = _F.col(text_col)
+    if lowercase:
+        src = _F.lower(src)
+    # the doc id must bind BEFORE the explode — in the same select,
+    # monotonically_increasing_id() would run once per GRAM row and
+    # doc_freq would silently equal occurrences
+    base = df.select(
+        _F.monotonically_increasing_id().alias("__doc"),
+        word_ngrams(src, n).alias("__grams"),
+    )
+    grams = base.select("__doc", _F.explode("__grams").alias("ngram"))
+    agg = (
+        grams.groupBy("ngram")
+        .agg(
+            _F.count(_F.lit(1)).alias("occurrences"),
+            _F.count_distinct("__doc").alias("doc_freq"),
+        )
+        .filter(_F.col("doc_freq") >= min_docs)
+    )
+    return agg.orderBy(_F.col("occurrences").desc(), _F.col("ngram").asc()).limit(k)
