@@ -222,3 +222,79 @@ class TestDownPublish:
         s = plan_summary(one_year)
         assert any("sample_year" in p for p in [s.text]) and one_year.count() > 0
         assert published.count() == final.count()
+
+
+class TestCurateCorpus:
+    """pipelines/curate — the composed crawl-to-training-set cascade
+    (one lazy plan, observe()-instrumented funnel)."""
+
+    ROWS = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away today"),
+        (2, "the quick brown fox jumps over the lazy dog and runs far away today"),
+        (3, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+        (4, "COOKIE BANNER ACCEPT ALL\ndifferent content about spark engines\nCOOKIE BANNER ACCEPT ALL"),
+        (5, "COOKIE BANNER ACCEPT ALL\nanother document body mentioning water data\nCOOKIE BANNER ACCEPT ALL"),
+        (6, "contact me at john.doe@example.com for details about the dataset release"),
+    ]
+
+    def test_cascade_and_funnel(self, spark):
+        from waterdata_spark.pipelines.curate import curate_corpus
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        res = curate_corpus(
+            df,
+            boilerplate_min_docs=2,
+            near_dup={"n_hashes": 16, "n_bands": 8, "k": 4, "threshold": 0.5},
+            redact=True,
+        )
+        got = {r["doc_id"]: r["text"] for r in res.df.collect()}
+        # exact dup 2 gone; near dup 3 gone; banner stripped from 4/5;
+        # PII redacted in 6; lowest ids survive their clusters
+        assert set(got) == {1, 4, 5, 6}
+        assert "COOKIE BANNER" not in got[4] and "COOKIE BANNER" not in got[5]
+        assert "john.doe@example.com" not in got[6] and "<EMAIL>" in got[6]
+        funnel = dict(res.report())
+        assert funnel["input"] == 6
+        assert funnel["exact_dedup"] == 5
+        assert funnel["near_dup"] == 4
+        assert funnel["redact_pii"] == 4
+        # monotone non-increasing
+        vals = [v for _, v in res.report()]
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+    def test_decontaminate_stage_and_audit_off(self, spark):
+        from waterdata_spark.pipelines.curate import curate_corpus
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        evals = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog and runs far away today")],
+            "eid long, text string",
+        )
+        res = curate_corpus(
+            df,
+            exact_dedup=True,
+            decontaminate_eval=evals.selectExpr("eid as doc_id", "text"),
+            decontaminate_n=13,
+            audit=False,
+        )
+        assert res.input_rows is None and res.stages == []
+        ids = {r["doc_id"] for r in res.df.collect()}
+        # docs 1 (and its dup 2, already exact-deduped) hit the eval
+        # 13-gram; doc 3 shares a 13-gram prefix with the eval text too
+        assert 1 not in ids and 2 not in ids
+        assert {4, 5, 6} <= ids
+
+    def test_normalize_feeds_exact_dedup(self, spark):
+        import unicodedata
+
+        from waterdata_spark.pipelines.curate import curate_corpus
+
+        nfc = unicodedata.normalize("NFC", "café corpus body text")
+        nfd = unicodedata.normalize("NFD", "café corpus body text")
+        df = spark.createDataFrame(
+            [(1, nfc), (2, nfd), (3, "unrelated")], "doc_id long, text string"
+        )
+        res = curate_corpus(df, unicode_normalize=True)
+        ids = sorted(r["doc_id"] for r in res.df.collect())
+        assert ids == [1, 3]
+        assert dict(res.report())["exact_dedup"] == 2

@@ -1,0 +1,174 @@
+"""End-to-end corpus curation: the published crawl-to-training-set
+cascade as ONE composed Spark plan with per-stage audit metrics.
+
+This is the workflow the individual operators exist for, in the order
+the public pipelines run it (CCNet Wenzek 2020; Gopher Rae 2021 §A1;
+RefinedWeb Penedo 2023 §3; GPT-3 Brown 2020 appendix A
+decontamination):
+
+    normalize -> exact dedup -> boilerplate/line dedup -> span dedup
+    -> quality gate -> near-dup dedup -> eval decontamination -> PII
+
+Every stage is the already-tested operator; this module only
+composes, instruments, and documents the ordering rationale:
+
+* dedup BEFORE the quality gate — duplicates vote: a million copies
+  of one spam page would otherwise dominate gate statistics you tune;
+* boilerplate/line dedup BEFORE span/near-dup — removing shared
+  banners first stops them from gluing unrelated documents into one
+  near-dup cluster;
+* decontamination LAST among the deleters — eval grams must be
+  checked against the text the model will actually see (post-rewrite);
+* PII redaction at the end — a REWRITE, not a filter; running it
+  earlier would change dedup hashes under the auditor's feet.
+
+Instrumentation uses ``DataFrame.observe``: each stage appends a
+named Observation counting its OUTPUT rows, so one caller action
+(the final write/count) yields the whole per-stage funnel with ZERO
+extra jobs — at 100 TB you cannot afford a count() per stage. Two
+honest exceptions, documented per stage: near-dup dedup runs a
+bounded internal convergence loop (one scalar action per round on a
+checkpointed label frame), and decontamination prepares its eval
+side eagerly (driver-bounded, KB-MB). Both are the operators' own
+documented contracts, not pipeline overhead.
+
+Reference parity: the reference engine's three fixed pipelines
+(`down/down_water_prep.py`, `direct_water_prep.py`, `compare.py`)
+are the same idea — a composed, gated, audited cascade — over
+tabular water data; this is the corpus-curation counterpart the
+north-star scope adds (SURVEY §2.9 X1/X2/X4/X9).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CurationResult:
+    """The curated frame plus the observation funnel. Run ONE action
+    on ``df`` (write, count, collect), then call :meth:`report`."""
+
+    df: DataFrame
+    input_rows: Observation | None
+    stages: list[tuple[str, Observation]] = field(default_factory=list)
+
+    def report(self) -> list[tuple[str, int]]:
+        """Per-stage output row counts, input first. Blocks until the
+        observations are available — i.e. call AFTER the action."""
+        out = []
+        if self.input_rows is not None:
+            out.append(("input", int(self.input_rows.get["rows"])))
+        for name, obs in self.stages:
+            out.append((name, int(obs.get["rows"])))
+        return out
+
+
+def _observed(df: DataFrame, name: str, stages: list) -> DataFrame:
+    obs = Observation(name)
+    out = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    stages.append((name, obs))
+    return out
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    unicode_normalize: bool = False,
+    exact_dedup: bool = True,
+    boilerplate_min_docs: int | None = None,
+    line_dedup: bool = False,
+    span_dedup: dict | None = None,
+    quality_gate: dict | bool = False,
+    near_dup: dict | bool = False,
+    decontaminate_eval: DataFrame | None = None,
+    decontaminate_n: int = 13,
+    redact: bool = False,
+    audit: bool = True,
+) -> CurationResult:
+    """Compose the curation cascade over ``(id_col, text_col, ...)``.
+
+    Flags select stages; dicts pass operator kwargs through
+    (``span_dedup={"min_chunk": 32}``, ``near_dup={"threshold":
+    0.8}``, ``quality_gate={"thresholds": {...}}``). ``audit=False``
+    skips the observations entirely (no overhead at all).
+
+    Returns :class:`CurationResult`; the frame keeps ``id_col`` and
+    ``text_col`` plus any other input columns EXCEPT through the
+    line-granularity rewriters, which rebuild text and therefore
+    project to (id, text) + audit counts — join extra columns back on
+    ``id_col`` afterwards if you need them (documented operator
+    contract, not a pipeline choice).
+    """
+    from waterdata_spark.functions.text import gopher_gate, normalize_unicode, redact_pii
+    from waterdata_spark.operators import dedup as D
+
+    stages: list[tuple[str, Observation]] = []
+    input_obs = None
+    cur = df
+    if audit:
+        input_obs = Observation("curate_input")
+        cur = cur.observe(input_obs, F.count(F.lit(1)).alias("rows"))
+
+    def mark(frame: DataFrame, name: str) -> DataFrame:
+        return _observed(frame, name, stages) if audit else frame
+
+    if unicode_normalize:
+        cur = mark(
+            cur.withColumn(text_col, normalize_unicode(text_col)), "normalize"
+        )
+
+    if exact_dedup:
+        cur = mark(D.exact_dedup(cur, [text_col], id_col), "exact_dedup")
+
+    if boilerplate_min_docs is not None:
+        cur = mark(
+            D.remove_boilerplate_lines(
+                cur, id_col, text_col, min_docs=boilerplate_min_docs
+            ),
+            "boilerplate",
+        )
+
+    if line_dedup:
+        cur = mark(D.dedup_lines_global(cur, id_col, text_col), "line_dedup")
+
+    if span_dedup is not None:
+        cur = mark(
+            D.dedup_spans_global(cur, id_col, text_col, **span_dedup), "span_dedup"
+        )
+
+    if quality_gate:
+        kwargs = quality_gate if isinstance(quality_gate, dict) else {}
+        cur = mark(gopher_gate(cur, text_col, **kwargs), "quality_gate")
+
+    if near_dup:
+        # internal bounded convergence actions — the operator's
+        # documented contract (min-id label propagation to fixpoint)
+        kwargs = near_dup if isinstance(near_dup, dict) else {}
+        from waterdata_spark.operators.dedup_approx import minhash_dedup
+
+        cur = mark(minhash_dedup(cur, id_col, text_col, **kwargs), "near_dup")
+
+    if decontaminate_eval is not None:
+        from waterdata_spark.operators.decontaminate import decontaminate
+
+        cur = mark(
+            decontaminate(
+                cur,
+                decontaminate_eval,
+                n=decontaminate_n,
+                id_col=id_col,
+                text_col=text_col,
+            ),
+            "decontaminate",
+        )
+
+    if redact:
+        cur = mark(cur.withColumn(text_col, redact_pii(text_col)), "redact_pii")
+
+    return CurationResult(df=cur, input_rows=input_obs, stages=stages)
