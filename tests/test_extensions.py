@@ -2778,3 +2778,53 @@ class TestEmbeddingPipelineComposition:
         out = semdedup(w, "vec_id", "z", threshold=0.9, centroids=model.centroids)
         assert 0 < out.count() <= e.count()
         assert out.columns == ["vec_id", "z"]
+
+
+class TestModelPersistence:
+    """KMeansModel / PCAModel JSON round-trips are exact (shortest-
+    round-trip float repr), so train-once / serve-later splits keep
+    the bit-level determinism contracts."""
+
+    def test_kmeans_model_roundtrip_and_distributed_semdedup_fit(self, spark):
+        import numpy as np
+
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.clustering import KMeansModel, kmeans
+        from waterdata_spark.operators.semdedup import semdedup
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+        model, _ = kmeans(e, "vec_id", "embedding", k=3, n_iter=2, seed=9)
+        back = KMeansModel.from_json(model.to_json())
+        assert np.array_equal(model.centroids, back.centroids)
+        assert back.sizes == model.sizes and back.n_iter == model.n_iter
+        # semdedup can train its centroids with the distributed fitter
+        out = semdedup(e, "vec_id", "embedding", 0.4, centroids=3, fit="distributed")
+        assert 0 < out.count() <= 200
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            semdedup(e, "vec_id", "embedding", 0.4, centroids=3, fit="bogus")
+
+    def test_pca_model_roundtrip_projection_identical(self, spark):
+        import numpy as np
+
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.embeddings import (
+            PCAModel,
+            fit_pca,
+            project_pca,
+        )
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings").limit(120)
+        m = fit_pca(e, "embedding", 5)
+        back = PCAModel.from_json(m.to_json())
+        assert np.array_equal(m.mean, back.mean)
+        assert np.array_equal(m.components, back.components)
+        assert np.array_equal(m.eigenvalues, back.eigenvalues)
+        a = project_pca(e, "embedding", m, out_col="z").select("vec_id", "z")
+        b = project_pca(e, "embedding", back, out_col="z").select("vec_id", "z")
+        ga = {r["vec_id"]: tuple(r["z"]) for r in a.collect()}
+        gb = {r["vec_id"]: tuple(r["z"]) for r in b.collect()}
+        assert ga == gb  # bit-identical projections from the revived model

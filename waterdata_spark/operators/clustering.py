@@ -62,6 +62,31 @@ class KMeansModel:
     sizes: list[int]  # members per cluster at the final update
     n_iter: int
 
+    def to_json(self) -> str:
+        """Exact round-trip serialization (Python float repr is
+        shortest-round-trip, so centroid bits survive) — the
+        train-once / assign-everywhere split across sessions."""
+        import json
+
+        return json.dumps(
+            {
+                "centroids": [[float(x) for x in c] for c in self.centroids],
+                "sizes": list(self.sizes),
+                "n_iter": self.n_iter,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "KMeansModel":
+        import json
+
+        d = json.loads(s)
+        return KMeansModel(
+            centroids=np.asarray(d["centroids"], dtype="float64"),
+            sizes=[int(x) for x in d["sizes"]],
+            n_iter=int(d["n_iter"]),
+        )
+
 
 def _update_centroids(
     asg: DataFrame,

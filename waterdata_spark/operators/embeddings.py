@@ -54,6 +54,34 @@ class PCAModel:
     n: int
     scale: int
 
+    def to_json(self) -> str:
+        """Exact round-trip serialization (shortest-round-trip float
+        repr) — fit once, project in any later session."""
+        import json
+
+        return json.dumps(
+            {
+                "mean": [float(x) for x in self.mean],
+                "components": [[float(x) for x in r] for r in self.components],
+                "eigenvalues": [float(x) for x in self.eigenvalues],
+                "n": self.n,
+                "scale": self.scale,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "PCAModel":
+        import json
+
+        d = json.loads(s)
+        return PCAModel(
+            mean=np.asarray(d["mean"], dtype="float64"),
+            components=np.asarray(d["components"], dtype="float64"),
+            eigenvalues=np.asarray(d["eigenvalues"], dtype="float64"),
+            n=int(d["n"]),
+            scale=int(d["scale"]),
+        )
+
 
 def _scaled_long(c: Column, scale: int) -> Column:
     return F.round(c.cast("double") * F.lit(float(scale)), 0).cast("long")

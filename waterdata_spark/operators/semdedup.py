@@ -266,15 +266,31 @@ def semdedup(
     seed: int = 7,
     round_dp: int = 6,
     literal_max_elems: int = 32_768,
+    fit: str = "sample",
 ) -> DataFrame:
     """Semantic dedup: returns the surviving rows, all columns intact.
 
-    ``centroids``: an int k fits production centroids via the sampled
-    k-means path (deterministic for a given seed); an explicit vector
-    sequence freezes assignment (the reproducible / oracle form).
+    ``centroids``: an int k fits production centroids (deterministic
+    for a given seed); an explicit vector sequence freezes assignment
+    (the reproducible / oracle form). ``fit`` picks the trainer for
+    the int form: ``"sample"`` = driver-local Lloyd on a hash sample
+    (cost independent of corpus size — right when 40k vectors
+    represent the corpus); ``"distributed"`` = full-corpus exact
+    Lloyd (`operators/clustering.kmeans`, r8) for stratified/skewed
+    corpora where the sample misses rare modes.
     """
     if isinstance(centroids, (int, np.integer)):
-        centroids = fit_centroids(df, id_col, vec_col, int(centroids), seed=seed)
+        if fit == "distributed":
+            from waterdata_spark.operators.clustering import kmeans
+
+            model, _ = kmeans(
+                df, id_col, vec_col, k=int(centroids), n_iter=8, seed=seed
+            )
+            centroids = model.centroids
+        elif fit == "sample":
+            centroids = fit_centroids(df, id_col, vec_col, int(centroids), seed=seed)
+        else:
+            raise ValueError(f"unknown fit mode {fit!r}")
     labels = semdedup_labels(
         df,
         id_col,
