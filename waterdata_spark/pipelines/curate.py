@@ -148,10 +148,24 @@ def curate_corpus(
 
     if near_dup:
         # internal bounded convergence actions — the operator's
-        # documented contract (min-id label propagation to fixpoint)
+        # documented contract (min-id label propagation to fixpoint).
+        # Materialize the cascade ONCE here: the near-dup internals
+        # scan their input 3+ times (candidate pairs, Jaccard verify,
+        # survivor semi-join), and without a barrier each scan re-runs
+        # every upstream stage (measured at 5k docs: 33 -> 17s). The
+        # checkpoint is EAGER: the lazy form skips upstream observe
+        # nodes on post-fill actions and silently zeroes their funnel
+        # counts (found by the probe's funnel assertion); eager fills
+        # fire every upstream observation exactly once, correctly.
+        # This stage already runs internal actions, so the barrier
+        # does not change the "one caller action" story near_dup=False
+        # users get. With audit=False there are no observe nodes to
+        # protect, so the cheaper lazy fill is safe (measured 17 vs
+        # 22s at 5k docs).
         kwargs = near_dup if isinstance(near_dup, dict) else {}
         from waterdata_spark.operators.dedup_approx import minhash_dedup
 
+        cur = cur.localCheckpoint(eager=audit)
         cur = mark(minhash_dedup(cur, id_col, text_col, **kwargs), "near_dup")
 
     if decontaminate_eval is not None:
