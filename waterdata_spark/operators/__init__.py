@@ -1,6 +1,8 @@
 from waterdata_spark.operators.asof import asof_join
 from waterdata_spark.operators.chunking import chunk_documents, pack_sequences
 from waterdata_spark.operators.decontaminate import decontaminate, ngram_contamination
+from waterdata_spark.operators.classify import nb_score, nb_train
+from waterdata_spark.operators.clustering import KMeansModel, kmeans
 from waterdata_spark.operators.dedup import (
     dedup_against_exact,
     dedup_any,
@@ -9,7 +11,9 @@ from waterdata_spark.operators.dedup import (
     exact_dedup,
     priority_dedup,
     priority_dedup_agg,
+    remove_boilerplate_lines,
 )
+from waterdata_spark.operators.embeddings import PCAModel, fit_pca, project_pca
 from waterdata_spark.operators.dedup_approx import (
     dedup_against,
     min_id_components,
@@ -51,6 +55,12 @@ from waterdata_spark.operators.selection import (
     importance_weights,
     lm_perplexity,
 )
+from waterdata_spark.operators.retrieval import bm25_topk, rrf_fuse
+from waterdata_spark.operators.semdedup import (
+    assign_clusters,
+    semdedup,
+    semdedup_labels,
+)
 from waterdata_spark.operators.similarity import (
     build_ivf_index,
     cosine_search_bruteforce,
@@ -64,8 +74,12 @@ from waterdata_spark.operators.similarity import (
 
 __all__ = [
     "ExpectationError",
+    "KMeansModel",
+    "PCAModel",
     "apply_changes",
     "asof_join",
+    "assign_clusters",
+    "bm25_topk",
     "build_ivf_index",
     "chunk_documents",
     "cosine_search_bruteforce",
@@ -115,5 +129,14 @@ __all__ = [
     "stratified_sample_exact",
     "upsample",
     "suffixed_join",
+    "fit_pca",
+    "project_pca",
+    "kmeans",
+    "nb_score",
+    "nb_train",
+    "remove_boilerplate_lines",
+    "rrf_fuse",
+    "semdedup",
+    "semdedup_labels",
     "with_quantized_vector",
 ]
