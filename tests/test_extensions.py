@@ -2549,6 +2549,67 @@ class TestSemDeDup:
         assert not ({7, 900002} <= got)
         assert 0 < len(got) <= df.count()
 
+    def test_fit_kwargs_forwarded_to_distributed_trainer(self, spark):
+        """ADVICE r8: the caller's round_dp and trainer knobs reach the
+        distributed kmeans fit — labels under fit_kwargs={'n_iter': 1}
+        must equal an explicit kmeans(n_iter=1, round_dp=...) fit, and
+        fit_kwargs alongside explicit centroids is a contract error."""
+        import pytest
+
+        from waterdata_spark.operators.clustering import kmeans
+        from waterdata_spark.operators.semdedup import semdedup
+
+        e, _, _ = self._real(spark)
+        df = e.select("vec_id", "embedding")
+        out = semdedup(
+            df,
+            "vec_id",
+            "embedding",
+            self.THR,
+            centroids=4,
+            seed=7,
+            round_dp=4,
+            fit="distributed",
+            fit_kwargs={"n_iter": 1},
+        )
+        model, _ = kmeans(
+            df, "vec_id", "embedding", k=4, n_iter=1, seed=7, round_dp=4
+        )
+        expected = semdedup(
+            df, "vec_id", "embedding", self.THR, centroids=model.centroids,
+            round_dp=4,
+        )
+        assert {r["vec_id"] for r in out.collect()} == {
+            r["vec_id"] for r in expected.collect()
+        }
+        with pytest.raises(ValueError, match="fit_kwargs"):
+            semdedup(
+                df, "vec_id", "embedding", self.THR,
+                centroids=model.centroids, fit_kwargs={"n_iter": 2},
+            )
+
+    def test_arrow_assignment_rounds_half_up(self, spark):
+        """ADVICE r8: the Arrow kernel must round HALF_UP like F.round,
+        the python twin, and the DuckDB oracle. Constructed exact tie:
+        unit query [1,0,...], centroid ones(16) -> unit 0.25 each ->
+        cosine exactly 0.25; at round_dp=1 that is the 2.5 tie —
+        HALF_UP gives 0.3, numpy's half-to-even gave 0.2."""
+        from waterdata_spark.operators.semdedup import assign_clusters
+
+        df = spark.createDataFrame(
+            [(1, [1.0] + [0.0] * 15)], "vec_id long, embedding array<double>"
+        )
+        cents = [[1.0] * 16, [0.0, 1.0] + [0.0] * 14]
+        lit = assign_clusters(df, "vec_id", "embedding", cents, round_dp=1)
+        arrow = assign_clusters(
+            df, "vec_id", "embedding", cents, round_dp=1, literal_max_elems=0
+        )
+        r_lit = lit.collect()[0]
+        r_arrow = arrow.collect()[0]
+        assert r_lit["cos_to_centroid"] == 0.3
+        assert r_arrow["cos_to_centroid"] == 0.3
+        assert r_lit["cluster"] == r_arrow["cluster"] == 0
+
 
 class TestKMeans:
     """Distributed Lloyd's k-means (operators/clustering) — the exact
@@ -2682,6 +2743,93 @@ class TestPCAWhitening:
             m.eigenvalues[i] >= m.eigenvalues[i + 1]
             for i in range(len(m.eigenvalues) - 1)
         )
+
+    def test_gram_fit_matches_exact_within_tolerance(self, spark):
+        """VERDICT r8 item 1: the Arrow partial-Gram production fit.
+        Against an UNROUNDED pure-numpy float64 covariance (the right
+        reference for the float path) it must be exact to summation
+        noise (<1e-12; measured bit-equal single-partition, 8.7e-15
+        under repartitioning). Against the integer path it must sit
+        within the bound the exact path's own 1e-6 input quantization
+        implies (~||ΔC||/eigengap ≈ 1e-5 on these closely-spaced
+        spectra) — the delta is the EXACT path's rounding, not gram
+        error, which the numpy assertion proves."""
+        import numpy as np
+
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.embeddings import (
+            _model_from_cov,
+            fit_pca,
+            fit_pca_gram,
+        )
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings")
+        gram = fit_pca_gram(e, "embedding", 8)
+        X = np.array([list(r["embedding"]) for r in e.collect()], dtype="float64")
+        mean = X.mean(axis=0)
+        cov = (X.T @ X) / len(X) - np.outer(mean, mean)
+        ref = _model_from_cov(mean, cov, len(X), 8, scale=0)
+        assert gram.scale == 0 and gram.n == len(X)
+        assert np.max(np.abs(gram.mean - ref.mean)) < 1e-12
+        assert np.max(np.abs(gram.eigenvalues - ref.eigenvalues)) < 1e-12
+        assert np.max(np.abs(gram.components - ref.components)) < 1e-12
+        # repartitioning reorders float64 partial sums — tolerance, not bits
+        g2 = fit_pca_gram(e.repartition(17), "embedding", 8)
+        assert np.max(np.abs(g2.components - ref.components)) < 1e-9
+        # and the integer path agrees to its own quantization bound
+        exact = fit_pca(e, "embedding", 8, method="exact")
+        assert np.allclose(gram.mean, exact.mean, atol=1e-6)
+        assert np.allclose(gram.eigenvalues, exact.eigenvalues, atol=1e-6)
+        assert np.max(np.abs(gram.components - exact.components)) < 1e-4
+
+    def test_auto_routes_by_dimension(self, spark):
+        """method='auto' keeps the exact fit at d<=128 and routes
+        production dims to the gram fit (scale==0 marks the float
+        path); bad method names raise."""
+        import numpy as np
+        import pytest
+
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.embeddings import fit_pca
+        from waterdata_spark.schemas import load_table
+
+        e = load_table(spark, SF_SMOKE, "embeddings")  # d=64 -> exact
+        assert fit_pca(e, "embedding", 4).scale != 0
+        wide = e.select(
+            "vec_id",
+            F.flatten(F.array_repeat(F.col("embedding"), 3)).alias("embedding"),
+        )  # d=192 -> gram
+        m = fit_pca(wide, "embedding", 4)
+        assert m.scale == 0
+        assert np.all(np.isfinite(m.components))
+        with pytest.raises(ValueError, match="method"):
+            fit_pca(e, "embedding", 4, method="fast")
+
+    def test_large_magnitude_components_stay_exact(self, spark):
+        """ADVICE r8: components around 4e3 scale to ~4e9 longs whose
+        pairwise products (~1.6e19) exceed long range — the pre-fix
+        long*long product silently wrapped in non-ANSI mode. The
+        decimal-before-multiply fit must still match the arbitrary-
+        precision Python twin bit-for-bit."""
+        import numpy as np
+
+        from waterdata_spark.operators.embeddings import fit_pca, fit_pca_python
+
+        vecs = [
+            [4000.25, -3500.5, 2999.75],
+            [-3900.125, 3600.0, 4100.5],
+            [3777.0, -4050.25, -3888.875],
+            [-4096.5, 3333.125, 3555.0],
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+        )
+        m = fit_pca(df, "embedding", 2)
+        mp = fit_pca_python(vecs, 2)
+        assert np.array_equal(m.mean, mp.mean)
+        assert np.array_equal(m.components, mp.components)
+        assert np.array_equal(m.eigenvalues, mp.eigenvalues)
 
     def test_projection_matches_numpy_and_whitening_decorrelates(self, spark):
         import numpy as np

@@ -262,6 +262,21 @@ class TestCurateCorpus:
         vals = [v for _, v in res.report()]
         assert all(a >= b for a, b in zip(vals, vals[1:]))
 
+    def test_empty_dict_enables_stage(self, spark):
+        """ADVICE r8: `{}` — the natural 'enable with defaults'
+        spelling — must RUN the dict|bool stages, not silently skip
+        them (truthiness treated {} as False for quality_gate and
+        near_dup while span_dedup={} ran)."""
+        from waterdata_spark.pipelines.curate import curate_corpus
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        res = curate_corpus(df, exact_dedup=False, quality_gate={}, near_dup={})
+        names = [n for n, _ in res.stages]
+        assert "quality_gate" in names and "near_dup" in names
+        res.df.count()
+        funnel = dict(res.report())
+        assert "quality_gate" in funnel and "near_dup" in funnel
+
     def test_decontaminate_stage_and_audit_off(self, spark):
         from waterdata_spark.pipelines.curate import curate_corpus
 

@@ -11,27 +11,46 @@ variance in the leading axes, so a truncated projection (n_components
 < dim) is also the standard cheap dimensionality reduction before
 LSH/IVF.
 
-Exactness contract (the repo-wide decimal_round recipe): the fit
-reduces the corpus to FIRST and SECOND moment sums computed on
-1e6-scaled integers — every component rounds ONCE, products stay in
-long (1e12 max), sums ride DECIMAL(38,0) — so the moment matrix is
-order-independent and bit-equal on any partitioning (test-pinned).
-The eigendecomposition of that d x d matrix is driver-side
-`numpy.linalg.eigh` (symmetric, LAPACK) with a deterministic sign
-convention (largest-|component| positive). The pure-Python
-differential recomputes the integer moments and must match EXACTLY;
-eigh then agrees because its input bits agree.
+Two fit paths, one projection:
 
-100 TB shape: the fit is two combiner-friendly JVM reduces — a d-row
-mean pass and an upper-triangle d(d+1)/2-row second-moment pass
-(double posexplode, map-side partial aggregation: the Exchange
-carries at most d(d+1)/2 rows per task). Driver state is one d x d
-matrix. Projection is a narrow zero-shuffle JVM scan: out[j] =
-dot(v, W_j) - b_j with W as plan literals — no UDF, whole-stage
-codegen. The double explode multiplies rows by d(d+1)/2 BEFORE the
-map-side combine; for d in the hundreds that is the documented cost
-of exactness — an Arrow mapInPandas float64 partial-Gram path would
-be ~d x cheaper per row and approximately (order-dependently) equal.
+* **Exact integer path** (``method='exact'``, the oracle /
+  differential contract — the repo-wide decimal_round recipe): the
+  fit reduces the corpus to FIRST and SECOND moment sums computed on
+  1e6-scaled integers — every component rounds ONCE, factors are cast
+  to DECIMAL(19,0) before the product (a long*long product wraps
+  silently in non-ANSI mode above |v|~3e3, ADVICE r8), sums ride
+  DECIMAL(38,0) — so the moment matrix is order-independent and
+  bit-equal on any partitioning (test-pinned). The double-posexplode
+  second-moment pass multiplies rows by d(d+1)/2 BEFORE the map-side
+  combine — fine at d≤~128, impractical at the d=768 real embedding
+  models emit (~295k exploded rows per document; VERDICT r8 named
+  this the repo's one scale cliff).
+* **Arrow partial-Gram path** (``method='gram'``, the PRODUCTION fit,
+  r9): one ``mapInPandas`` pass accumulates a per-partition float64
+  Gram matrix (``X.T @ X``, one d x d numpy matrix per partition) and
+  component sums; the driver sums P partition rows. Cost per row is
+  O(d²) FLOPs with no row multiplication — ~d x cheaper than the
+  exact path and the only practical fit at production dims (probed at
+  d=512 x 200k rows, tools/pca_scale_probe.py). Float64 summation is
+  order-DEPENDENT across partitions, so the result is approximate
+  (~1e-9 relative vs exact; tolerance-tested at 1e-6 on
+  eigenvectors) and not bit-stable under repartitioning — use
+  ``'exact'`` when the differential/oracle contract matters, 'gram'
+  everywhere else.
+
+``method='auto'`` (the default) routes by dimension: exact at
+d ≤ 128, gram above. The eigendecomposition of the d x d matrix is
+driver-side `numpy.linalg.eigh` (symmetric, LAPACK) with a
+deterministic sign convention (largest-|component| positive) on both
+paths. The pure-Python differential recomputes the integer moments
+and must match the exact path EXACTLY; eigh then agrees because its
+input bits agree.
+
+100 TB shape: both fits are combiner-friendly single-pass reduces
+(exact: two JVM aggregations; gram: one Arrow scan emitting P rows of
+d(d+3)/2+1 doubles). Driver state is one d x d matrix. Projection is
+a narrow zero-shuffle JVM scan: out[j] = dot(v, W_j) - b_j with W as
+plan literals — no UDF, whole-stage codegen.
 
 Reference parity: no counterpart in the reference engine; X3-family
 extension surface (SURVEY §2.9).
@@ -87,15 +106,35 @@ def _scaled_long(c: Column, scale: int) -> Column:
     return F.round(c.cast("double") * F.lit(float(scale)), 0).cast("long")
 
 
+#: ``method='auto'`` switches from the exact integer fit to the Arrow
+#: partial-Gram fit above this dimension (the exact path's exploded-row
+#: multiplier d(d+1)/2 passes ~8k here — still fine locally, far past
+#: it at d=768).
+AUTO_EXACT_MAX_DIM = 128
+
+
 def fit_pca(
     df: DataFrame,
     vec_col: str,
     n_components: int,
     scale: int = 10**6,
+    method: str = "auto",
 ) -> PCAModel:
-    """Exact-moment PCA fit. Centering is part of the model (the mean
-    rides into the projection offset); covariance uses the population
-    convention (divide by n) like the differential."""
+    """PCA fit — see the module docstring for the two paths.
+    Centering is part of the model (the mean rides into the projection
+    offset); covariance uses the population convention (divide by n)
+    like the differential. ``method``: 'exact' | 'gram' | 'auto'
+    (exact at d ≤ 128, gram above — production embedding dims route to
+    the Arrow fit automatically)."""
+    if method not in ("auto", "exact", "gram"):
+        raise ValueError(f"method must be 'auto', 'exact' or 'gram', got {method!r}")
+    if method == "auto":
+        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None:
+            raise ValueError("fit_pca: empty input")
+        method = "exact" if int(probe["d"]) <= AUTO_EXACT_MAX_DIM else "gram"
+    if method == "gram":
+        return fit_pca_gram(df, vec_col, n_components)
     first = (
         df.select(F.posexplode(F.col(vec_col)).alias("__i", "__v"))
         .groupBy("__i")
@@ -124,19 +163,24 @@ def fit_pca(
         F.posexplode(F.col(vec_col)).alias("__i", "__vi"),
         F.col(vec_col).alias("__w"),
     )
+    # The factors are cast to decimal BEFORE the multiply: a long*long
+    # product silently wraps in non-ANSI mode once |component|*scale
+    # exceeds ~3e9 (|v| ~ 3e3 at the default 1e6 scale), corrupting
+    # the covariance with no error (ADVICE r8). decimal(19,0) *
+    # decimal(19,0) promotes to decimal(38,0) — exact for any pair of
+    # long-ranged factors.
     second = (
         ex.select(
             "__i",
-            _scaled_long(F.col("__vi"), scale).alias("__si"),
+            _scaled_long(F.col("__vi"), scale).cast("decimal(19,0)").alias("__si"),
             F.posexplode("__w").alias("__j", "__vj"),
         )
         .filter(F.col("__j") >= F.col("__i"))
         .groupBy("__i", "__j")
         .agg(
             F.sum(
-                (F.col("__si") * _scaled_long(F.col("__vj"), scale)).cast(
-                    "decimal(38,0)"
-                )
+                F.col("__si")
+                * _scaled_long(F.col("__vj"), scale).cast("decimal(19,0)")
             ).alias("s2")
         )
         .collect()
@@ -147,6 +191,91 @@ def fit_pca(
         S2[r["__j"], r["__i"]] = int(r["s2"])
 
     return _model_from_moments(s1, S2, n, d, n_components, scale)
+
+
+def fit_pca_gram(
+    df: DataFrame,
+    vec_col: str,
+    n_components: int,
+) -> PCAModel:
+    """Arrow partial-Gram PCA fit — the PRODUCTION path at real
+    embedding dims (module docstring; VERDICT r8 item 1).
+
+    One ``mapInPandas`` scan: each partition accumulates
+    ``n`` (rows), ``s = Σx`` (d doubles) and the Gram matrix
+    ``G = Σ x xᵀ`` (upper triangle, d(d+1)/2 doubles) in float64
+    numpy, emitting ONE row per partition. The driver sums the P
+    partition rows and finishes exactly like the exact path:
+    cov = G/n − mean meanᵀ → eigh → sign-fixed top-r model. No
+    shuffle, no exploded rows — per-row cost is one rank-1 BLAS
+    update (O(d²) FLOPs), ~d× cheaper than the exact path's
+    d(d+1)/2-row explode.
+
+    Float64 partial sums are order-dependent across partitions:
+    the result is ~1e-9-relative-close to the exact fit (tolerance-
+    tested) but NOT bit-stable under repartitioning. ``scale`` is
+    recorded as 0 in the model to mark the float fit."""
+    import pandas as pd
+
+    if not isinstance(n_components, int) or n_components < 1:
+        raise ValueError("n_components must be a positive int")
+
+    out_schema = "n long, d int, s array<double>, g array<double>"
+
+    def partial_gram(batches):
+        n = 0
+        s = None
+        G = None
+        d = None
+        for pdf in batches:
+            col = pdf.iloc[:, 0]
+            if len(col) == 0:
+                continue
+            X = np.vstack(col.to_numpy())
+            if d is None:
+                d = X.shape[1]
+                s = np.zeros(d, dtype="float64")
+                G = np.zeros((d, d), dtype="float64")
+            elif X.shape[1] != d:
+                raise ValueError(
+                    f"fit_pca_gram: ragged vectors (saw dims {d} and {X.shape[1]})"
+                )
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            G += X.T @ X
+        if n == 0:
+            return
+        iu = np.triu_indices(d)
+        yield pd.DataFrame(
+            {"n": [n], "d": [d], "s": [s.tolist()], "g": [G[iu].tolist()]}
+        )
+
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .mapInPandas(partial_gram, out_schema)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("fit_pca_gram: empty input")
+    dims = {int(r["d"]) for r in rows}
+    if len(dims) != 1:
+        raise ValueError(f"fit_pca_gram: ragged vectors across partitions ({sorted(dims)})")
+    d = dims.pop()
+    if n_components > d:
+        raise ValueError(f"n_components must be in [1, {d}]")
+    n = sum(int(r["n"]) for r in rows)
+    s = np.zeros(d, dtype="float64")
+    Gu = np.zeros(d * (d + 1) // 2, dtype="float64")
+    for r in rows:
+        s += np.asarray(r["s"], dtype="float64")
+        Gu += np.asarray(r["g"], dtype="float64")
+    G = np.zeros((d, d), dtype="float64")
+    iu = np.triu_indices(d)
+    G[iu] = Gu
+    G.T[iu] = Gu
+    mean = s / n
+    cov = G / n - np.outer(mean, mean)
+    return _model_from_cov(mean, cov, n, n_components, scale=0)
 
 
 def _model_from_moments(
@@ -160,11 +289,19 @@ def _model_from_moments(
         for j in range(d):
             # E[xy] - E[x]E[y], each term from exact integer sums
             cov[i, j] = int(S2[i, j]) / (n * scale * scale) - mean[i] * mean[j]
+    return _model_from_cov(mean, cov, n, n_components, scale)
+
+
+def _model_from_cov(
+    mean: np.ndarray, cov: np.ndarray, n: int, n_components: int, scale: int
+) -> PCAModel:
+    """Shared tail of every fit path: eigh (symmetric, LAPACK,
+    ascending) -> top-r descending -> deterministic sign convention
+    (largest-|component| entry positive)."""
     vals, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1][:n_components]
     comps = vecs[:, order].T.copy()  # (r, d)
     for k in range(comps.shape[0]):
-        # deterministic sign: the largest-|component| entry is positive
         m = np.argmax(np.abs(comps[k]))
         if comps[k, m] < 0:
             comps[k] = -comps[k]

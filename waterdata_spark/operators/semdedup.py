@@ -155,7 +155,12 @@ def _with_assignment(
     @F.pandas_udf(f"struct<{cluster_col}:int, {cos_col}:double>")
     def assign(units: pd.Series) -> pd.DataFrame:
         X = np.vstack(units.to_numpy())
-        S = np.round(X @ CT, round_dp)
+        # HALF_UP rounding to match F.round on the literal path, the
+        # kmeans_python twin, and the DuckDB oracle — np.round is
+        # half-to-even and would flip an exact .5 tie (ADVICE r8).
+        p = float(10**round_dp)
+        R = X @ CT
+        S = np.where(R >= 0, np.floor(R * p + 0.5), -np.floor(-R * p + 0.5)) / p
         lab = S.argmax(axis=1)  # numpy argmax: FIRST max — lowest index
         return pd.DataFrame(
             {cluster_col: lab.astype("int32"), cos_col: S[np.arange(len(lab)), lab]}
@@ -267,6 +272,7 @@ def semdedup(
     round_dp: int = 6,
     literal_max_elems: int = 32_768,
     fit: str = "sample",
+    fit_kwargs: dict | None = None,
 ) -> DataFrame:
     """Semantic dedup: returns the surviving rows, all columns intact.
 
@@ -277,20 +283,28 @@ def semdedup(
     (cost independent of corpus size — right when 40k vectors
     represent the corpus); ``"distributed"`` = full-corpus exact
     Lloyd (`operators/clustering.kmeans`, r8) for stratified/skewed
-    corpora where the sample misses rare modes.
+    corpora where the sample misses rare modes. ``fit_kwargs``
+    forwards trainer knobs (``n_iter``, ``literal_max_elems``, ...) to
+    the distributed fit; the caller's ``round_dp`` is ALWAYS forwarded
+    so the fit and the labeling round identically (ADVICE r8 — a fit
+    at 6dp under labeling at another dp broke the determinism
+    contract's symmetry).
     """
     if isinstance(centroids, (int, np.integer)):
         if fit == "distributed":
             from waterdata_spark.operators.clustering import kmeans
 
+            kw = {"n_iter": 8, "round_dp": round_dp, **(fit_kwargs or {})}
             model, _ = kmeans(
-                df, id_col, vec_col, k=int(centroids), n_iter=8, seed=seed
+                df, id_col, vec_col, k=int(centroids), seed=seed, **kw
             )
             centroids = model.centroids
         elif fit == "sample":
             centroids = fit_centroids(df, id_col, vec_col, int(centroids), seed=seed)
         else:
             raise ValueError(f"unknown fit mode {fit!r}")
+    elif fit_kwargs:
+        raise ValueError("fit_kwargs only applies when centroids is an int k")
     labels = semdedup_labels(
         df,
         id_col,

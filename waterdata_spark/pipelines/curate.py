@@ -142,11 +142,14 @@ def curate_corpus(
             D.dedup_spans_global(cur, id_col, text_col, **span_dedup), "span_dedup"
         )
 
-    if quality_gate:
+    # dict|bool stage params: a dict — INCLUDING the empty dict, the
+    # natural "enable with defaults" spelling — always enables the
+    # stage; plain truthiness would silently skip `{}` (ADVICE r8).
+    if isinstance(quality_gate, dict) or quality_gate:
         kwargs = quality_gate if isinstance(quality_gate, dict) else {}
         cur = mark(gopher_gate(cur, text_col, **kwargs), "quality_gate")
 
-    if near_dup:
+    if isinstance(near_dup, dict) or near_dup:
         # internal bounded convergence actions — the operator's
         # documented contract (min-id label propagation to fixpoint).
         # Materialize the cascade ONCE here: the near-dup internals
