@@ -289,6 +289,38 @@ class TestDedup:
         assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
         assert out.columns == corpus.columns
 
+    def test_digest_reuse_path_matches_recompute(self, spark):
+        """r9 digest_col contract: computing content_digest once and
+        running both dedup stages on it gives exactly the recompute
+        path's rows — and lets the caller project the wide text away
+        before any shuffle."""
+        from waterdata_spark.operators.dedup import (
+            content_digest,
+            dedup_against_exact,
+        )
+
+        corpus = spark.createDataFrame(
+            [(3, "same"), (1, "same"), (2, "other"), (4, "ingested")],
+            "doc_id long, text string",
+        )
+        ref = spark.createDataFrame([(900, "ingested")], "doc_id long, text string")
+        expected = dedup_against_exact(
+            exact_dedup(corpus, ["text"], "doc_id"), ref, ["text"]
+        )
+        dc = corpus.withColumn("__d", content_digest(["text"]))
+        kept = exact_dedup(
+            dc.select("doc_id", "__d"), [], "doc_id", digest_col="__d"
+        )
+        got = dedup_against_exact(
+            kept,
+            ref.withColumn("__d", content_digest(["text"])).select("__d"),
+            [],
+            digest_col="__d",
+        )
+        assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+            r["doc_id"] for r in expected.collect()
+        ) == [1, 2]
+
     def test_content_digest_no_boundary_or_null_collisions(self, spark):
         """Length-prefixed content encoding (ADVICE r6): ("ab","c")
         must NOT collide with ("a","bc"), and null must NOT collide

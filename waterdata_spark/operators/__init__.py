@@ -4,6 +4,7 @@ from waterdata_spark.operators.decontaminate import decontaminate, ngram_contami
 from waterdata_spark.operators.classify import nb_score, nb_train
 from waterdata_spark.operators.clustering import KMeansModel, kmeans
 from waterdata_spark.operators.dedup import (
+    content_digest,
     dedup_against_exact,
     dedup_any,
     dedup_lines_global,
@@ -13,7 +14,12 @@ from waterdata_spark.operators.dedup import (
     priority_dedup_agg,
     remove_boilerplate_lines,
 )
-from waterdata_spark.operators.embeddings import PCAModel, fit_pca, project_pca
+from waterdata_spark.operators.embeddings import (
+    PCAModel,
+    fit_pca,
+    fit_pca_gram,
+    project_pca,
+)
 from waterdata_spark.operators.dedup_approx import (
     dedup_against,
     min_id_components,
@@ -91,6 +97,7 @@ __all__ = [
     "decontaminate",
     "dedup_any",
     "dedup_against",
+    "content_digest",
     "dedup_against_exact",
     "dedup_lines_global",
     "dedup_spans_global",
@@ -130,6 +137,7 @@ __all__ = [
     "upsample",
     "suffixed_join",
     "fit_pca",
+    "fit_pca_gram",
     "project_pca",
     "kmeans",
     "nb_score",

@@ -77,14 +77,19 @@ def dedup_any(df: DataFrame, keys: list[str]) -> DataFrame:
     return df.dropDuplicates(keys)
 
 
-def _content_digest(content_cols: list[str]):
+def content_digest(content_cols: list[str]):
     """sha2 over an UNAMBIGUOUS multi-column encoding: each value is
     length-prefixed (``len:value``) and null gets a sentinel that can
     never start a length prefix. Separator-joined concat would let
     ("ab","c") collide with ("a","bc") when a value contains the
     separator, and concat_ws skips nulls so null collided with '' —
     and in the cross-corpus form a false collision silently DELETES
-    corpus rows (ADVICE r6)."""
+    corpus rows (ADVICE r6).
+
+    Public (r9) so pipelines can compute the digest ONCE, project the
+    wide content columns away, and run every downstream dedup stage on
+    the fixed-width digest — the content then never rides a shuffle
+    (see ``exact_dedup(digest_col=...)``)."""
     parts = []
     for c in content_cols:
         s = F.col(c).cast("string")
@@ -96,14 +101,33 @@ def _content_digest(content_cols: list[str]):
     return F.sha2(F.concat(*parts), 256)
 
 
-def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+#: module-internal alias (pre-r9 name, kept for call sites/tests)
+_content_digest = content_digest
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: list[str],
+    id_col: str,
+    digest_col: str | None = None,
+) -> DataFrame:
     """X1: exact content dedup at scale — keep the row with the lowest
     id per distinct content. groupBy(content)+min(id) then semi-join
     back would shuffle twice; a window does it in one shuffle on a
     hash of the content (cheap fixed-width shuffle key even for long
     text). Content identity is the length-prefixed
-    :func:`_content_digest` — no column-boundary or null/'' collisions."""
-    df = df.withColumn("__h", _content_digest(content_cols))
+    :func:`content_digest` — no column-boundary or null/'' collisions.
+
+    ``digest_col`` (r9): name of a PRE-COMPUTED :func:`content_digest`
+    column to dedup on instead of computing one here (``content_cols``
+    is then ignored). The 100 TB reason: when a caller digests once
+    and projects the text away before calling, the wide content never
+    rides the election shuffle — only fixed-width digests do — and a
+    downstream cross-corpus stage reuses the same digest instead of
+    re-scanning the text. The column is caller-owned and kept."""
+    if digest_col is not None:
+        return priority_dedup(df, [digest_col], [F.col(id_col).asc()])
+    df = df.withColumn("__h", content_digest(content_cols))
     out = priority_dedup(df, ["__h"], [F.col(id_col).asc()])
     return out.drop("__h")
 
@@ -290,7 +314,10 @@ def remove_boilerplate_lines(
 
 
 def dedup_against_exact(
-    corpus: DataFrame, reference: DataFrame, content_cols: list[str]
+    corpus: DataFrame,
+    reference: DataFrame,
+    content_cols: list[str],
+    digest_col: str | None = None,
 ) -> DataFrame:
     """Cross-corpus EXACT dedup: drop corpus rows whose content exists
     anywhere in ``reference`` (dedup a new crawl against the corpus
@@ -300,10 +327,18 @@ def dedup_against_exact(
     the documents; a small reference digest set broadcasts. Corpus
     rows pass through otherwise untouched (self-duplicates within the
     corpus are exact_dedup's job, deliberately not repeated here).
-    Content identity is the length-prefixed :func:`_content_digest`
+    Content identity is the length-prefixed :func:`content_digest`
     (same encoding as exact_dedup) — a column-boundary or null/''
-    collision here would silently delete corpus rows."""
-    h = _content_digest(content_cols)
+    collision here would silently delete corpus rows.
+
+    ``digest_col`` (r9): name of a pre-computed :func:`content_digest`
+    column present on BOTH frames — reuses an upstream digest instead
+    of re-scanning the content (``content_cols`` ignored; the column
+    is caller-owned and kept on the output)."""
+    if digest_col is not None:
+        ref_h = reference.select(F.col(digest_col)).distinct()
+        return corpus.join(ref_h, digest_col, "left_anti")
+    h = content_digest(content_cols)
     ref_h = reference.select(h.alias("__h")).distinct()
     return (
         corpus.withColumn("__h", h)

@@ -626,12 +626,24 @@ def q17_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     tags=["dedup", "llm"],
 )
 def x01_exact_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.operators.dedup import dedup_against_exact
+    # r9 plan shape: digest ONCE, project text away, run both stages on
+    # the fixed-width digest — the wide text column reaches only the
+    # scan (where the sha2 is computed) and never rides the election
+    # window shuffle or the anti-join. Same rows, same hashes; strictly
+    # less shuffle volume at real document sizes.
+    from waterdata_spark.operators.dedup import content_digest, dedup_against_exact
 
-    d = load_table(spark, sf, "documents")
-    kept = exact_dedup(d, ["text"], "doc_id")
-    ref = d.filter(F.col("doc_id") % 7 == 3).select("text")
-    return dedup_against_exact(kept, ref, ["text"]).select(
+    d = load_table(spark, sf, "documents").withColumn(
+        "__digest", content_digest(["text"])
+    )
+    kept = exact_dedup(
+        d.select("doc_id", "lang", "n_chars", "__digest"),
+        [],
+        "doc_id",
+        digest_col="__digest",
+    )
+    ref = d.filter(F.col("doc_id") % 7 == 3).select("__digest")
+    return dedup_against_exact(kept, ref, [], digest_col="__digest").select(
         "doc_id", "lang", "n_chars"
     )
 
