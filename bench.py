@@ -16,11 +16,16 @@ Measurement discipline (VERDICT r5 items 1-2: the r5 committed numbers
 disagreed ~2x with same-code local reruns):
 
 - A CONTENTION SENTINEL — a fixed single-threaded numpy ufunc kernel,
-  min-of-3 — is timed before and after every suite. It measures the
-  MACHINE, not Spark: if the sentinel drifts >15% across a suite,
-  another process was competing for the host and the block is flagged
-  ``contended`` so one canonical number can be told from a polluted
-  one.
+  min-of-3 — is timed before the suite, AFTER EVERY QUERY, and after
+  the suite (r9; VERDICT r8 item 6: the r8 driver sf1 block carried a
+  uniform slowdown on untouched queries that a before/after-only
+  sentinel did not catch). It measures the MACHINE, not Spark: if any
+  sample drifts >15% from the block minimum the block is flagged
+  ``contended`` (full series recorded; the bar stays 1.15 because the
+  kernel's own noise floor beside an idle Spark JVM measures ~1.10
+  across 13 samples — measured r9), and both the in-process suite and
+  each child scale block RETRY ONCE on a contended verdict, keeping
+  the cleaner attempt.
 - SHUFFLE PARTITIONS SCALE WITH DATA: 32 at sf0.1, 100 at sf1, 320 at
   sf10 (the sqrt-ish rule tools/q06_scale_probe.py measured at
   2.40x/decade vs 4.5-8x under fixed 32). On a real cluster AQE sizes
@@ -63,7 +68,11 @@ HEADLINE = [
     "x07_ivf_topk_bench",
 ]
 
-REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+# 4 repeats since r9 (was 3): the x01 investigation measured a 2.3-8.9s
+# intra-JVM spread for a ~1s query on a sentinel-flat host — one extra
+# repeat materially tightens min-of-N for that noise class (VERDICT r8
+# items 2/6).
+REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "4"))
 
 # sf10 decade (VERDICT r3 task 9): the four queries with the worst
 # measured sf0.1→sf1 scale ratios get a second measured decade —
@@ -218,7 +227,7 @@ def _run_suite(
 
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).count()
-    sent_before = _sentinel_sec()
+    sent_series = [_sentinel_sec()]
     ivf = _IvfServing()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -246,17 +255,30 @@ def _run_suite(
             spark.sparkContext._jvm.System.gc()
         timings[name] = min(runs)
         spread[name] = runs
+        # r9: a sentinel sample per query — transient foreign load that
+        # recovers before suite end is invisible to before/after-only
+        sent_series.append(_sentinel_sec())
         print(f"# {name}: {n} rows, min {min(runs)}s of {runs}", file=sys.stderr)
     ivf.release()
-    sent_after = _sentinel_sec()
-    drift = round(max(sent_before, sent_after) / max(min(sent_before, sent_after), 1e-9), 3)
+    drift = round(max(sent_series) / max(min(sent_series), 1e-9), 3)
     return {
         "value": round(sum(timings.values()), 3),
         "queries": timings,
         "spread": spread,
         "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
         "x07_build_sec": ivf.build_sec,
-        "sentinel": {"before": sent_before, "after": sent_after, "drift": drift},
+        "sentinel": {
+            "before": sent_series[0],
+            "after": sent_series[-1],
+            "series": sent_series,
+            "drift": drift,
+        },
+        # threshold stays 1.15: measured noise floor of this kernel
+        # NEXT TO AN IDLE SPARK JVM is ~1.09-1.10 across 8-13 samples
+        # (JIT/GC background threads), so 1.10 would false-flag idle
+        # machines; what r9 adds against the r8 miss is the per-query
+        # SERIES (a transient spike in any sample trips the max/min
+        # ratio) and the retry-once rule.
         "contended": drift > 1.15,
     }
 
@@ -277,19 +299,34 @@ def _spawn_block(sf_dir: str, names: list[str] | None = None) -> dict | None:
         env["SPARK_GRAFT_NAMES"] = ",".join(names)
         env.setdefault("SPARK_GRAFT_REPEATS", "4")  # scale-probe block:
         # cold-I/O decay needs an extra repeat to reach steady state
-    r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env,
-        stdout=subprocess.PIPE,
-        stderr=sys.stderr,
-        text=True,
-        timeout=3000,
-    )
-    if r.returncode != 0 or not r.stdout.strip():
-        return None
-    block = json.loads(r.stdout.strip().splitlines()[-1])
-    for k in ("metric", "unit", "repeats"):
-        block.pop(k, None)
+    def run_once() -> dict | None:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            text=True,
+            timeout=3000,
+        )
+        if r.returncode != 0 or not r.stdout.strip():
+            return None
+        block = json.loads(r.stdout.strip().splitlines()[-1])
+        for k in ("metric", "unit", "repeats"):
+            block.pop(k, None)
+        return block
+
+    block = run_once()
+    # r9 (VERDICT r8 items 3/6): a contended block retries ONCE — the r8
+    # artifact shipped a contended sf10 block as its only sf10 evidence.
+    # Keep the attempt with the lower sentinel drift; record the retry.
+    if block and block.get("contended"):
+        print(f"# {sf_dir}: contended (drift {block['sentinel']['drift']}), retrying once", file=sys.stderr)
+        retry = run_once()
+        if retry and retry["sentinel"]["drift"] < block["sentinel"]["drift"]:
+            retry["retried"] = True
+            return retry
+        if block is not None:
+            block["retried"] = True
     return block
 
 
@@ -303,6 +340,20 @@ def main() -> None:
     # (q16: one cheap full-scan aggregate — q08 was consolidated away r8)
     QUERIES["q16_range_gate"].fn(spark, sf_dir).count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
+    # r9: also warm the shuffle / window / digest codegen paths the r8
+    # warm-up swap (q08_distinct_pairs -> q16) left cold — the x01
+    # investigation showed first-repeat JIT shape on exactly this class
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _t = spark.range(200_000).select(
+        (_F.col("id") % 997).alias("k"),
+        _F.sha2(_F.col("id").cast("string"), 256).alias("h"),
+    )
+    _t.withColumn(
+        "rn", _F.row_number().over(_W.partitionBy("k").orderBy("h"))
+    ).filter("rn = 1").agg(_F.max("h")).collect()
+    _t.select("k").distinct().count()
 
     names_env = os.environ.get("SPARK_GRAFT_NAMES")
     suite = _run_suite(
@@ -311,6 +362,21 @@ def main() -> None:
         names=names_env.split(",") if names_env else None,
         partitions=SHUFFLE_PARTITIONS.get(sf),
     )
+    if suite["contended"]:
+        # same retry-once rule as the child scale blocks (r9)
+        print(
+            f"# primary suite contended (drift {suite['sentinel']['drift']}), retrying once",
+            file=sys.stderr,
+        )
+        retry = _run_suite(
+            spark,
+            sf_dir,
+            names=names_env.split(",") if names_env else None,
+            partitions=SHUFFLE_PARTITIONS.get(sf),
+        )
+        if retry["sentinel"]["drift"] < suite["sentinel"]["drift"]:
+            suite = retry
+        suite["retried"] = True
     out = {
         "metric": "headline_suite_total",
         "value": suite["value"],
@@ -320,6 +386,7 @@ def main() -> None:
         "spread": suite["spread"],
         "sentinel": suite["sentinel"],
         "contended": suite["contended"],
+        "retried": suite.get("retried", False),
         "x07_build_sec": suite["x07_build_sec"],
         "shuffle_partitions": suite["shuffle_partitions"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
