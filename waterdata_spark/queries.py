@@ -835,31 +835,76 @@ def x06_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
                9) AS DECIMAL(38,9))) AS score
       FROM tf JOIN qt ON tf.t = qt.t JOIN idf i ON i.t = tf.t, stats s
       GROUP BY 1, 2
+    ),
+    bm25 AS (
+      SELECT qid, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+             CAST(score AS DOUBLE) AS score
+      FROM score QUALIFY rank <= 5
+    ),
+    dq AS (
+      SELECT q.qid, e.embedding FROM q JOIN embeddings e ON e.vec_id = q.qid
+    ),
+    dd AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 <> 3
+    ),
+    dp AS (
+      SELECT dq.qid, dd.vec_id AS doc_id,
+             list_cosine_similarity(CAST(dq.embedding AS DOUBLE[]),
+                                    CAST(dd.embedding AS DOUBLE[])) AS c
+      FROM dq CROSS JOIN dd
+    ),
+    dense AS (
+      SELECT qid, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY c DESC, doc_id ASC) AS BIGINT) AS rank
+      FROM dp QUALIFY rank <= 5
+    ),
+    fused AS (
+      SELECT qid, doc_id,
+             SUM(CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(20,9))) AS s
+      FROM (
+        SELECT qid, doc_id, rank FROM bm25
+        UNION ALL
+        SELECT qid, doc_id, rank FROM dense
+      )
+      GROUP BY 1, 2
+    ),
+    rrf AS (
+      SELECT qid, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+             CAST(s AS DOUBLE) AS score
+      FROM fused QUALIFY rank <= 5
     )
-    SELECT qid, doc_id,
-           CAST(ROW_NUMBER() OVER (
-             PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
-           CAST(score AS DOUBLE) AS score
-    FROM score QUALIFY rank <= 5
+    SELECT 'bm25' AS mode, qid, doc_id, rank, score FROM bm25
+    UNION ALL
+    SELECT 'rrf' AS mode, qid, doc_id, rank, score FROM rrf
     """,
-    doc="X3 sparse retrieval (NEW r8): Okapi BM25 top-k over the "
-    "documents table (operators/retrieval.bm25_topk, k1=1.2 b=0.75 "
-    "k=5 max_df=390 — at sf0.01 the synthetic vocabulary is 31 words "
-    "with df 25-402, so the cap demonstrably prunes the hottest terms "
-    "while the rest score) — the sparse half of hybrid retrieval next to the "
-    "dense ANN path, and the targeted-selection / leakage-triage tool "
-    "a training-data pipeline needs beyond exact n-gram "
-    "decontamination. Queries are 6-token slices cut from every 37th "
-    "document. Determinism contract: per-term contributions round to "
-    "9dp and sum as DECIMAL(38,9) — exact and order-independent, so "
-    "identical documents tie exactly (broken by doc id) and the DuckDB "
-    "twin reproduces score AND rank bit-for-bit despite ln/float "
-    "arithmetic. The x07 slot freed by consolidating the self-top-k "
+    doc="X3 hybrid retrieval, both halves in one oracle row. 'bm25' "
+    "(r8): Okapi BM25 top-k over the documents table "
+    "(operators/retrieval.bm25_topk, k1=1.2 b=0.75 k=5 max_df=390 — at "
+    "sf0.01 the synthetic vocabulary is 31 words with df 25-402, so "
+    "the cap demonstrably prunes the hottest terms while the rest "
+    "score). Queries are 6-token slices cut from every 37th document. "
+    "Determinism contract: per-term contributions round to 9dp and sum "
+    "as DECIMAL(38,9) — exact and order-independent, so identical "
+    "documents tie exactly (broken by doc id) and the DuckDB twin "
+    "reproduces score AND rank bit-for-bit despite ln/float "
+    "arithmetic. 'rrf' (NEW r9, VERDICT r8 item 4): the ADVERTISED "
+    "hybrid — the same qids rank the embeddings corpus by exact cosine "
+    "(the x16-proven recipe; ranks exact, data side excludes the query "
+    "vectors) and operators/retrieval.rrf_fuse combines both lists "
+    "(Cormack 2009, rrf_k=60): 1/(60+rank) rounded to 9dp, summed as "
+    "DECIMAL(20,9), fused top-5 per query — score AND rank "
+    "hash-checked. The x07 slot freed by consolidating the self-top-k "
     "leg into x16 registers this (COVERAGE.md trace).",
     tags=["retrieval", "text", "llm"],
 )
 def x26_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.operators.retrieval import bm25_topk
+    from waterdata_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from waterdata_spark.operators.similarity import cosine_search_bruteforce
 
     d = load_table(spark, sf, "documents").select("doc_id", "text")
     toks_raw = tokens(F.col("text"))
@@ -867,7 +912,34 @@ def x26_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("qid"),
         F.array_join(F.slice(toks_raw, 3, 6), " ").alias("qtext"),
     )
-    return bm25_topk(d, q, k=5, max_df=390)
+    bm25 = bm25_topk(d, q, k=5, max_df=390)
+    e = load_table(spark, sf, "embeddings")
+    qe = e.join(
+        q.select(F.col("qid").alias("vec_id")), "vec_id"
+    ).select(F.col("vec_id").alias("qid"), "embedding")
+    dense = cosine_search_bruteforce(
+        e.filter(F.col("vec_id") % 37 != 3),
+        qe,
+        query_id_col="qid",
+        k=5,
+        sim_col=None,
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    fused = rrf_fuse([bm25.select("qid", "doc_id", "rank"), dense], k=5)
+    return bm25.select(
+        F.lit("bm25").alias("mode"), "qid", "doc_id", "rank", "score"
+    ).unionByName(
+        fused.select(
+            F.lit("rrf").alias("mode"),
+            "qid",
+            "doc_id",
+            "rank",
+            F.col("rrf_score").alias("score"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1125,66 +1197,70 @@ def q36_unpivot(spark: SparkSession, sf: str) -> DataFrame:
              min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
              min(md5(s)) AS fingerprint
       FROM sh GROUP BY doc_id
-    )
-    SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_hash, fingerprint FROM mh
-    UNION ALL
-    SELECT doc_id, 1 AS band_id, md5(h2 || '|' || h3) AS band_hash, fingerprint FROM mh
-    """,
-    doc="X2 MinHash+LSH banding (Broder): 4 md5-seeded min-hashes over "
-    "8-char shingles, 2 bands of 2. Docs sharing (band_id, band_hash) are "
-    "near-dup candidates; the shuffle key is a fixed-width hash, never the "
-    "text. Fully oracle-checkable because the permutations are md5-based. "
-    "Also carries the UNSEEDED 1-permutation MinHash fingerprint (X4 "
-    "doc_fingerprint, the former x05 slot — r7 consolidation) computed in "
-    "the same aggregate pass: zero extra scans.",
-    tags=["dedup", "similarity", "llm"],
-)
-def x08_minhash_bands(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.operators.dedup_approx import minhash_bands
-
-    d = load_table(spark, sf, "documents")
-    return minhash_bands(
-        d, "doc_id", "text", n_hashes=4, n_bands=2, k=8, fingerprint=True
-    )
-
-
-@query(
-    "x09_simhash",
-    """
-    WITH tok AS (
+    ),
+    tok AS (
       SELECT doc_id,
              unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS t
       FROM documents
     ),
-    h AS (
+    hv AS (
       SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS hv FROM tok
     ),
     votes AS (
       SELECT doc_id, b, SUM(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
-      FROM h, (SELECT unnest(range(32)) AS b) bits
+      FROM hv, (SELECT unnest(range(32)) AS b) bits
       GROUP BY doc_id, b
     ),
     sig AS (
       SELECT doc_id,
              CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id
+    ),
+    sx AS (
+      SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+      FROM documents d LEFT JOIN sig s USING (doc_id)
     )
-    SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
-    FROM documents d LEFT JOIN sig s USING (doc_id)
+    SELECT m.doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_hash, fingerprint, sx.simhash
+    FROM mh m JOIN sx USING (doc_id)
+    UNION ALL
+    SELECT m.doc_id, 1 AS band_id, md5(h2 || '|' || h3) AS band_hash, fingerprint, sx.simhash
+    FROM mh m JOIN sx USING (doc_id)
     """,
-    doc="X2 SimHash: near-dup signature per document via per-bit majority "
-    "vote of token hashes, packed into a long — Hamming-distance "
-    "comparable, JVM-side aggregate, no UDF. Uses the md5-derived hash "
-    "variant so the signature reproduces bit-for-bit in DuckDB (the "
-    "xxhash64 variant in dedup_approx.simhash_signature is the faster "
-    "engine-only path).",
-    tags=["dedup", "llm"],
+    doc="X2 near-dup signatures, all three per-document forms in one "
+    "oracle row. MinHash+LSH banding (Broder): 4 md5-seeded min-hashes "
+    "over 8-char shingles, 2 bands of 2 — docs sharing (band_id, "
+    "band_hash) are near-dup candidates; the shuffle key is a "
+    "fixed-width hash, never the text. Carries the UNSEEDED "
+    "1-permutation MinHash fingerprint (X4 doc_fingerprint, the former "
+    "x05 slot — r7 consolidation) computed in the same aggregate pass, "
+    "and (r9 consolidation — the former x09_simhash row verbatim, slot "
+    "freed for w03_curation_cascade) the SimHash signature: per-bit "
+    "majority vote of md5-derived token hashes packed into a long, "
+    "Hamming-comparable, one extra JVM aggregate joined on doc_id. The "
+    "xxhash64 variants of both signatures remain the faster "
+    "engine-only paths (dedup_approx). Fully oracle-checkable because "
+    "every hash is md5-based.",
+    tags=["dedup", "similarity", "llm"],
 )
-def x09_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.operators.dedup_approx import simhash_signature_md5
+def x08_minhash_bands(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.operators.dedup_approx import (
+        minhash_bands,
+        simhash_signature_md5,
+    )
 
     d = load_table(spark, sf, "documents")
-    return d.select("doc_id", simhash_signature_md5("text").alias("simhash"))
+    bands = minhash_bands(
+        d, "doc_id", "text", n_hashes=4, n_bands=2, k=8, fingerprint=True
+    )
+    sx = d.select("doc_id", simhash_signature_md5("text").alias("simhash"))
+    return bands.join(sx, "doc_id")
+
+
+# x09_simhash was consolidated into x08_minhash_bands in round 9 — the
+# SimHash signature (md5 per-bit majority-vote variant) is now the
+# `simhash` column of every x08 row, still oracle-hashed value-for-value
+# against the same DuckDB recipe. The freed slot registers
+# w03_curation_cascade. See COVERAGE.md.
 
 
 @query(
@@ -2255,6 +2331,214 @@ def w02_compare_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: w03 quality-gate config: the four SQL-expressible Gopher signals
+#: stay active (n_words floor LOWERED to 20 — the corpus loses lines to
+#: the boilerplate stage upstream, exactly the interaction this row
+#: verifies); the line/ngram-repetition signals are neutralized here
+#: because their DuckDB twins live in x11/x22 already and a 12-signal
+#: twin would re-prove what those rows prove.
+_W03_NEUTRAL = (float("-inf"), float("inf"))
+_W03_THRESHOLDS = {
+    "n_words": (20.0, 100000.0),
+    "mean_word_len": (3.0, 10.0),
+    # alpha_word_ratio (0.80, inf) and symbol_word_ratio (-inf, 0.10)
+    # ride the published defaults — mirrored in the twin
+    "bullet_line_fraction": _W03_NEUTRAL,
+    "ellipsis_line_fraction": _W03_NEUTRAL,
+    "dup_line_fraction": _W03_NEUTRAL,
+    "top_2gram_fraction": _W03_NEUTRAL,
+    "top_3gram_fraction": _W03_NEUTRAL,
+    "top_4gram_fraction": _W03_NEUTRAL,
+    "dup_5gram_fraction": _W03_NEUTRAL,
+    "dup_10gram_fraction": _W03_NEUTRAL,
+}
+
+
+@query(
+    "w03_curation_cascade",
+    """
+    WITH src0 AS (
+      SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents
+    ),
+    src AS (
+      SELECT doc_id, text FROM src0
+      UNION ALL
+      SELECT doc_id + 100000, text FROM src0 WHERE doc_id % 83 = 0
+    ),
+    s1 AS (
+      SELECT doc_id, text FROM src
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    ),
+    arr AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\r?\n'), x -> trim(x) <> '') AS lns
+      FROM s1
+    ),
+    ls AS (
+      SELECT doc_id, unnest(lns) AS line, unnest(range(len(lns))) AS idx FROM arr
+    ),
+    hot AS (
+      SELECT trim(line) AS t FROM ls
+      GROUP BY trim(line) HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    bkept AS (
+      SELECT doc_id, idx, line FROM ls
+      WHERE trim(line) NOT IN (SELECT t FROM hot)
+    ),
+    s2 AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+      FROM bkept GROUP BY doc_id
+    ),
+    s2t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM s2
+    ),
+    s3 AS (
+      SELECT doc_id, text FROM s2t
+      WHERE len(toks) BETWEEN 20 AND 100000
+        AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            / greatest(len(toks), 1) BETWEEN 3.0 AND 10.0
+        AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+            / greatest(len(toks), 1) >= 0.80
+        AND CAST(len(list_filter(toks, x -> regexp_matches(x, '#|\\.\\.\\.|…'))) AS DOUBLE)
+            / greatest(len(toks), 1) <= 0.10
+    ),
+    lowsrc AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+      FROM src
+    ),
+    ev AS (
+      SELECT doc_id * 10 + 1 AS eid, toks[4:16] AS etoks
+      FROM lowsrc WHERE doc_id % 97 = 0 AND len(toks) >= 16
+      UNION ALL
+      SELECT doc_id * 10 + 2 AS eid, toks[1:5] AS etoks
+      FROM lowsrc WHERE doc_id % 131 = 0 AND len(toks) >= 5
+    ),
+    eg0 AS (
+      SELECT eid,
+             CASE WHEN len(etoks) >= 13 THEN 13 ELSE len(etoks) END AS l,
+             UNNEST(CASE WHEN len(etoks) >= 13
+               THEN list_transform(range(1, len(etoks) - 11),
+                                   i -> array_to_string(etoks[i:i+12], ' '))
+               ELSE [array_to_string(etoks, ' ')] END) AS g
+      FROM ev WHERE len(etoks) > 0
+    ),
+    eg AS (SELECT DISTINCT l, g FROM eg0),
+    lens AS (SELECT DISTINCT l FROM eg),
+    ct AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+      FROM s3
+    ),
+    cw AS (
+      SELECT ct.doc_id, lens.l AS l,
+             UNNEST(list_transform(range(1, len(ct.toks) - lens.l + 2),
+                                   i -> array_to_string(ct.toks[i:i+lens.l-1], ' '))) AS g
+      FROM ct, lens WHERE len(ct.toks) >= lens.l
+    ),
+    flagged AS (
+      SELECT DISTINCT cw.doc_id FROM cw JOIN eg ON cw.l = eg.l AND cw.g = eg.g
+    ),
+    s4 AS (
+      SELECT doc_id, text FROM s3
+      WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    )
+    SELECT 'doc' AS mode, CAST(doc_id AS VARCHAR) AS k, text AS v FROM s4
+    UNION ALL SELECT 'funnel', 'input', CAST(COUNT(*) AS VARCHAR) FROM src
+    UNION ALL SELECT 'funnel', 'exact_dedup', CAST(COUNT(*) AS VARCHAR) FROM s1
+    UNION ALL SELECT 'funnel', 'boilerplate', CAST(COUNT(*) AS VARCHAR) FROM s2
+    UNION ALL SELECT 'funnel', 'quality_gate', CAST(COUNT(*) AS VARCHAR) FROM s3
+    UNION ALL SELECT 'funnel', 'decontaminate', CAST(COUNT(*) AS VARCHAR) FROM s4
+    """,
+    doc="The COMPOSED curation cascade, oracle-backed end-to-end "
+    "(VERDICT r8 item 3): pipelines/curate.curate_corpus running exact "
+    "dedup -> boilerplate-line removal -> Gopher quality gate -> "
+    "13-gram eval decontamination over the documents table (made "
+    "multi-line by the x22 literal-replace convention so the "
+    "boilerplate stage does real work; eval items carved "
+    "deterministically from the corpus by the x21 convention). The "
+    "DuckDB twin CHAINS the already-proven x01/x22-boiler/x11-style/"
+    "x21 recipes in the same order, so what this row uniquely "
+    "hash-checks is the COMPOSITION: stage ordering, each stage "
+    "consuming the previous stage's rewritten text (the gate counts "
+    "words of the post-boilerplate text; decontamination slides over "
+    "post-gate text — the published 'decontaminate last among "
+    "deleters' rule), and the per-stage funnel. 'doc' leg = surviving "
+    "(doc_id, final text) value-for-value; 'funnel' leg = row counts "
+    "after every stage (computed as prefix-cascade aggregates — the "
+    "observe()-based funnel is the production path, tested in "
+    "test_pipelines, but observations need a driver action and the "
+    "oracle contract is one lazy plan). Quality-gate config: "
+    "_W03_THRESHOLDS (4 SQL-expressible signals active, repetition "
+    "signals neutralized — x11/x22 already prove those twins).",
+    tags=["llm", "pipeline", "dedup", "text"],
+)
+def w03_curation_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    from waterdata_spark.pipelines.curate import curate_corpus
+
+    src0 = load_table(spark, sf, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+    # plant exact duplicates (every 83rd doc re-tagged above the id
+    # space) — the synthetic corpus has no exact dups at sf0.01, and a
+    # vacuous first stage would verify nothing about its ordering
+    src = src0.unionByName(
+        src0.filter(F.col("doc_id") % 83 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    toks = tokens(F.col("text"))
+    span13 = src.filter((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 16)).select(
+        (F.col("doc_id") * 10 + 1).alias("doc_id"),
+        F.array_join(F.slice(toks, 4, 13), " ").alias("text"),
+    )
+    short5 = src.filter((F.col("doc_id") % 131 == 0) & (F.size(toks) >= 5)).select(
+        (F.col("doc_id") * 10 + 2).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("text"),
+    )
+    evals = span13.unionByName(short5)
+
+    def stage(**kw):
+        return curate_corpus(src, audit=False, exact_dedup=True, **kw).df
+
+    full = stage(
+        boilerplate_min_docs=2,
+        quality_gate={"thresholds": _W03_THRESHOLDS},
+        decontaminate_eval=evals,
+    )
+    docs = full.select(
+        F.lit("doc").alias("mode"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("text").alias("v"),
+    )
+
+    def n_rows(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("__n")).select(
+            F.lit("funnel").alias("mode"),
+            F.lit(name).alias("k"),
+            F.col("__n").cast("string").alias("v"),
+        )
+
+    funnel = (
+        n_rows(src, "input")
+        .unionByName(n_rows(stage(), "exact_dedup"))
+        .unionByName(n_rows(stage(boilerplate_min_docs=2), "boilerplate"))
+        .unionByName(
+            n_rows(
+                stage(
+                    boilerplate_min_docs=2,
+                    quality_gate={"thresholds": _W03_THRESHOLDS},
+                ),
+                "quality_gate",
+            )
+        )
+        .unionByName(n_rows(full, "decontaminate"))
+    )
+    return docs.unionByName(funnel)
+
+
 # (r8) x13_hash_sample was consolidated into x19_stratified_sample —
 # the deterministic salted-md5 hash-sample primitive is x19's 'hash25'
 # leg (operators/sampling.hash_sample, same seed, same ~25% threshold),
@@ -2374,21 +2658,42 @@ def x18_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id, lang, source, 'hash25' AS sample FROM documents
     WHERE CAST(CAST('0x' || substr(md5('sample42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) AS DOUBLE)
             / 1152921504606846976.0 < 0.25
+    UNION ALL
+    SELECT doc_id, lang, source,
+           'split_' || CASE
+             WHEN CAST(CAST('0x' || substr(md5('split7:' || CAST(doc_id // 7 AS VARCHAR)), 1, 15) AS UBIGINT) AS DOUBLE)
+                  / 1152921504606846976.0 < 0.8 THEN 'train'
+             WHEN CAST(CAST('0x' || substr(md5('split7:' || CAST(doc_id // 7 AS VARCHAR)), 1, 15) AS UBIGINT) AS DOUBLE)
+                  / 1152921504606846976.0 < 0.9 THEN 'val'
+             ELSE 'test' END AS sample
+    FROM documents
     """,
-    doc="Deterministic sampling, both forms in one oracle row (r8: the "
-    "former x13_hash_sample is the 'hash25' leg — slot freed for "
-    "x25_linked_dedup). 'strat' = per-stratum rates {en: 0.5, de: "
-    "0.25, fr: 0.75} via operators/sampling.stratified_sample, missing "
-    "strata (es, zh) drop to 0.0 per the documented contract; 'hash25' "
-    "= flat ~25% via operators/sampling.hash_sample. Membership in "
-    "both is a pure function of (seed, doc_id) — the salted-md5 "
-    "uniform — so splits are reproducible across engines and cluster "
-    "sizes, unlike rand()-based sampling; the per-stratum rates ride "
-    "one broadcast of a |strata|-row literal frame.",
+    doc="Deterministic sampling and splitting, three forms in one "
+    "oracle row (r8: the former x13_hash_sample is the 'hash25' leg — "
+    "slot freed for x25_linked_dedup). 'strat' = per-stratum rates "
+    "{en: 0.5, de: 0.25, fr: 0.75} via "
+    "operators/sampling.stratified_sample, missing strata (es, zh) "
+    "drop to 0.0 per the documented contract; 'hash25' = flat ~25% "
+    "via operators/sampling.hash_sample. 'split_*' (NEW r9) = "
+    "operators/sampling.assign_split, the LEAKAGE-SAFE train/val/test "
+    "assignment: the 80/10/10 label is a pure function of (seed, the "
+    "row's GROUP key — here doc_id div 7, simulating ~7-doc near-dup "
+    "clusters), so co-grouped near-duplicates land in the same split "
+    "(Lee 2021 §4: row-hash splitting inflates eval via train-side "
+    "near-dups) and growing the corpus never flips an existing "
+    "group's split. Membership everywhere is the salted-md5 uniform — "
+    "reproducible across engines and cluster sizes, unlike "
+    "rand()-based sampling; the per-stratum rates ride one broadcast "
+    "of a |strata|-row literal frame; the split is a zero-shuffle "
+    "CASE chain.",
     tags=["llm", "sampling"],
 )
 def x19_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.operators.sampling import hash_sample, stratified_sample
+    from waterdata_spark.operators.sampling import (
+        assign_split,
+        hash_sample,
+        stratified_sample,
+    )
 
     d = load_table(spark, sf, "documents")
     strat = stratified_sample(
@@ -2397,7 +2702,21 @@ def x19_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     hs = hash_sample(d, id_col="doc_id", fraction=0.25, seed="sample42").select(
         "doc_id", "lang", "source", F.lit("hash25").alias("sample")
     )
-    return strat.unionByName(hs)
+    # 'split' leg (r9): leakage-safe 80/10/10 assignment keyed on a
+    # simulated near-dup GROUP (doc_id div 7 — ~7-doc clusters), so the
+    # oracle checks every row's label AND the group-stability contract
+    sp = assign_split(
+        d.withColumn("__grp", F.expr("doc_id div 7")),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        group_col="__grp",
+        seed="split7",
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.concat(F.lit("split_"), F.col("split")).alias("sample"),
+    )
+    return strat.unionByName(hs).unionByName(sp)
 
 
 @query(
