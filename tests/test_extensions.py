@@ -2358,6 +2358,59 @@ class TestRrfFuse:
         out = rrf_fuse([l1], k=5).orderBy("rank").collect()
         assert [(r["rank"], r["doc_id"]) for r in out] == [(1, 3), (2, 5)]
 
+    def test_composed_hybrid_bm25_plus_ann(self, spark):
+        """VERDICT r8 item 4, the advertised use end-to-end: BM25 over
+        a planted corpus + exact-cosine ANN over planted embeddings,
+        fused by RRF. Doc 10 matches the query by KEYWORDS only (its
+        embedding is orthogonal), doc 20 by EMBEDDING only (no shared
+        words), doc 30 by both — the fusion must rank the both-lists
+        doc first and keep the single-list docs present."""
+        from waterdata_spark.operators.retrieval import bm25_topk, rrf_fuse
+        from waterdata_spark.operators.similarity import cosine_search_bruteforce
+
+        docs = spark.createDataFrame(
+            [
+                (10, "quantum entanglement experiment with superconducting qubits"),
+                (20, "gardening tips for tomato seedlings in spring weather"),
+                (30, "quantum entanglement measurement on qubit devices"),
+                (40, "medieval castle architecture and defensive walls"),
+            ],
+            "doc_id long, text string",
+        )
+        q = spark.createDataFrame(
+            [(1, "quantum entanglement qubits")], "qid long, qtext string"
+        )
+        # embeddings: axis 0 = "quantum-ness", axis 1 = "gardening-ness",
+        # axis 2 = noise. Query vec points at axis 0 tilted toward 1.
+        emb = spark.createDataFrame(
+            [
+                (10, [0.0, 0.0, 1.0]),   # keyword match, orthogonal embedding
+                (20, [0.3, 0.95, 0.0]),  # embedding match, no shared words
+                (30, [0.9, 0.4, 0.1]),   # both
+                (40, [0.0, 0.0, -1.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        qe = spark.createDataFrame(
+            [(1, [0.7, 0.7, 0.0])], "qid long, embedding array<double>"
+        )
+        bm25 = bm25_topk(docs, q, k=3)
+        dense = cosine_search_bruteforce(
+            emb, qe, query_id_col="qid", k=2, sim_col=None
+        ).select(
+            F.col("query_id").alias("qid"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+        bm_ids = {r["doc_id"] for r in bm25.collect()}
+        dn_ids = {r["doc_id"] for r in dense.collect()}
+        assert 10 in bm_ids and 20 not in bm_ids  # keyword-only planted
+        assert 20 in dn_ids and 10 not in dn_ids  # embedding-only planted
+        fused = rrf_fuse([bm25.select("qid", "doc_id", "rank"), dense], k=4)
+        ranked = [r["doc_id"] for r in fused.orderBy("rank").collect()]
+        assert ranked[0] == 30  # in both lists -> fused winner
+        assert {10, 20} <= set(ranked)  # single-list docs survive fusion
+
 
 class TestSemDeDup:
     """SemDeDup (Abbas 2023): frozen-centroid assignment, within-cluster
