@@ -137,6 +137,44 @@ class TestSampling:
             F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "es").otherwise("fr").alias("lang"),
         )
 
+    def test_assign_split_group_stable_and_frozen(self, spark, ids):
+        """assign_split (r9): every row of a group carries the SAME
+        split (the leakage guarantee); proportions land near the
+        weights; growing the corpus never flips an existing group; and
+        degenerate weights raise."""
+        from waterdata_spark.operators.sampling import assign_split
+
+        g = ids.withColumn("grp", F.expr("doc_id div 5"))
+        out = assign_split(g, {"train": 0.8, "val": 0.1, "test": 0.1}, "grp")
+        rows = out.collect()
+        by_grp: dict = {}
+        for r in rows:
+            by_grp.setdefault(r["grp"], set()).add(r["split"])
+        assert all(len(s) == 1 for s in by_grp.values())  # leakage-safe
+        counts = {s: 0 for s in ("train", "val", "test")}
+        for r in rows:
+            counts[r["split"]] += 1
+        assert 0.7 < counts["train"] / len(rows) < 0.9
+        assert counts["val"] > 0 and counts["test"] > 0
+        # frozen property: a grown corpus preserves existing assignments
+        grown = ids.sparkSession.range(4000).select(
+            F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+        ).withColumn("grp", F.expr("doc_id div 5"))
+        out2 = {
+            r["doc_id"]: r["split"]
+            for r in assign_split(
+                grown, {"train": 0.8, "val": 0.1, "test": 0.1}, "grp"
+            ).collect()
+        }
+        for r in rows:
+            assert out2[r["doc_id"]] == r["split"]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            assign_split(g, {}, "grp")
+        with _pytest.raises(ValueError):
+            assign_split(g, {"a": -1.0, "b": 2.0}, "grp")
+
     def test_empty_fractions_dict_selects_nothing(self, spark, ids):
         """{} means every stratum is missing → rate 0.0 → empty result
         (not a createDataFrame schema-inference crash)."""

@@ -679,6 +679,48 @@ class TestTrainingShards:
         one = read_training_shards(spark, out, shards=[3])
         assert one.count() == man["shards"][3]["rows"]
 
+    def test_within_shard_shuffle_deterministic_content_equal(self, spark, tmp_path):
+        """shuffle_seed (r9): rows inside each shard file come out in
+        xxhash order — pseudo-random but identical across rebuilds —
+        while shard membership and the manifest digest are unchanged
+        (digest certifies content, seed certifies order)."""
+        import glob as g
+
+        from waterdata_spark.sources.shards import write_training_shards
+
+        df = spark.createDataFrame(
+            [(i, f"document number {i} with some words") for i in range(300)],
+            "doc_id long, text string",
+        )
+        plain = write_training_shards(df, str(tmp_path / "plain"), n_shards=4)
+        sh1 = write_training_shards(
+            df, str(tmp_path / "s1"), n_shards=4, shuffle_seed="order7"
+        )
+        sh2 = write_training_shards(
+            df, str(tmp_path / "s2"), n_shards=4, shuffle_seed="order7"
+        )
+        assert sh1["shuffle_seed"] == "order7" and plain["shuffle_seed"] is None
+        for k in range(4):
+            assert sh1["shards"][k] == plain["shards"][k] == sh2["shards"][k]
+
+        def order(base: str, k: int) -> list[int]:
+            import json as j
+
+            (f,) = [
+                x
+                for x in g.glob(f"{base}/__shard={k}/*")
+                if not x.endswith((".crc", "_SUCCESS"))
+            ]
+            return [j.loads(line)["doc_id"] for line in open(f)]
+
+        for k in range(4):
+            o1, o2, op = order(str(tmp_path / "s1"), k), order(
+                str(tmp_path / "s2"), k
+            ), order(str(tmp_path / "plain"), k)
+            assert o1 == o2  # rebuild-identical order
+            assert sorted(o1) == sorted(op)  # same content
+            assert o1 != sorted(o1)  # actually shuffled
+
     def test_assignment_deterministic_under_partitioning(self, spark, tmp_path):
         from waterdata_spark.sources.shards import with_shard
 

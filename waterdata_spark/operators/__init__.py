@@ -49,6 +49,7 @@ from waterdata_spark.operators.quantize import (
 )
 from waterdata_spark.operators.range_join import range_join
 from waterdata_spark.operators.sampling import (
+    assign_split,
     hash_sample,
     mixture_rates,
     stratified_sample,
@@ -111,6 +112,7 @@ __all__ = [
     "expect_row_count_preserved",
     "expect_schema",
     "fallback_join",
+    "assign_split",
     "hash_sample",
     "importance_resample",
     "link_pairs",

@@ -69,6 +69,51 @@ def stratified_sample(
     )
 
 
+def assign_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str,
+    seed: str = "split7",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe deterministic train/val/test assignment (r9): adds
+    ``split_col`` with a label that is a pure function of (seed, the
+    row's GROUP key) — every row sharing a group lands in the SAME
+    split. The group is the leakage unit: a near-dup component id
+    (minhash_dedup/semdedup output), a URL host, a license bucket —
+    splitting by ROW hash instead would scatter near-duplicates across
+    train and eval, the contamination the dedup operators exist to
+    prevent (Lee 2021 §4 measures the resulting eval inflation).
+
+    ``weights`` need not sum to 1 (normalized); labels are assigned by
+    cumulative-threshold walk over the salted-md5 uniform of the group
+    key in dict order, so assignment is reproducible on any engine at
+    any cluster size, and — because u depends only on (seed, group) —
+    growing the corpus never flips the split of an existing group (the
+    frozen-eval-set property, same contract as hash_sample).
+
+    Zero shuffle, no UDF: one scan adding a CASE chain over one md5.
+    """
+    if not weights:
+        raise ValueError("assign_split: weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("assign_split: weights must be >= 0")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("assign_split: weights must sum to > 0")
+    u = _hash_u(group_col, seed)
+    labels = list(weights)
+    expr = F.lit(labels[-1])  # the last label absorbs u in [cum_{n-1}, 1)
+    cum = 0.0
+    branches = []
+    for name in labels[:-1]:
+        cum += float(weights[name]) / total
+        branches.append((cum, name))
+    for threshold, name in reversed(branches):
+        expr = F.when(u < F.lit(threshold), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_col: str,

@@ -54,6 +54,7 @@ def write_training_shards(
     fmt: str = "json",
     salt: str = "shard42",
     mode: str = "error",
+    shuffle_seed: str | None = None,
 ) -> dict:
     """Write ``df`` as ``shard=K`` partitions (JSONL by default, the
     release convention; ``fmt='parquet'`` for columnar) plus a
@@ -62,14 +63,35 @@ def write_training_shards(
     Returns the manifest dict. ``bytes`` is the text payload size
     (UTF-8), ``digest`` an order-independent sum of per-row
     xxhash64(id, text) — compare manifests to diff two releases
-    without reading a shard."""
+    without reading a shard.
+
+    ``shuffle_seed`` (r9): deterministically shuffle rows WITHIN each
+    shard before writing — rows sort by xxhash64(seed, id), so the
+    training order a sequential shard reader sees is pseudo-random yet
+    identical on every rebuild (the global-shuffle step every published
+    pipeline applies before training; shard assignment already
+    randomizes ACROSS shards). Costs zero extra shuffles — the sort
+    rides sortWithinPartitions on the shard-repartitioned exchange.
+    The manifest digest is order-independent, so a shuffled and an
+    unshuffled release of the same corpus compare EQUAL — by design:
+    the digest certifies content, the seed certifies order."""
     sharded = with_shard(df, id_col, n_shards, salt)
     # ONE task per shard -> one file per shard directory (the
     # bucketed.py file-explosion lesson); n_shards is the write
     # parallelism, pick it >= cluster cores for big releases
+    laid_out = sharded.repartition(n_shards, "__shard")
+    if shuffle_seed is not None:
+        # the sort LEADS with __shard: a partitioned write requires its
+        # data sorted by the partition columns and would insert its own
+        # Sort(__shard) otherwise, silently discarding the shuffle order
+        # (observed — the first cut sorted by the hash alone and the
+        # files came out id-ordered)
+        laid_out = laid_out.sortWithinPartitions(
+            F.col("__shard"),
+            F.xxhash64(F.lit(shuffle_seed), F.col(id_col).cast("string")),
+        )
     (
-        sharded.repartition(n_shards, "__shard")
-        .write.partitionBy("__shard")
+        laid_out.write.partitionBy("__shard")
         .mode(mode)
         .format(fmt)
         .option("ignoreNullFields", True)
@@ -95,6 +117,7 @@ def write_training_shards(
         "format": fmt,
         "salt": salt,
         "id_col": id_col,
+        "shuffle_seed": shuffle_seed,
         "total_rows": int(sum(r["rows"] for r in stats)),
         "shards": {
             int(r["__shard"]): {
