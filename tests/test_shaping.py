@@ -758,3 +758,137 @@ class TestUpsample:
         out = upsample(df, rates, "doc_id", strata_col="src")
         total = out.count()
         assert abs(total - 10_100) < 200  # expected total == target
+
+
+class TestBpe:
+    """Distributed BPE vocabulary training + encoding (operators/bpe;
+    Sennrich 2016). No oracle row — iterative training is the
+    documented non-SQL-expressible class; verification is an exact
+    differential vs an INDEPENDENT naive implementation plus laws."""
+
+    @staticmethod
+    def _naive_merges(counts: dict, n: int) -> list:
+        """Independent reference: dict-of-tuples representation (the
+        module uses mutated lists), Counter-based pair counting."""
+        from collections import Counter
+
+        vocab = {
+            tuple(w[:-1]) + (w[-1] + "</w>",): c for w, c in counts.items() if w
+        }
+        merges = []
+        for _ in range(n):
+            pc: Counter = Counter()
+            for syms, c in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += c
+            if not pc:
+                break
+            best = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            if pc[best] < 2:
+                break
+            merges.append(best)
+            new_vocab = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i < len(syms) - 1
+                        and syms[i] == best[0]
+                        and syms[i + 1] == best[1]
+                    ):
+                        out.append(best[0] + best[1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+            vocab = new_vocab
+        return merges
+
+    PAPER = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+    def test_merge_loop_matches_independent_reference(self):
+        from waterdata_spark.operators.bpe import train_bpe_merges
+
+        for counts in (
+            self.PAPER,
+            {"aaa": 4, "aab": 3, "abab": 2, "b": 9},
+            {"x": 1},
+            {},
+        ):
+            for n in (0, 1, 3, 10, 50):
+                assert train_bpe_merges(counts, n) == self._naive_merges(
+                    counts, n
+                ), (counts, n)
+
+    def test_paper_example_first_merges(self):
+        """Sennrich §3.2's corpus: 'es' dominates (newest 6 + widest 3
+        = 9 weighted pairs) — the first merges must build 'est</w>'."""
+        from waterdata_spark.operators.bpe import train_bpe_merges
+
+        m = train_bpe_merges(self.PAPER, 3)
+        assert m[0] == ("e", "s")
+        assert m[1] == ("es", "t</w>")
+
+    def test_train_encode_roundtrip_on_documents(self, spark):
+        """Train on real documents; encoding must (a) reproduce the
+        normalized text through decode_symbols for every doc, (b) be
+        identical under repartitioning (training aggregate order-
+        independence + deterministic tie-breaks)."""
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.bpe import (
+            BPEModel,
+            decode_symbols,
+            encode_bpe,
+            train_bpe,
+        )
+
+        d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+            "doc_id", "text"
+        ).filter(F.col("text").isNotNull()).limit(80)
+        model = train_bpe(d, n_merges=60, min_count=1)
+        assert 0 < len(model.merges) <= 60
+        m2 = train_bpe(d.repartition(13), n_merges=60, min_count=1)
+        assert model.merges == m2.merges
+        # exact JSON round-trip
+        assert BPEModel.from_json(model.to_json()).merges == model.merges
+
+        enc = encode_bpe(d, model)
+        rows = enc.collect()
+        import re
+
+        for r in rows:
+            norm = re.sub(r"\s+", " ", r["text"].lower()).strip()
+            assert decode_symbols(r["bpe"]) == norm, r["doc_id"]
+        # encoding of a training word reproduces the training-time
+        # segmentation (train/encode consistency law)
+        enc2 = {r["doc_id"]: r["bpe"] for r in encode_bpe(d.repartition(7), model).collect()}
+        for r in rows:
+            assert enc2[r["doc_id"]] == r["bpe"]
+
+    def test_word_counts_differential_and_min_count(self, spark):
+        from collections import Counter
+
+        from waterdata_spark.operators.bpe import word_counts
+
+        df = spark.createDataFrame(
+            [(1, "The cat sat"), (2, "the CAT ran"), (3, None)],
+            "doc_id long, text string",
+        )
+        got = {r["word"]: r["count"] for r in word_counts(df, "text").collect()}
+        want = Counter("the cat sat the cat ran".split())
+        assert got == dict(want)
+        pruned = {
+            r["word"]: r["count"]
+            for r in word_counts(df, "text", min_count=2).collect()
+        }
+        assert pruned == {"the": 2, "cat": 2}
+
+    def test_empty_vocab_raises(self, spark):
+        import pytest as _pytest
+
+        from waterdata_spark.operators.bpe import train_bpe
+
+        df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="empty vocabulary"):
+            train_bpe(df, min_count=5)

@@ -62,6 +62,11 @@ from waterdata_spark.operators.selection import (
     importance_weights,
     lm_perplexity,
 )
+from waterdata_spark.operators.bpe import (
+    encode_bpe,
+    train_bpe,
+    word_counts,
+)
 from waterdata_spark.operators.retrieval import bm25_topk, rrf_fuse
 from waterdata_spark.operators.semdedup import (
     assign_clusters,
@@ -80,15 +85,14 @@ from waterdata_spark.operators.similarity import (
 )
 
 __all__ = [
-    "ExpectationError",
-    "KMeansModel",
-    "PCAModel",
     "apply_changes",
     "asof_join",
     "assign_clusters",
+    "assign_split",
     "bm25_topk",
     "build_ivf_index",
     "chunk_documents",
+    "content_digest",
     "cosine_search_bruteforce",
     "cosine_search_ivf",
     "cosine_topk_bruteforce",
@@ -96,57 +100,61 @@ __all__ = [
     "cosine_topk_ivf_blocked",
     "cosine_topk_lsh",
     "decontaminate",
-    "dedup_any",
     "dedup_against",
-    "content_digest",
     "dedup_against_exact",
+    "dedup_any",
     "dedup_lines_global",
     "dedup_spans_global",
     "dequantize",
+    "encode_bpe",
     "exact_dedup",
     "expand_keys",
     "expect_column_consistency",
     "expect_range",
-    "quantization_error",
     "expect_ranges",
     "expect_row_count_preserved",
     "expect_schema",
+    "ExpectationError",
     "fallback_join",
-    "assign_split",
+    "fit_pca",
+    "fit_pca_gram",
     "hash_sample",
     "importance_resample",
+    "importance_weights",
+    "kmeans",
+    "KMeansModel",
     "link_pairs",
-    "pagerank",
     "linked_dedup",
     "lm_perplexity",
-    "importance_weights",
     "merge_upsert",
     "min_id_components",
     "minhash_candidate_pairs",
     "minhash_dedup",
     "mixture_rates",
+    "nb_score",
+    "nb_train",
     "ngram_contamination",
     "pack_sequences",
+    "pagerank",
+    "PCAModel",
     "priority_dedup",
     "priority_dedup_agg",
+    "project_pca",
+    "quantization_error",
     "range_join",
+    "remove_boilerplate_lines",
+    "rrf_fuse",
     "search_ivf_index",
+    "semdedup",
+    "semdedup_labels",
     "simhash_signature",
     "simhash_signature_md5",
     "star_contraction_components",
     "stratified_sample",
     "stratified_sample_exact",
-    "upsample",
     "suffixed_join",
-    "fit_pca",
-    "fit_pca_gram",
-    "project_pca",
-    "kmeans",
-    "nb_score",
-    "nb_train",
-    "remove_boilerplate_lines",
-    "rrf_fuse",
-    "semdedup",
-    "semdedup_labels",
+    "train_bpe",
+    "upsample",
     "with_quantized_vector",
+    "word_counts",
 ]
