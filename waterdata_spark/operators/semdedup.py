@@ -151,6 +151,11 @@ def _with_assignment(
         )
 
     CT = C.T.copy()
+    # Cap any single GEMM/rounding temporary at ~256 MB (32M float64):
+    # at LAION-scale k the full-batch similarity matrix would be
+    # batch×k×8 bytes PER WORKER (4 GB at k=50k, batch=10k) × 32
+    # workers — chunking rows keeps peak memory flat in k.
+    chunk_rows = max(1, (1 << 25) // max(CT.shape[1], 1))
 
     @F.pandas_udf(f"struct<{cluster_col}:int, {cos_col}:double>")
     def assign(units: pd.Series) -> pd.DataFrame:
@@ -158,13 +163,26 @@ def _with_assignment(
         # HALF_UP rounding to match F.round on the literal path, the
         # kmeans_python twin, and the DuckDB oracle — np.round is
         # half-to-even and would flip an exact .5 tie (ADVICE r8).
+        # In-place trunc(x·p + ±0.5) form, bit-identical to the
+        # where(floor/floor) spelling incl. signed zeros but with ONE
+        # float temporary instead of six: the dense double-branch
+        # where() made the kernel allocation-bound — cost exploded
+        # ~12× at large batch×k and went wildly unstable under 32-way
+        # parallelism (semdedup_k_probe, r9).
         p = float(10**round_dp)
-        R = X @ CT
-        S = np.where(R >= 0, np.floor(R * p + 0.5), -np.floor(-R * p + 0.5)) / p
-        lab = S.argmax(axis=1)  # numpy argmax: FIRST max — lowest index
-        return pd.DataFrame(
-            {cluster_col: lab.astype("int32"), cos_col: S[np.arange(len(lab)), lab]}
-        )
+        labs = np.empty(len(X), dtype="int32")
+        coss = np.empty(len(X), dtype="float64")
+        for s in range(0, len(X), chunk_rows):
+            R = X[s : s + chunk_rows] @ CT
+            half = np.where(R >= 0, 0.5, -0.5)
+            R *= p
+            R += half
+            np.trunc(R, out=R)
+            R /= p
+            lab = R.argmax(axis=1)  # numpy argmax: FIRST max — lowest index
+            labs[s : s + len(lab)] = lab
+            coss[s : s + len(lab)] = R[np.arange(len(lab)), lab]
+        return pd.DataFrame({cluster_col: labs, cos_col: coss})
 
     tmp = unit.withColumn("__asg", assign(F.col("__unit").cast("array<double>")))
     return tmp.select("*", f"__asg.{cluster_col}", f"__asg.{cos_col}").drop("__asg")
