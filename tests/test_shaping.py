@@ -892,3 +892,156 @@ class TestBpe:
         df = spark.createDataFrame([(1, "")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="empty vocabulary"):
             train_bpe(df, min_count=5)
+
+
+class TestQuantileBuckets:
+    """CCNet head/middle/tail bucketing (operators/selection.
+    quantile_buckets; Wenzek 2020 §4.3). Exact mode is additionally
+    oracle-backed as x30's 'ppl_bucket' column."""
+
+    @staticmethod
+    def _naive(rows, n, group=True):
+        """Independent NTILE: SQL-standard — first (count % n) buckets
+        get one extra row; order by (score, id)."""
+        from collections import defaultdict
+
+        out = {}
+        groups = defaultdict(list)
+        for rid, g, s in rows:
+            if s is not None:
+                groups[g if group else 0].append((s, rid))
+        for g, items in groups.items():
+            items.sort()
+            cnt = len(items)
+            base, extra = divmod(cnt, n)
+            pos = 0
+            for b in range(1, n + 1):
+                size = base + (1 if b <= extra else 0)
+                for _ in range(size):
+                    out[items[pos][1]] = b
+                    pos += 1
+        return out
+
+    def _rows(self):
+        import random
+
+        rng = random.Random(11)
+        # duplicate scores on purpose — ties break by id
+        return [
+            (i, ["en", "fr", "zh"][i % 3], float(rng.randrange(0, 40)))
+            for i in range(200)
+        ] + [(900, "en", None), (901, "qq", None)]
+
+    def test_exact_matches_independent_ntile(self, spark):
+        from waterdata_spark.operators.selection import quantile_buckets
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+        for n in (2, 3, 5):
+            got = {
+                r["doc_id"]: r["bucket"]
+                for r in quantile_buckets(
+                    df, "s", n_buckets=n, group_col="lang"
+                ).collect()
+            }
+            want = self._naive(rows, n)
+            for rid, _, s in rows:
+                assert got[rid] == (str(want[rid]) if s is not None else None), (
+                    n,
+                    rid,
+                )
+
+    def test_exact_partition_invariance_and_labels(self, spark):
+        from waterdata_spark.operators.selection import quantile_buckets
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+        lbl = ["head", "middle", "tail"]
+        a = {
+            r["doc_id"]: r["bucket"]
+            for r in quantile_buckets(
+                df, "s", group_col="lang", labels=lbl
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: r["bucket"]
+            for r in quantile_buckets(
+                df.repartition(13), "s", group_col="lang", labels=lbl
+            ).collect()
+        }
+        assert a == b
+        assert set(a.values()) == {"head", "middle", "tail", None}
+        # bucket 1 = lowest scores = CCNet head
+        en = [(s, i) for i, g, s in rows if g == "en" and s is not None]
+        best = min(en)[1]
+        assert a[best] == "head"
+        assert a[900] is None and a[901] is None
+
+    def test_sampled_full_fraction_equals_exact(self, spark):
+        from waterdata_spark.operators.selection import quantile_buckets
+
+        # distinct scores: threshold assignment has no boundary ties
+        rows = [(i, "en" if i % 2 == 0 else "fr", float(i) * 1.5) for i in range(90)]
+        rows += [(900, "en", None)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+        lbl = ["head", "middle", "tail"]
+        a = {
+            r["doc_id"]: r["bucket"]
+            for r in quantile_buckets(df, "s", group_col="lang", labels=lbl).collect()
+        }
+        b = {
+            r["doc_id"]: r["bucket"]
+            for r in quantile_buckets(
+                df,
+                "s",
+                group_col="lang",
+                labels=lbl,
+                mode="sampled",
+                sample_fraction=1.01,
+            ).collect()
+        }
+        assert a == b
+
+    def test_sampled_plan_has_no_corpus_window(self, spark):
+        """Production contract: assignment side is broadcast join +
+        CASE — the full-corpus frame never rides a Window."""
+        from waterdata_spark.operators.selection import quantile_buckets
+
+        rows = [(i, "en", float(i)) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+        out = quantile_buckets(
+            df, "s", group_col="lang", mode="sampled", sample_fraction=0.2
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # exactly one Window (over the SAMPLE) and one broadcast join;
+        # the unsampled corpus reaches only scan/filter/project nodes
+        assert plan.count("Window") <= 1
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    def test_sampled_thresholds_near_exact(self, spark):
+        from waterdata_spark.operators.selection import quantile_buckets
+
+        rows = [(i, "en", float(i)) for i in range(3000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+        got = quantile_buckets(
+            df, "s", group_col="lang", mode="sampled", sample_fraction=0.3,
+        )
+        sizes = {
+            r["bucket"]: r["n"]
+            for r in got.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # 3 buckets of ~1000 ± sampling error
+        assert set(sizes) == {"1", "2", "3"}
+        for v in sizes.values():
+            assert abs(v - 1000) < 200, sizes
+
+    def test_validation(self, spark):
+        from waterdata_spark.operators.selection import quantile_buckets
+
+        df = spark.createDataFrame([(1, 1.0)], "doc_id long, s double")
+        with pytest.raises(ValueError):
+            quantile_buckets(df, "s", n_buckets=1)
+        with pytest.raises(ValueError):
+            quantile_buckets(df, "s", labels=["a"])
+        with pytest.raises(ValueError):
+            quantile_buckets(df, "s", mode="bogus")

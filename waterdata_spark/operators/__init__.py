@@ -61,6 +61,7 @@ from waterdata_spark.operators.selection import (
     importance_resample,
     importance_weights,
     lm_perplexity,
+    quantile_buckets,
 )
 from waterdata_spark.operators.bpe import (
     encode_bpe,
@@ -136,6 +137,7 @@ __all__ = [
     "ngram_contamination",
     "pack_sequences",
     "pagerank",
+    "quantile_buckets",
     "PCAModel",
     "priority_dedup",
     "priority_dedup_agg",

@@ -330,3 +330,111 @@ def lm_perplexity(
     else:
         per_doc = scored.groupBy(id_col).agg(F.avg(nll).alias(ppl_col))
     return corpus.join(per_doc, id_col, "left")
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    group_col: str | None = None,
+    bucket_col: str = "bucket",
+    labels: list[str] | None = None,
+    mode: str = "exact",
+    sample_fraction: float = 0.01,
+    seed: str = "qbuckets42",
+) -> DataFrame:
+    """Per-group equal-count score buckets — the CCNet convention
+    (Wenzek et al. 2020, §4.3: split each language by perplexity into
+    head/middle/tail thirds; training mixes then draw from the buckets
+    they trust). Adds ``bucket_col`` (a label from ``labels``, default
+    the bucket index as a string, bucket 1 = LOWEST scores = CCNet's
+    "head"). Rows with a NULL score get a NULL bucket (the <2-token
+    lm_perplexity contract) and never shift bucket boundaries.
+
+    Two modes, one semantics (the literal-vs-Arrow duality pattern):
+
+    - ``exact``: SQL-standard NTILE over (score, id) per group —
+      deterministic incl. ties, and the oracle twin. A window
+      partitioned by group routes EACH WHOLE GROUP through one task:
+      correct at any size, but a single language of a 100 TB corpus in
+      one sort is the known anti-shape — exact mode is for bounded
+      groups (tests, oracles, per-shard use).
+    - ``sampled``: the production path. Bucket thresholds come from a
+      deterministic salted-hash sample (`sampling.hash_sample`
+      semantics — rerun/partitioning stable), reduced to a
+      groups × (n_buckets−1) threshold frame (bounded, broadcast);
+      assignment is a broadcast join + one CASE chain per row — no
+      window, no global sort, one scan. Boundary placement is
+      approximate with sampling error ~O(1/√(f·|group|)); ties at a
+      threshold all land in the lower bucket (documented skew from
+      exact NTILE, which splits ties by position).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError("labels must have exactly n_buckets entries")
+    gcol = [group_col] if group_col else []
+    score = F.col(score_col)
+
+    def lab(idx: Column) -> Column:
+        if labels is None:
+            return idx.cast("string")
+        # when-chain, not element_at: ElementAt with a computed NULL
+        # index resolves to the 4-arg form that returns the LAST
+        # element instead of NULL (observed on 4.1) — a NULL bucket
+        # index must stay NULL
+        expr = F.when(idx == 1, F.lit(labels[0]))
+        for i in range(2, n_buckets + 1):
+            expr = expr.when(idx == i, F.lit(labels[i - 1]))
+        return expr
+
+    if mode == "exact":
+        from pyspark.sql import Window
+
+        # NULL scores must not shift bucket boundaries, but a filter +
+        # join-back would compute the (possibly expensive) input plan
+        # twice — instead the null-ness rides the window PARTITION key
+        # (same single shuffle) and the null partition's ntile output
+        # is masked away
+        part = [F.col(c) for c in gcol] or [F.lit(1)]
+        w = Window.partitionBy(*part, score.isNotNull()).orderBy(
+            score.asc(), F.col(id_col).asc()
+        )
+        bucket = F.when(score.isNotNull(), lab(F.ntile(n_buckets).over(w)))
+        return df.withColumn(bucket_col, bucket)
+    if mode != "sampled":
+        raise ValueError(f"unknown mode: {mode!r}")
+
+    from waterdata_spark.operators.sampling import hash_sample
+
+    from pyspark.sql import Window
+
+    part = [F.col(c) for c in gcol] or [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(score.asc(), F.col(id_col).asc())
+    sample = hash_sample(df.filter(score.isNotNull()), id_col, sample_fraction, seed)
+    # threshold frame: per group, the max score of each non-final
+    # sample bucket — groups × (n_buckets−1) rows, broadcast-sized
+    thresholds = (
+        sample.withColumn("__nt", F.ntile(n_buckets).over(w))
+        .groupBy(*gcol)
+        .agg(
+            *[
+                F.max(F.when(F.col("__nt") == i, score)).alias(f"__thr{i}")
+                for i in range(1, n_buckets)
+            ]
+        )
+    )
+    joined = (
+        df.join(F.broadcast(thresholds), gcol, "left")
+        if gcol
+        else df.crossJoin(F.broadcast(thresholds))
+    )
+    assign: Column = F.lit(n_buckets)
+    for i in range(n_buckets - 1, 0, -1):
+        # a missing threshold (empty/tiny sample bucket) skips its tier
+        assign = F.when(score <= F.col(f"__thr{i}"), F.lit(i)).otherwise(assign)
+    assign = F.when(score.isNull(), F.lit(None)).otherwise(assign)
+    return joined.withColumn(bucket_col, lab(assign)).drop(
+        *[f"__thr{i}" for i in range(1, n_buckets)]
+    )

@@ -674,22 +674,41 @@ def _lang_score_sql(lang: str) -> str:
              {_lang_score_sql("de")} AS s_de,
              {_lang_score_sql("zh")} AS s_zh
       FROM documents
+    ),
+    wc AS (
+      SELECT t AS word, COUNT(*) AS c FROM (
+        SELECT unnest(list_filter(
+          regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''
+        )) AS t
+        FROM documents
+      ) GROUP BY 1
     )
-    SELECT doc_id, lang_given, s_en, s_es, s_fr, s_de, s_zh,
+    SELECT 'lang' AS mode, CAST(doc_id AS VARCHAR) AS key, lang_given,
+           s_en, s_es, s_fr, s_de, s_zh,
            CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
                 WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
                 WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
                 WHEN s_de >= s_zh THEN 'de'
                 ELSE 'zh' END AS lang_pred
     FROM s
+    UNION ALL
+    SELECT 'wc', word, CAST(NULL AS VARCHAR), c,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM wc
     """,
     doc="X4 language-ID heuristic: whole-token stopword-marker counts per "
     "language, argmax with fixed priority tie-break. Deterministic and "
-    "oracle-reproducible.",
+    "oracle-reproducible. r9 second leg 'wc': the BPE trainer's "
+    "distributed word-frequency aggregate (operators/bpe.word_counts — "
+    "the vocabulary-bounded scan the merge loop runs on) hash-checked "
+    "word-for-word; the iterative merge loop itself is the documented "
+    "non-SQL-expressible class, verified by exact differential tests.",
     tags=["text", "llm"],
 )
 def x04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     from waterdata_spark.functions.text import lang_id_score
+    from waterdata_spark.operators.bpe import word_counts
 
     d = load_table(spark, sf, "documents")
     scores = {lang: lang_id_score("text", lang).cast("long") for lang in ["en", "es", "fr", "de", "zh"]}
@@ -706,7 +725,26 @@ def x04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
         .when(de >= zh, "de")
         .otherwise("zh")
     )
-    return s.withColumn("lang_pred", pred)
+    lang_leg = s.withColumn("lang_pred", pred).select(
+        F.lit("lang").alias("mode"),
+        F.col("doc_id").cast("string").alias("key"),
+        "lang_given",
+        "s_en",
+        "s_es",
+        "s_fr",
+        "s_de",
+        "s_zh",
+        "lang_pred",
+    )
+    wc_leg = word_counts(d, "text").select(
+        F.lit("wc").alias("mode"),
+        F.col("word").alias("key"),
+        F.lit(None).cast("string").alias("lang_given"),
+        F.col("count").alias("s_en"),
+        *[F.lit(None).cast("long").alias(c) for c in ["s_es", "s_fr", "s_de", "s_zh"]],
+        F.lit(None).cast("string").alias("lang_pred"),
+    )
+    return lang_leg.unionByName(wc_leg)
 
 
 @query(
@@ -3564,9 +3602,19 @@ def x29_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     pd AS (
       SELECT doc_id, CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS lp
       FROM scored GROUP BY 1
+    ),
+    base AS (
+      SELECT d.doc_id, d.lang, round(pd.lp, 7) AS log_ppl
+      FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+    ),
+    terc AS (
+      SELECT doc_id,
+             CASE NTILE(3) OVER (PARTITION BY lang ORDER BY log_ppl, doc_id)
+               WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+      FROM base WHERE log_ppl IS NOT NULL
     )
-    SELECT d.doc_id, d.lang, round(pd.lp, 7) AS log_ppl
-    FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+    SELECT b.doc_id, b.lang, b.log_ppl, t.ppl_bucket
+    FROM base b LEFT JOIN terc t ON t.doc_id = b.doc_id
     """,
     doc="X7 CCNet-style LM quality scoring, oracle-backed (NEW r8 — the "
     "other data-selecting r7 operator that lacked a DuckDB twin): "
@@ -3586,7 +3634,7 @@ def x29_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     tags=["selection", "quality", "llm"],
 )
 def x30_lm_ppl_score(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.operators.selection import lm_perplexity
+    from waterdata_spark.operators.selection import lm_perplexity, quantile_buckets
 
     docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
     ref = docs.filter(F.col("lang") == "en").select("text")
@@ -3599,4 +3647,17 @@ def x30_lm_ppl_score(spark: SparkSession, sf: str) -> DataFrame:
         hash_fn="md5",
         decimal_round=7,
     )
-    return out.select("doc_id", "lang", F.round("log_ppl", 7).alias("log_ppl"))
+    scored = out.select("doc_id", "lang", F.round("log_ppl", 7).alias("log_ppl"))
+    # r9: CCNet §4.3 head/middle/tail terciles per language on the
+    # 7dp-rounded score (same values both engines see), exact mode —
+    # the oracle twin of quantile_buckets; ties break by doc_id
+    return quantile_buckets(
+        scored,
+        "log_ppl",
+        id_col="doc_id",
+        n_buckets=3,
+        group_col="lang",
+        bucket_col="ppl_bucket",
+        labels=["head", "middle", "tail"],
+        mode="exact",
+    )
