@@ -1045,3 +1045,56 @@ class TestQuantileBuckets:
             quantile_buckets(df, "s", labels=["a"])
         with pytest.raises(ValueError):
             quantile_buckets(df, "s", mode="bogus")
+
+
+class TestBpePackCompose:
+    """End-to-end tokenizer path: train BPE on the corpus, encode, pack
+    by BPE token budget — the advertised composition of the two
+    shaping stages (operators/bpe + operators/chunking)."""
+
+    def test_tokenize_then_pack(self, spark):
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.bpe import encode_bpe, train_bpe
+        from waterdata_spark.operators.chunking import pack_sequences
+
+        d = (
+            spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", "text")
+            .filter(F.col("text").isNotNull())
+            .limit(120)
+        )
+        model = train_bpe(d, n_merges=50, min_count=1)
+        enc = encode_bpe(d, model)
+        budget = 64
+        packed = pack_sequences(
+            enc, tokenizer=lambda c: F.col("bpe"), budget_tokens=budget
+        )
+        rows = packed.collect()
+        assert {r["doc_id"] for r in rows} == {
+            r["doc_id"] for r in d.collect()
+        }  # every doc packed exactly once
+        assert len(rows) == len({r["doc_id"] for r in rows})
+        # n_tokens is the BPE length, not the whitespace length
+        for r in rows:
+            assert r["n_tokens"] == len(r["bpe"])
+        # waste bound: a bin holding >1 doc overflows only by its
+        # boundary-crossing doc
+        from collections import defaultdict
+
+        bins = defaultdict(list)
+        for r in rows:
+            bins[(r["stream_id"], r["bin_id"])].append(r["n_tokens"])
+        for sizes in bins.values():
+            if len(sizes) > 1:
+                assert sum(sizes) - max(sizes) < budget
+        # deterministic under repartitioning
+        again = {
+            r["doc_id"]: (r["stream_id"], r["bin_id"])
+            for r in pack_sequences(
+                encode_bpe(d.repartition(9), model),
+                tokenizer=lambda c: F.col("bpe"),
+                budget_tokens=budget,
+            ).collect()
+        }
+        for r in rows:
+            assert again[r["doc_id"]] == (r["stream_id"], r["bin_id"])
