@@ -2259,6 +2259,135 @@ class TestNaiveBayes:
         assert a == b
 
 
+class TestLogisticRegression:
+    """Binary LR over hashed-token features (operators/classify.py, r9) —
+    the iterated-aggregation sibling of NB; the x28 'lr' oracle leg
+    unrolls two epochs in DuckDB."""
+
+    B = 4096
+
+    def test_training_differential_vs_python(self, spark):
+        """Fit on the lang-labeled real documents (md5 path, l2 ON to
+        exercise the regularized update): every weight and the bias
+        match the exact pure-Python twin bit-for-bit."""
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.classify import lr_python, lr_train
+        from waterdata_spark.schemas import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+        train = docs.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("y"), "text"
+        )
+        model = lr_train(
+            train, n_buckets=self.B, hash_fn="md5", n_iter=3,
+            learning_rate=0.5, l2=0.01,
+        )
+        pdocs = {
+            r["doc_id"]: (1 if r["lang"] == "en" else 0, r["text"])
+            for r in docs.filter(F.col("doc_id") % 3 == 0).collect()
+        }
+        w, b = lr_python(
+            pdocs, n_buckets=self.B, n_iter=3, learning_rate=0.5, l2=0.01
+        )
+        assert b == model.bias
+        assert w == model.weights
+
+    def test_fit_is_partitioning_invariant(self, spark):
+        """The decimal-sum contract: repartitioned input → bit-identical
+        model (serialized form compared)."""
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.classify import lr_train
+        from waterdata_spark.schemas import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+        train = docs.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("y"), "text"
+        )
+        a = lr_train(train, n_buckets=self.B, hash_fn="md5", n_iter=2)
+        b = lr_train(
+            train.repartition(7), n_buckets=self.B, hash_fn="md5", n_iter=2
+        )
+        assert a.to_json() == b.to_json()
+
+    def test_learns_separable_labels(self, spark):
+        """Marker-rich planted docs (the NB recipe — the synthetic
+        documents table's 31-word shared vocabulary barely encodes the
+        label): held-out accuracy >= 0.9 and positive docs score higher
+        probability than negative ones."""
+        from waterdata_spark.functions.text import LANG_MARKERS
+        from waterdata_spark.operators.classify import lr_score, lr_train
+
+        langs = sorted(LANG_MARKERS)[:2]
+        rows = []
+        for i in range(200):
+            lang = langs[(i // 2) % 2]
+            text = " ".join(LANG_MARKERS[lang] * 4 + ["shared", "noise", "words"])
+            rows.append((i, 1 if lang == langs[0] else 0, text))
+        docs = spark.createDataFrame(rows, "doc_id long, y int, text string")
+        train = docs.filter(F.col("doc_id") % 2 == 0)
+        test = docs.filter(F.col("doc_id") % 2 != 0)
+        model = lr_train(train, n_buckets=self.B, n_iter=10, learning_rate=1.0)
+        scored = lr_score(test, model).collect()
+        hits = sum(int(r["lr_pred"] == r["y"]) for r in scored)
+        assert hits / len(scored) >= 0.9, f"accuracy {hits/len(scored)}"
+        pos = min(r["lr_prob"] for r in scored if r["y"] == 1)
+        neg = max(r["lr_prob"] for r in scored if r["y"] == 0)
+        assert pos > neg
+
+    def test_shuffle_fallback_matches_broadcast(self, spark):
+        """max_broadcast_rows=0 degrades both train and score to shuffle
+        joins with identical results (the lm_perplexity contract)."""
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.classify import lr_score, lr_train
+        from waterdata_spark.schemas import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+        train = docs.limit(60).select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("y"), "text"
+        )
+        test = docs.limit(90)
+        a = lr_train(train, n_buckets=self.B, n_iter=2)
+        b = lr_train(train, n_buckets=self.B, n_iter=2, max_broadcast_rows=0)
+        assert a.to_json() == b.to_json()
+        sa = {
+            (r["doc_id"], r["lr_prob"], r["lr_pred"])
+            for r in lr_score(test, a).collect()
+        }
+        sb = {
+            (r["doc_id"], r["lr_prob"], r["lr_pred"])
+            for r in lr_score(test, a, max_broadcast_rows=0).collect()
+        }
+        assert sa == sb
+
+    def test_empty_doc_scores_sigmoid_bias_and_json_roundtrip(self, spark):
+        import math
+
+        from waterdata_spark.operators.classify import LRModel, lr_score, lr_train
+
+        train = spark.createDataFrame(
+            [(0, 1, "good fine nice"), (1, 0, "bad awful junk")] * 10,
+            "doc_id long, y int, text string",
+        )
+        model = lr_train(train, n_buckets=self.B, n_iter=2)
+        got = lr_score(
+            spark.createDataFrame([(9, "")], "doc_id long, text string"), model
+        ).first()
+        want = round(1.0 / (1.0 + math.exp(-model.bias)), 7)
+        assert got["lr_prob"] == pytest.approx(want, abs=1e-12)
+        rt = LRModel.from_json(model.to_json())
+        assert rt.to_json() == model.to_json()
+        assert rt.weights == model.weights and rt.bias == model.bias
+
+    def test_rejects_non_binary_labels(self, spark):
+        from waterdata_spark.operators.classify import lr_train
+
+        bad = spark.createDataFrame(
+            [(0, 2, "a b"), (1, 0, "c d")], "doc_id long, y int, text string"
+        )
+        with pytest.raises(ValueError, match="0/1"):
+            lr_train(bad, n_buckets=self.B, n_iter=1)
+
+
 class TestUrlDedupStream:
     def test_stream_equals_batch_on_canonical_key(self, spark, tmp_path):
         """Crawl variants of the same page arriving across micro-batches

@@ -1,7 +1,13 @@
 from waterdata_spark.operators.asof import asof_join
 from waterdata_spark.operators.chunking import chunk_documents, pack_sequences
 from waterdata_spark.operators.decontaminate import decontaminate, ngram_contamination
-from waterdata_spark.operators.classify import nb_score, nb_train
+from waterdata_spark.operators.classify import (
+    LRModel,
+    lr_score,
+    lr_train,
+    nb_score,
+    nb_train,
+)
 from waterdata_spark.operators.clustering import KMeansModel, kmeans
 from waterdata_spark.operators.dedup import (
     content_digest,
@@ -132,6 +138,9 @@ __all__ = [
     "minhash_candidate_pairs",
     "minhash_dedup",
     "mixture_rates",
+    "LRModel",
+    "lr_score",
+    "lr_train",
     "nb_score",
     "nb_train",
     "ngram_contamination",

@@ -3439,9 +3439,57 @@ def x27_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, label, CAST(score AS DOUBLE) AS nb_log_prob
       FROM scoredall
       QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) = 1
+    ),
+    ltrain AS (
+      SELECT doc_id AS d, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, text
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    ltrtok AS (
+      SELECT d, len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_d,
+             CAST(CAST('0x' || substr(md5(t), 1, 15) AS UBIGINT) % 4096 AS BIGINT) AS b
+      FROM (SELECT d, text,
+                   unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS t
+            FROM ltrain)
+    ),
+    ltrf AS (SELECT d, n_d, b, COUNT(*) AS cnt FROM ltrtok GROUP BY 1, 2, 3),
+    ltry AS (SELECT d, y FROM ltrain),
+    lntr AS (SELECT COUNT(*) AS n FROM ltrain),
+    lr1 AS (SELECT d, round(0.5 - y, 7) AS r FROM ltry),
+    lg1 AS (SELECT f.b, SUM(CAST(round(r1.r * f.cnt / f.n_d, 12) AS DECIMAL(38,12))) AS g
+            FROM ltrf f JOIN lr1 r1 USING (d) GROUP BY 1),
+    lbg1 AS (SELECT SUM(CAST(r AS DECIMAL(20,7))) AS bg FROM lr1),
+    lw1 AS (SELECT b, round(0.0 - 0.5 * (CAST(g AS DOUBLE) / n), 9) AS w FROM lg1, lntr),
+    lb1 AS (SELECT round(0.0 - 0.5 * (CAST(bg AS DOUBLE) / n), 9) AS bias FROM lbg1, lntr),
+    lm2 AS (SELECT f.d, SUM(CAST(round(w1.w * f.cnt / f.n_d, 12) AS DECIMAL(38,12))) AS m
+            FROM ltrf f JOIN lw1 w1 USING (b) GROUP BY 1),
+    lr2 AS (SELECT t.d,
+                   round(1.0 / (1.0 + exp(-(b1.bias + COALESCE(CAST(m2.m AS DOUBLE), 0.0)))) - t.y, 7) AS r
+            FROM ltry t LEFT JOIN lm2 m2 USING (d), lb1 b1),
+    lg2 AS (SELECT f.b, SUM(CAST(round(r2.r * f.cnt / f.n_d, 12) AS DECIMAL(38,12))) AS g
+            FROM ltrf f JOIN lr2 r2 USING (d) GROUP BY 1),
+    lbg2 AS (SELECT SUM(CAST(r AS DECIMAL(20,7))) AS bg FROM lr2),
+    lw2 AS (SELECT w1.b, round(w1.w - 0.5 * (CAST(COALESCE(g2.g, 0) AS DOUBLE) / n), 9) AS w
+            FROM lw1 w1 LEFT JOIN lg2 g2 USING (b), lntr),
+    lb2 AS (SELECT round(b1.bias - 0.5 * (CAST(bg AS DOUBLE) / n), 9) AS bias
+            FROM lb1 b1, lbg2, lntr),
+    ltetok AS (
+      SELECT doc_id AS d, len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_d,
+             CAST(CAST('0x' || substr(md5(t), 1, 15) AS UBIGINT) % 4096 AS BIGINT) AS b
+      FROM (SELECT doc_id, text,
+                   unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS t
+            FROM test)
+    ),
+    ltef AS (SELECT d, n_d, b, COUNT(*) AS cnt FROM ltetok GROUP BY 1, 2, 3),
+    lms AS (SELECT f.d, SUM(CAST(round(w2.w * f.cnt / f.n_d, 12) AS DECIMAL(38,12))) AS m
+            FROM ltef f JOIN lw2 w2 USING (b) GROUP BY 1),
+    lprob AS (
+      SELECT t.doc_id,
+             round(1.0 / (1.0 + exp(-(b2.bias + COALESCE(CAST(m.m AS DOUBLE), 0.0)))), 7) AS lr_prob
+      FROM test t LEFT JOIN lms m ON m.d = t.doc_id, lb2 b2
     )
-    SELECT t.doc_id, t.lang, b.label AS predicted, b.nb_log_prob
-    FROM test t JOIN best b USING (doc_id)
+    SELECT t.doc_id, t.lang, b.label AS predicted, b.nb_log_prob,
+           l.lr_prob, CAST(l.lr_prob >= 0.5 AS INT) AS lr_pred
+    FROM test t JOIN best b USING (doc_id) JOIN lprob l USING (doc_id)
     """,
     doc="Hashed-token multinomial Naive Bayes classification (NEW r8, "
     "operators/classify.py) — the supervised corpus labeler of public "
@@ -3455,11 +3503,19 @@ def x27_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     "bm25 recipe), the closed-form unseen-mass term, and the "
     "tie-broken argmax, value-for-value including the joint log "
     "probability. The q12 slot freed by the date_rollup consolidation "
-    "registers this (COVERAGE.md trace).",
+    "registers this (COVERAGE.md trace). r9 'lr' leg: the ITERATED "
+    "sibling — binary logistic regression over the same hashed-token "
+    "features (classify.lr_train/lr_score, the GPT-3-appendix-A / "
+    "fastText-supervised quality-classifier form), trained as two "
+    "full-batch gradient epochs whose margin/gradient sums are "
+    "12dp-decimal (order-independent) with 9dp HALF_UP driver weight "
+    "updates; the twin unrolls BOTH epochs in SQL from zero init "
+    "(epoch 1 collapses to p=0.5) and reproduces every held-out "
+    "document's 7dp probability and decision, value-for-value.",
     tags=["classify", "llm"],
 )
 def x28_nb_classify(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.operators.classify import nb_score, nb_train
+    from waterdata_spark.operators.classify import lr_score, lr_train, nb_score, nb_train
 
     docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
     train = docs.filter(F.col("doc_id") % 3 == 0).select(
@@ -3467,9 +3523,19 @@ def x28_nb_classify(spark: SparkSession, sf: str) -> DataFrame:
     )
     test = docs.filter(F.col("doc_id") % 3 != 0)
     model = nb_train(train, n_buckets=4096, hash_fn="md5")
-    return nb_score(
+    nb = nb_score(
         test, model, n_buckets=4096, alpha=1.0, hash_fn="md5"
     ).select("doc_id", "lang", "predicted", "nb_log_prob")
+    # 'lr' leg (r9): the iterated-aggregation binary quality classifier on
+    # the same split — y = (lang='en'), two full-batch epochs, md5 path
+    train_lr = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y"), "text"
+    )
+    lrm = lr_train(
+        train_lr, n_buckets=4096, hash_fn="md5", n_iter=2, learning_rate=0.5
+    )
+    lrs = lr_score(test, lrm).select("doc_id", "lr_prob", "lr_pred")
+    return nb.join(lrs, "doc_id")
 
 
 @query(
