@@ -2129,6 +2129,106 @@ class TestUrlCanonicalize:
         assert keys[0]["k"] == "http://example.com/page"
 
 
+class TestDomainBlocklist:
+    """Registered-domain extraction + UT1-style blocklist filtering
+    (functions/urls.py, operators/urlfilter.py, r9) — the RefinedWeb
+    stage-1 hygiene gate; the x27 'domain' oracle leg is the twin."""
+
+    def test_host_suffixes_chain(self, spark):
+        from waterdata_spark.functions.urls import host_suffixes
+
+        df = spark.createDataFrame(
+            [(1, "a.b.example.com"), (2, "com"), (3, ""), (4, None)],
+            "i long, h string",
+        )
+        got = {
+            r["i"]: r["s"]
+            for r in df.select("i", host_suffixes("h").alias("s")).collect()
+        }
+        assert got[1] == ["a.b.example.com", "b.example.com", "example.com", "com"]
+        assert got[2] == ["com"]
+        assert got[3] == []
+        assert got[4] == []
+
+    def test_registered_domain_rule(self, spark):
+        from waterdata_spark.functions.urls import registered_domain
+
+        cases = {
+            1: ("deep.sub.domain.com", "domain.com"),
+            2: ("www.blog.example.co.uk", "example.co.uk"),
+            3: ("shop.com.au", "shop.com.au"),
+            4: ("localhost", "localhost"),
+            5: ("co.uk", "co.uk"),  # a bare public suffix stays itself
+            6: (None, None),
+        }
+        df = spark.createDataFrame(
+            [(k, v[0]) for k, v in cases.items()], "i long, h string"
+        )
+        got = {
+            r["i"]: r["d"]
+            for r in df.select("i", registered_domain("h").alias("d")).collect()
+        }
+        assert got == {k: v[1] for k, v in cases.items()}
+
+    def test_extra_suffixes_extend_the_set(self, spark):
+        from waterdata_spark.functions.urls import registered_domain
+
+        df = spark.createDataFrame([(1, "x.y.blogspot.com")], "i long, h string")
+        default = df.select(registered_domain("h").alias("d")).first()["d"]
+        extended = df.select(
+            registered_domain("h", extra_suffixes=("blogspot.com",)).alias("d")
+        ).first()["d"]
+        assert default == "blogspot.com"
+        assert extended == "y.blogspot.com"
+
+    def test_blocklist_dot_boundary_and_subdomains(self, spark):
+        """Blocking example.com blocks every subdomain but NOT
+        notexample.com — the endswith-string trap."""
+        from waterdata_spark.operators.urlfilter import url_blocklist_filter
+
+        df = spark.createDataFrame(
+            [
+                (1, "http://a.b.example.com/x"),
+                (2, "http://example.com/y"),
+                (3, "http://notexample.com/z"),
+                (4, "https://safe.org/w"),
+                (5, None),
+                (6, "not a url"),
+            ],
+            "id long, url string",
+        )
+        bl = spark.createDataFrame([("example.com",)], "domain string")
+        kept = sorted(
+            r["id"] for r in url_blocklist_filter(df, bl, mode="remove").collect()
+        )
+        assert kept == [3, 4, 5, 6]
+        flags = {
+            r["id"]: r["url_blocked"]
+            for r in url_blocklist_filter(df, bl, mode="flag").collect()
+        }
+        assert flags == {1: True, 2: True, 3: False, 4: False, 5: False, 6: False}
+
+    def test_shuffle_fallback_and_empty_blocklist(self, spark):
+        from waterdata_spark.operators.urlfilter import url_blocklist_filter
+
+        df = spark.createDataFrame(
+            [(i, f"http://h{i % 5}.example{i % 3}.com/p") for i in range(60)],
+            "id long, url string",
+        )
+        bl = spark.createDataFrame([("example0.com",), ("h3.example1.com",)],
+                                   "domain string")
+        a = sorted(r["id"] for r in url_blocklist_filter(df, bl).collect())
+        b = sorted(
+            r["id"]
+            for r in url_blocklist_filter(df, bl, max_broadcast_rows=0).collect()
+        )
+        assert a == b and 0 < len(a) < 60
+        empty = spark.createDataFrame([], "domain string")
+        assert url_blocklist_filter(df, empty).count() == 60
+        with pytest.raises(ValueError, match="mode"):
+            url_blocklist_filter(df, bl, mode="audit")
+
+
 class TestNaiveBayes:
     """Hashed-token multinomial NB (operators/classify.py)."""
 

@@ -95,3 +95,73 @@ def url_host(c: Column | str) -> Column:
     '' for non-URLs — the group-by key for host-level crawl stats."""
     col = F.trim(F.col(c) if isinstance(c, str) else c)
     return F.lower(F.regexp_replace(_part(col, 2), r":[0-9]+$", ""))
+
+
+# ---------------------------------------------------------------------------
+# Domain-level filtering — the FIRST stage of the published curation
+# cascades (RefinedWeb §3.1 filters by URL against a blocklist before any
+# content is fetched or scored; the public UT1 lists are keyed by
+# registered domain). Blocking is SUFFIX-CHAIN matching on dot boundaries:
+# blocklisting example.com blocks a.b.example.com but NOT notexample.com
+# (the endswith-string trap). Everything below is pure JVM expressions —
+# no UDF — and reproducible in DuckDB for the x27 oracle leg.
+# ---------------------------------------------------------------------------
+
+#: Common multi-label public suffixes for :func:`registered_domain`. This
+#: is deliberately the SHORT well-known set, not the full Mozilla Public
+#: Suffix List (a 10k-entry data file that updates monthly — carrying a
+#: frozen copy would be silently wrong); callers needing exact PSL
+#: semantics pass their own list via ``extra_suffixes``. With the default
+#: set the rule is the classic approximation: last 2 labels, or last 3
+#: when the last 2 are a known public suffix (co.uk, com.au, ...).
+MULTI_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "org.nz", "net.nz",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "com.mx", "com.ar", "com.cn", "com.tw", "com.hk",
+    "com.sg", "com.my", "co.in", "co.kr", "co.za", "com.tr",
+)
+
+
+def host_suffixes(c: Column | str) -> Column:
+    """All dot-boundary suffixes of a host, most-specific first:
+    ``a.b.example.com`` → ``[a.b.example.com, b.example.com,
+    example.com, com]``. Empty/null hosts → empty array. The join key
+    set for blocklist matching — fan-out is the label count (~3-5),
+    never content-sized."""
+    col = F.col(c) if isinstance(c, str) else c
+    parts = F.split(col, r"\.")
+    n = F.size(parts)
+    return F.when(
+        col.isNull() | (col == ""), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
+        )
+    )
+
+
+def registered_domain(
+    c: Column | str, extra_suffixes: tuple[str, ...] = ()
+) -> Column:
+    """The registrable domain of a host (``www.blog.example.co.uk`` →
+    ``example.co.uk``): last two labels, or last three when the last two
+    are a known multi-label public suffix (:data:`MULTI_LABEL_SUFFIXES`
+    ∪ ``extra_suffixes``). Single-label hosts (``localhost``) pass
+    through; null in, null out. The aggregation key for host-level
+    corpus stats and the key the public blocklists use."""
+    col = F.col(c) if isinstance(c, str) else c
+    parts = F.split(col, r"\.")
+    n = F.size(parts)
+    last2 = F.array_join(F.slice(parts, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(parts, n - 2, 3), ".")
+    sufs = F.array(
+        *[F.lit(s) for s in tuple(MULTI_LABEL_SUFFIXES) + tuple(extra_suffixes)]
+    )
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(n <= 1, col)
+        .when((n >= 3) & F.array_contains(sufs, last2), last3)
+        .otherwise(last2)
+    )

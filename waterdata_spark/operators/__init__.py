@@ -75,6 +75,7 @@ from waterdata_spark.operators.bpe import (
     word_counts,
 )
 from waterdata_spark.operators.retrieval import bm25_topk, rrf_fuse
+from waterdata_spark.operators.urlfilter import url_blocklist_filter
 from waterdata_spark.operators.semdedup import (
     assign_clusters,
     semdedup,
@@ -155,6 +156,7 @@ __all__ = [
     "range_join",
     "remove_boilerplate_lines",
     "rrf_fuse",
+    "url_blocklist_filter",
     "search_ivf_index",
     "semdedup",
     "semdedup_labels",

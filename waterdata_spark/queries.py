@@ -3328,12 +3328,35 @@ def x25_linked_dedup(spark: SparkSession, sf: str) -> DataFrame:
                  x, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid)(=.*)?$')
              )), '&') AS qstr
       FROM parts
+    ),
+    u2 AS (
+      SELECT c_custkey,
+        (CASE WHEN c_custkey % 3 = 1 THEN 'www.' WHEN c_custkey % 3 = 2 THEN 'a.b.' ELSE '' END)
+        || 'site-' || CAST(c_custkey % 19 AS VARCHAR)
+        || (CASE WHEN c_custkey % 4 = 0 THEN '.com' WHEN c_custkey % 4 = 1 THEN '.co.uk'
+                 WHEN c_custkey % 4 = 2 THEN '.com.au' ELSE '.org' END) AS host2
+      FROM customer
+    ),
+    dom AS (
+      SELECT c_custkey, host2, string_split(host2, '.') AS parts FROM u2
+    ),
+    dom2 AS (
+      SELECT c_custkey, host2,
+             CASE WHEN len(parts) <= 1 THEN host2
+                  WHEN len(parts) >= 3 AND array_to_string(parts[-2:], '.') IN ('co.uk', 'com.au')
+                    THEN array_to_string(parts[-3:], '.')
+                  ELSE array_to_string(parts[-2:], '.') END AS reg_dom,
+             CAST(len(list_intersect(
+               list_transform(range(1, len(parts) + 1), i -> array_to_string(parts[i:], '.')),
+               ['site-3.co.uk', 'site-7.com', 'ite-7.com'])) > 0 AS INT) AS blocked
+      FROM dom
     )
-    SELECT c_custkey, url,
-           scheme || '://' || auth2 || path2
-             || (CASE WHEN qstr <> '' THEN '?' || qstr ELSE '' END) AS canon_url,
-           regexp_replace(auth2, ':[0-9]+$', '') AS host
-    FROM norm
+    SELECT n.c_custkey, n.url,
+           n.scheme || '://' || n.auth2 || n.path2
+             || (CASE WHEN n.qstr <> '' THEN '?' || n.qstr ELSE '' END) AS canon_url,
+           regexp_replace(n.auth2, ':[0-9]+$', '') AS host,
+           d.host2, d.reg_dom, d.blocked
+    FROM norm n JOIN dom2 d USING (c_custkey)
     """,
     doc="Crawl URL canonicalization (NEW r8, functions/urls.py): the "
     "dedup-key problem BEFORE content dedup — scheme/host lowercasing, "
@@ -3347,11 +3370,23 @@ def x25_linked_dedup(spark: SparkSession, sf: str) -> DataFrame:
     "lookarounds) value-for-value, canonical string AND extracted "
     "host. Pure JVM expression chain — no UDF, no shuffle; runs at "
     "scan speed on a 100 TB frontier. The q25 slot freed by the "
-    "semi-join consolidation registers this (COVERAGE.md trace).",
+    "semi-join consolidation registers this (COVERAGE.md trace). "
+    "r9 'domain' leg: registered-domain extraction (last-2-labels, or "
+    "last-3 under a known multi-label public suffix) and the "
+    "url_blocklist_filter operator (RefinedWeb stage 1: UT1-style "
+    "domain blocklists) — suffix-CHAIN matching on dot boundaries over "
+    "diverse synthetic hosts, with a planted 'ite-7.com' endswith-trap "
+    "entry that must match nothing; the twin reproduces the suffix "
+    "chain, the registered-domain rule, and every block decision.",
     tags=["url", "text", "llm"],
 )
 def x27_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.functions.urls import canonicalize_url, url_host
+    from waterdata_spark.functions.urls import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+    from waterdata_spark.operators.urlfilter import url_blocklist_filter
 
     c = load_table(spark, sf, "customer")
     k = F.col("c_custkey")
@@ -3375,11 +3410,40 @@ def x27_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.when(k % 6 == 0, F.lit("#top")).otherwise(F.lit("")),
     )
-    return c.select(
+    # 'domain' leg (r9): diverse synthetic hosts (sub-depth × site × TLD,
+    # moduli 3/19/4 pairwise coprime so every combination occurs — a
+    # %20-site index would be correlated with the %4 TLD and the
+    # blocklisted pairs would never co-occur) through the REAL
+    # url_blocklist_filter operator plus the registered-domain rule;
+    # 'ite-7.com' is the planted endswith-trap entry that must match
+    # nothing
+    sub = (
+        F.when(k % 3 == 1, F.lit("www."))
+        .when(k % 3 == 2, F.lit("a.b."))
+        .otherwise(F.lit(""))
+    )
+    tld = (
+        F.when(k % 4 == 0, F.lit(".com"))
+        .when(k % 4 == 1, F.lit(".co.uk"))
+        .when(k % 4 == 2, F.lit(".com.au"))
+        .otherwise(F.lit(".org"))
+    )
+    url2 = F.concat(
+        F.lit("http://"), sub, F.lit("site-"), (k % 19).cast("string"), tld, F.lit("/p")
+    )
+    base = c.select("c_custkey", url.alias("url"), url2.alias("url2"))
+    bl = spark.createDataFrame(
+        [("site-3.co.uk",), ("site-7.com",), ("ite-7.com",)], "domain string"
+    )
+    flagged = url_blocklist_filter(base, bl, url_col="url2", mode="flag")
+    return flagged.select(
         "c_custkey",
-        url.alias("url"),
-        canonicalize_url(url).alias("canon_url"),
-        url_host(url).alias("host"),
+        "url",
+        canonicalize_url("url").alias("canon_url"),
+        url_host("url").alias("host"),
+        url_host(F.col("url2")).alias("host2"),
+        registered_domain(url_host(F.col("url2"))).alias("reg_dom"),
+        F.col("url_blocked").cast("int").alias("blocked"),
     )
 
 
