@@ -398,6 +398,93 @@ class TestSortedLayout:
         assert a == b
 
 
+class TestZorderLayout:
+    """Z-order multi-column clustering (sources/layout.py, r9)."""
+
+    def test_morton_interleave_differential(self, spark):
+        """zorder_value == a pure-Python bit interleave on the full
+        3-bit × 3-col grid (512 cells)."""
+        from pyspark.sql import functions as F
+
+        from waterdata_spark.sources.layout import zorder_value
+
+        df = spark.createDataFrame(
+            [(a, b, c) for a in range(8) for b in range(8) for c in range(8)],
+            "a int, b int, c int",
+        )
+        got = {
+            (r["a"], r["b"], r["c"]): r["z"]
+            for r in df.withColumn(
+                "z", zorder_value([F.col("a"), F.col("b"), F.col("c")], 3)
+            ).collect()
+        }
+
+        def interleave(vals, bits, ncols):
+            z = 0
+            for j, v in enumerate(vals):
+                for i in range(bits):
+                    z |= ((v >> i) & 1) << (i * ncols + j)
+            return z
+
+        assert all(got[k] == interleave(k, 3, 3) for k in got)
+        with pytest.raises(ValueError, match="exceeds a long"):
+            zorder_value([F.col("a")] * 8, 8)
+
+    def test_prunes_on_every_clustered_column(self, spark, tmp_path):
+        """The point of the layout: a single-key sort prunes only its
+        leading key; z-order prunes BOTH columns' range predicates, and
+        the layout is a pure reordering (same rows back)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from waterdata_spark.sources.layout import (
+            skipping_stats,
+            write_sorted,
+            write_zordered,
+        )
+
+        random.seed(7)
+        rows = [
+            (random.uniform(0, 1000), random.uniform(0, 1000), i)
+            for i in range(60_000)
+        ]
+        df = spark.createDataFrame(rows, "x double, y double, id long")
+        zo, so = str(tmp_path / "zo"), str(tmp_path / "so")
+        write_zordered(df, zo, ["x", "y"], bits_per_col=6, n_files=16)
+        write_sorted(df, so, ["x"], n_files=16)
+
+        # a 5% slice on each dimension
+        zx = skipping_stats(zo, "x", 100.0, 150.0)
+        zy = skipping_stats(zo, "y", 100.0, 150.0)
+        sy = skipping_stats(so, "y", 100.0, 150.0)
+        assert sy["n_row_groups_scanned"] == sy["n_row_groups"]  # sort: no y pruning
+        assert zx["n_row_groups_scanned"] <= zx["n_row_groups"] // 2
+        assert zy["n_row_groups_scanned"] <= zy["n_row_groups"] // 2
+
+        back = spark.read.parquet(zo)
+        assert back.count() == df.count()
+        a = df.agg(F.sum(F.crc32(F.col("id").cast("string")))).collect()[0][0]
+        b = back.agg(F.sum(F.crc32(F.col("id").cast("string")))).collect()[0][0]
+        assert a == b
+        # the helper column must not leak into the written schema
+        assert set(back.columns) == {"x", "y", "id"}
+
+    def test_nulls_and_skew_land_in_buckets(self, spark, tmp_path):
+        """Null values cluster into the lowest cell instead of erroring,
+        and a heavily skewed column still yields equal-population
+        buckets (sampled quantiles, not equal-width)."""
+        from waterdata_spark.sources.layout import write_zordered
+
+        rows = [(float(i % 10) if i % 7 else None, float(i * i), i) for i in range(5000)]
+        df = spark.createDataFrame(rows, "x double, y double, id long")
+        path = str(tmp_path / "zn")
+        write_zordered(df, path, ["x", "y"], bits_per_col=4, n_files=4)
+        back = spark.read.parquet(path)
+        assert back.count() == 5000
+        assert back.filter("x IS NULL").count() == df.filter("x IS NULL").count()
+
+
 def _warc_record(
     wtype: bytes, uri: bytes | None, payload: bytes, ctype: bytes = b"text/plain"
 ) -> bytes:

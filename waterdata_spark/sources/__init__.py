@@ -1,7 +1,12 @@
 from waterdata_spark.sources.bucketed import read_table, write_bucketed
 from waterdata_spark.sources.csv import read_csv, read_csv_multi
 from waterdata_spark.sources.excel import read_excel_sheet, read_excel_sheets
-from waterdata_spark.sources.layout import skipping_stats, write_sorted
+from waterdata_spark.sources.layout import (
+    skipping_stats,
+    write_sorted,
+    write_zordered,
+    zorder_value,
+)
 from waterdata_spark.sources.sink import checkpoint_parquet, write_csv, write_parquet
 
 __all__ = [
@@ -16,4 +21,6 @@ __all__ = [
     "write_csv",
     "write_parquet",
     "write_sorted",
+    "write_zordered",
+    "zorder_value",
 ]
