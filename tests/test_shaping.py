@@ -894,6 +894,152 @@ class TestBpe:
             train_bpe(df, min_count=5)
 
 
+class TestUnigramLm:
+    """SentencePiece-style unigram-LM tokenizer (operators/unigram_lm,
+    r9) — the other published subword family next to BPE."""
+
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_em_differential_vs_enumeration(self, spark):
+        """One EM round's expected counts match an INDEPENDENT pure-
+        Python implementation that enumerates every segmentation of
+        every word explicitly (exponential, fine for short words) —
+        a genuinely different formulation than the module's lattice
+        forward-backward."""
+        import itertools
+        import math
+
+        from waterdata_spark.operators.bpe import word_counts
+        from waterdata_spark.operators.unigram_lm import (
+            WB,
+            _expected_counts,
+            seed_pieces,
+        )
+
+        docs = self._docs(
+            spark,
+            ["the cat sat", "the cat ran", "a cat sat on the mat", "the the"],
+        )
+        wc = word_counts(docs, min_count=1)
+        seed = {
+            r["piece"]: float(r["weight"])
+            for r in seed_pieces(wc, max_piece_len=4, seed_size=100).collect()
+        }
+        tot = sum(seed.values())
+        logp = {p: math.log(w / tot) for p, w in seed.items()}
+
+        got = {
+            r["piece"]: r["c"]
+            for r in _expected_counts(wc, logp, 4, round_dp=9)
+        }
+
+        def segmentations(w):
+            # all ways to split w into vocab pieces of len <= 4
+            if not w:
+                yield []
+                return
+            for l in range(1, min(4, len(w)) + 1):
+                if w[:l] in logp:
+                    for rest in segmentations(w[l:]):
+                        yield [w[:l]] + rest
+
+        counts = {r["word"]: int(r["count"]) for r in wc.collect()}
+        want: dict = {}
+        for w, c in counts.items():
+            segs = list(segmentations(WB + w))
+            probs = [math.exp(sum(logp[p] for p in s)) for s in segs]
+            z = sum(probs)
+            per_word: dict = {}
+            for s, pr in zip(segs, probs):
+                for p in s:
+                    per_word[p] = per_word.get(p, 0.0) + pr / z
+            for p, e in per_word.items():
+                want[p] = want.get(p, 0.0) + round(e * c, 9)
+        for p in want:
+            assert got.get(p, 0.0) == pytest.approx(want[p], abs=1e-6), p
+
+    def test_train_is_partitioning_invariant_and_roundtrips(self, spark):
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.unigram_lm import (
+            UnigramModel,
+            train_unigram,
+        )
+        from waterdata_spark.schemas import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+        a = train_unigram(docs, vocab_size=120, max_piece_len=4, min_count=1)
+        b = train_unigram(
+            docs.repartition(7), vocab_size=120, max_piece_len=4, min_count=1
+        )
+        assert a.to_json() == b.to_json()
+        assert len(a.logp) <= 120
+        rt = UnigramModel.from_json(a.to_json())
+        assert rt.to_json() == a.to_json()
+        # probabilities normalize
+        import math
+
+        assert sum(math.exp(v) for v in a.logp.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_encode_decode_roundtrip_on_documents(self, spark):
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.unigram_lm import (
+            decode_pieces,
+            encode_unigram,
+            train_unigram,
+        )
+        from waterdata_spark.schemas import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(80)
+        model = train_unigram(docs, vocab_size=150, max_piece_len=4, min_count=1)
+        out = {
+            r["doc_id"]: (r["text"], r["pieces"])
+            for r in encode_unigram(docs, model).collect()
+        }
+        for _, (text, pieces) in out.items():
+            want = " ".join(text.lower().split())
+            assert decode_pieces(pieces) == want
+
+    def test_viterbi_prefers_learned_pieces_and_unknown_chars_pass(self, spark):
+        import math
+
+        from waterdata_spark.operators.unigram_lm import (
+            UnigramModel,
+            encode_unigram,
+            viterbi_word,
+        )
+
+        # a vocabulary where "▁unbelievable" segments as ▁un|believ|able
+        logp = {p: math.log(0.2) for p in ["▁un", "believ", "able"]}
+        for ch in "▁unbelivace xyzq":
+            logp.setdefault(ch, math.log(1e-4))
+        assert viterbi_word("▁unbelievable", logp, 8) == ["▁un", "believ", "able"]
+        # unknown char (not in vocab at all) passes through
+        model = UnigramModel(logp=logp, max_piece_len=8)
+        df = spark.createDataFrame([(1, "unbelievable Ω")], "doc_id long, text string")
+        got = encode_unigram(df, model).first()["pieces"]
+        assert got[:3] == ["▁un", "believ", "able"]
+        assert "ω" in "".join(got)  # default lowercase: Ω → ω, passes through
+
+    def test_empty_and_null_contracts(self, spark):
+        from waterdata_spark.operators.unigram_lm import (
+            UnigramModel,
+            encode_unigram,
+            train_unigram,
+        )
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        with pytest.raises(ValueError, match="empty vocabulary"):
+            train_unigram(empty, vocab_size=10, min_count=1)
+        model = UnigramModel(logp={"a": 0.0}, max_piece_len=2)
+        row = encode_unigram(
+            spark.createDataFrame([(1, None)], "doc_id long, text string"), model
+        ).first()
+        assert row["pieces"] is None
+
+
 class TestQuantileBuckets:
     """CCNet head/middle/tail bucketing (operators/selection.
     quantile_buckets; Wenzek 2020 §4.3). Exact mode is additionally

@@ -75,6 +75,11 @@ from waterdata_spark.operators.bpe import (
     word_counts,
 )
 from waterdata_spark.operators.retrieval import bm25_topk, rrf_fuse
+from waterdata_spark.operators.unigram_lm import (
+    UnigramModel,
+    encode_unigram,
+    train_unigram,
+)
 from waterdata_spark.operators.urlfilter import url_blocklist_filter
 from waterdata_spark.operators.semdedup import (
     assign_clusters,
@@ -157,6 +162,9 @@ __all__ = [
     "remove_boilerplate_lines",
     "rrf_fuse",
     "url_blocklist_filter",
+    "UnigramModel",
+    "encode_unigram",
+    "train_unigram",
     "search_ivf_index",
     "semdedup",
     "semdedup_labels",
