@@ -203,6 +203,11 @@ def nb_score(
 # every downstream probability — are bit-equal across partitionings and
 # engines (the x28 'lr' oracle leg unrolls two full epochs in DuckDB and
 # hash-matches probabilities; `lr_python` is the exact pure-Python twin).
+#
+# Streaming ingest: `lr_score`'s per-doc margin is an aggregation, so on a
+# stream apply it per micro-batch via `foreachBatch` (the documented Spark
+# route for batch-shaped transforms) — the model is frozen driver state, so
+# batch and stream scores are identical by construction.
 # ---------------------------------------------------------------------------
 
 
