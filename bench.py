@@ -316,17 +316,23 @@ def _spawn_block(sf_dir: str, names: list[str] | None = None) -> dict | None:
         return block
 
     block = run_once()
-    # r9 (VERDICT r8 items 3/6): a contended block retries ONCE — the r8
-    # artifact shipped a contended sf10 block as its only sf10 evidence.
-    # Keep the attempt with the lower sentinel drift; record the retry.
-    if block and block.get("contended"):
-        print(f"# {sf_dir}: contended (drift {block['sentinel']['drift']}), retrying once", file=sys.stderr)
+    # r10 (VERDICT r9 item 4): retry-once was not enough on this host —
+    # r8 and r9 together shipped ZERO sentinel-clean driver blocks. Retry
+    # until the block is clean (drift <= 1.15), capped at 3 retries; keep
+    # the attempt with the lowest sentinel drift and count the retries.
+    retries = 0
+    while block and block.get("contended") and retries < 3:
+        retries += 1
+        print(
+            f"# {sf_dir}: contended (drift {block['sentinel']['drift']}), "
+            f"retry {retries}/3",
+            file=sys.stderr,
+        )
         retry = run_once()
         if retry and retry["sentinel"]["drift"] < block["sentinel"]["drift"]:
-            retry["retried"] = True
-            return retry
-        if block is not None:
-            block["retried"] = True
+            block = retry
+    if block is not None and retries:
+        block["retried"] = retries
     return block
 
 
@@ -362,10 +368,13 @@ def main() -> None:
         names=names_env.split(",") if names_env else None,
         partitions=SHUFFLE_PARTITIONS.get(sf),
     )
-    if suite["contended"]:
-        # same retry-once rule as the child scale blocks (r9)
+    # same retry-until-clean rule as the child scale blocks (r10, cap 3)
+    _retries = 0
+    while suite["contended"] and _retries < 3:
+        _retries += 1
         print(
-            f"# primary suite contended (drift {suite['sentinel']['drift']}), retrying once",
+            f"# primary suite contended (drift {suite['sentinel']['drift']}), "
+            f"retry {_retries}/3",
             file=sys.stderr,
         )
         retry = _run_suite(
@@ -376,7 +385,8 @@ def main() -> None:
         )
         if retry["sentinel"]["drift"] < suite["sentinel"]["drift"]:
             suite = retry
-        suite["retried"] = True
+    if _retries:
+        suite["retried"] = _retries
     out = {
         "metric": "headline_suite_total",
         "value": suite["value"],
@@ -436,11 +446,29 @@ def main() -> None:
     # scale ratios, NO per-repeat spreads — and the full record
     # (with spreads) goes to stderr for local archiving.
     print("# FULL " + json.dumps(out), file=sys.stderr)
-    compact = {k: v for k, v in out.items() if k != "spread"}
+
+    def _compact_block(blk: dict) -> dict:
+        # r10 (VERDICT r9 item 1): the r9 per-query sentinel SERIES arrays
+        # (13 floats x 3 blocks) pushed the single compact line past the
+        # driver's tail capture — BENCH_r09.json parsed null and the sf0.1
+        # headline was lost. The compact line keeps before/after/drift
+        # only; the full series lives in the stderr FULL record above.
+        c = {k: v for k, v in blk.items() if k != "spread"}
+        if isinstance(c.get("sentinel"), dict):
+            c["sentinel"] = {
+                k: v for k, v in c["sentinel"].items() if k != "series"
+            }
+        return c
+
+    compact = _compact_block(out)
     for blk in ("sf1", "sf10"):
         if isinstance(compact.get(blk), dict):
-            compact[blk] = {k: v for k, v in compact[blk].items() if k != "spread"}
-    print(json.dumps(compact))
+            compact[blk] = _compact_block(compact[blk])
+    line = json.dumps(compact)
+    # size guard: a future field addition must not silently re-break the
+    # driver's bounded tail capture (the r7 AND r9 failure mode)
+    assert len(line) < 4096, f"compact bench line {len(line)}B >= 4KB cap"
+    print(line)
 
 
 if __name__ == "__main__":

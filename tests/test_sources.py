@@ -430,6 +430,51 @@ class TestZorderLayout:
         with pytest.raises(ValueError, match="exceeds a long"):
             zorder_value([F.col("a")] * 8, 8)
 
+    def test_morton_4col_8bit_no_int32_wrap(self, spark):
+        """4 cols × 8 bits uses bit positions up to 31 — the config that
+        overflowed when the lookup table was array<int> (shiftleft
+        preserves input type, so bits ≥ 31 wrapped negative; ADVICE r9
+        high). Corners plus a sampled diagonal against the pure-Python
+        interleave."""
+        from pyspark.sql import functions as F
+
+        from waterdata_spark.sources.layout import zorder_value
+
+        vals = [0, 1, 127, 128, 200, 254, 255]
+        rows = [(a, b, c, d) for a in vals for b in vals for c in vals for d in vals]
+        df = spark.createDataFrame(rows, "a int, b int, c int, d int")
+        got = {
+            (r["a"], r["b"], r["c"], r["d"]): r["z"]
+            for r in df.withColumn(
+                "z",
+                zorder_value(
+                    [F.col("a"), F.col("b"), F.col("c"), F.col("d")], 8
+                ),
+            ).collect()
+        }
+
+        def interleave(v, bits, ncols):
+            z = 0
+            for j, x in enumerate(v):
+                for i in range(bits):
+                    z |= ((x >> i) & 1) << (i * ncols + j)
+            return z
+
+        assert got[(255, 255, 255, 255)] == (1 << 32) - 1
+        assert all(z >= 0 for z in got.values())
+        assert all(got[k] == interleave(k, 8, 4) for k in got)
+
+    def test_zorder_rejects_string_column(self, spark, tmp_path):
+        """A non-numeric z-order column must raise, not silently bucket
+        every row to 0 (ADVICE r9)."""
+        from waterdata_spark.sources.layout import write_zordered
+
+        df = spark.createDataFrame(
+            [(1.0, "a"), (2.0, "b")], "x double, s string"
+        )
+        with pytest.raises(ValueError, match="must be numeric"):
+            write_zordered(df, str(tmp_path / "bad"), ["x", "s"])
+
     def test_prunes_on_every_clustered_column(self, spark, tmp_path):
         """The point of the layout: a single-key sort prunes only its
         leading key; z-order prunes BOTH columns' range predicates, and

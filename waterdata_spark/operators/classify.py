@@ -329,7 +329,6 @@ def lr_train(
         labeled.select(
             F.col(id_col).alias("__d"),
             F.col(label_col).cast("double").alias("__y"),
-            F.size(_gram_array(F.col(text_col), use_bigrams=False)).alias("__n"),
         ).persist(),
     )
     stats = ydf.agg(

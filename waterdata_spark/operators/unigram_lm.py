@@ -30,8 +30,11 @@ equal words contribute identical expected counts. So:
   tail).
 
 Encoding is Viterbi segmentation per word (max total log-prob; ties
-break to the fewest pieces, then to the latest split — pinned so
-encodings reproduce anywhere), Arrow-batched with per-batch word
+break to the fewest pieces, then to the latest split). The shipped
+model's piece log-probs are rounded to fixed decimal precision at
+build time, so GIVEN THE SAME MODEL JSON encodings reproduce on any
+IEEE-754 platform; the fit itself is same-platform deterministic
+(libm exp/log may differ across platforms). Arrow-batched with per-batch word
 memoization — the documented Python-UDF exception class (string DP
 has no JVM surface; encode_bpe precedent). Words are prefixed with
 the SentencePiece ``▁`` word-boundary marker, so decoding is exact.
@@ -290,6 +293,13 @@ def train_unigram(
         # renormalize after the cut (M-step of the survivors)
         tot = sum(math.exp(v) for v in sorted(logp.values()))
         logp = {p: v - math.log(tot) for p, v in logp.items()}
+    # Pin the shipped log-probs to fixed decimal precision (the
+    # decimal_round recipe): Viterbi's tie-epsilon then compares sums of
+    # identical float64 values, so ENCODING is deterministic on any
+    # IEEE-754 platform given the same model JSON. The FIT itself is
+    # same-platform deterministic (libm exp/log may differ across
+    # platforms). ADVICE r9.
+    logp = {p: round(v, 9) for p, v in logp.items()}
     return UnigramModel(logp=logp, max_piece_len=max_piece_len)
 
 

@@ -97,7 +97,12 @@ def zorder_value(
     ]
     z = F.lit(0).cast("long")
     for j, c in enumerate(bucket_cols):
-        table = F.array(*[F.lit(s) for s in spread])
+        # the lookup table MUST be array<long>: when every spread value
+        # fits an int32, F.lit builds array<int>, F.get returns int, and
+        # shiftleft preserves the input type — so bit positions ≥ 31 wrap
+        # (4 cols × 8 bits gave z = -1 for buckets (255,255,255,255)).
+        # ADVICE r9 (high); pinned by the 4-col × 8-bit differential test.
+        table = F.array(*[F.lit(s).cast("long") for s in spread])
         z = z.bitwiseOR(F.shiftleft(F.get(table, c.cast("int")), j))
     return z
 
@@ -172,6 +177,19 @@ def write_zordered(
     plenty once files are the pruning unit."""
     n_buckets = 1 << bits_per_col
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    # validate dtypes up front: a string column would silently cast to
+    # null doubles and land every row in bucket 0, degenerating the
+    # layout with no error (ADVICE r9)
+    _ok_prefixes = (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "decimal", "date", "timestamp", "boolean",
+    )
+    for c, t in dict(df.dtypes).items():
+        if c in zorder_cols and not t.startswith(_ok_prefixes):
+            raise ValueError(
+                f"write_zordered: column {c!r} has type {t}; z-order "
+                "columns must be numeric/date/timestamp"
+            )
     exprs = {c: _numeric_expr(df, c) for c in zorder_cols}
     as_double = df.select(*[exprs[c].alias(c) for c in zorder_cols])
     bounds = as_double.approxQuantile(zorder_cols, qs, sample_rel_error)
