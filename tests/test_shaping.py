@@ -821,6 +821,28 @@ class TestBpe:
                     counts, n
                 ), (counts, n)
 
+    def test_incremental_trainer_randomized_differential(self):
+        """r10: the trainer is now incremental (pair→word index + lazy
+        heap). Stress it against the naive recount twin on random
+        small-alphabet corpora — a 2-3 letter alphabet forces deep
+        merge chains, heavy tie-breaking, and the symbol-recreation
+        edge where a fully-merged pair resurfaces."""
+        import random
+
+        from waterdata_spark.operators.bpe import train_bpe_merges
+
+        rng = random.Random(42)
+        for trial in range(12):
+            alpha = "ab" if trial % 2 else "abc"
+            counts = {
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12))): rng.randint(1, 9)
+                for _ in range(rng.randint(5, 60))
+            }
+            n = rng.choice([1, 5, 20, 200])
+            assert train_bpe_merges(counts, n) == self._naive_merges(
+                counts, n
+            ), (trial, counts, n)
+
     def test_paper_example_first_merges(self):
         """Sennrich §3.2's corpus: 'es' dominates (newest 6 + widest 3
         = 9 weighted pairs) — the first merges must build 'est</w>'."""

@@ -9,8 +9,10 @@ spelling contribute identically. So the distributed part is ONE
 aggregate scan (word → count, map-side-combinable, prunable by
 ``min_count`` and capped at ``max_vocab_words``), bounded by the
 corpus VOCABULARY, not the corpus size; the merge loop then runs
-driver-side on that dict exactly as the paper's reference
-implementation does. At 100 TB the web-scale vocabulary is ~10⁸ words
+driver-side on that dict with INCREMENTAL pair statistics (r10 —
+pair→affected-word index + lazy heap, ~1-10 ms/merge at a 120k-word
+vocabulary vs the naive rescan's flat ~130 ms/merge; semantics exactly
+the paper's, differential-pinned). At 100 TB the web-scale vocabulary is ~10⁸ words
 before pruning — the cap + min_count keep driver state bounded, and
 the dropped tail is counted and reported, never silently truncated.
 
@@ -99,38 +101,85 @@ def _word_symbols(word: str) -> tuple[str, ...]:
     return tuple(word[:-1]) + (word[-1] + EOW,) if word else ()
 
 
+def _pair_multiset(syms: list[str]) -> dict[tuple[str, str], int]:
+    d: dict[tuple[str, str], int] = {}
+    for i in range(len(syms) - 1):
+        p = (syms[i], syms[i + 1])
+        d[p] = d.get(p, 0) + 1
+    return d
+
+
 def train_bpe_merges(
     counts: dict[str, int], n_merges: int
 ) -> list[tuple[str, str]]:
-    """The paper's merge loop on a word-frequency dict, driver-side.
-    Deterministic: ties on pair count break by the LEXICOGRAPHIC pair
-    (the published reference breaks ties arbitrarily via dict order —
-    pinned here so training reproduces bit-for-bit anywhere). Stops
-    early when no pair occurs twice."""
+    """The paper's merge loop on a word-frequency dict, driver-side,
+    with INCREMENTAL pair statistics (the subword-nmt approach, made
+    exact): a pair→affected-word index plus a lazily-invalidated heap,
+    so each merge touches only the words that actually contain the
+    merged pair instead of rescanning the whole table. The r9 full
+    rescan was O(n_merges × Σ|word|) — fine at the probed 200 merges,
+    a wall-clock cliff at a production 32-50k budget (VERDICT r9).
+
+    Exactly equivalent to the naive recount loop (differential
+    test-pinned on 4 corpora × 5 merge budgets + an 8k-merge probe):
+    deterministic tie-break on (-count, lexicographic pair) rides the
+    heap key; a stale heap entry (count changed since push) never
+    matches the live count, so the pop loop skips it and the live
+    entry — pushed at every count change — is still in the heap.
+    A fully-merged pair can REAPPEAR later (a subsequent merge can
+    recreate its left/right symbols), which the delta updates handle:
+    the index re-learns the pair from the words where it resurfaces.
+    Stops early when no pair occurs twice."""
+    import heapq
+
     words: list[tuple[list[str], int]] = [
         (list(_word_symbols(w)), c) for w, c in counts.items() if w
     ]
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, c) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            where.setdefault(p, set()).add(wi)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pair_counts: dict[tuple[str, str], int] = {}
-        for syms, c in words:
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pair_counts[p] = pair_counts.get(p, 0) + c
-        if not pair_counts:
-            break
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pair_counts[best] < 2:
+    while len(merges) < n_merges and heap:
+        negc, best = heapq.heappop(heap)
+        if pair_counts.get(best, 0) != -negc:
+            continue  # stale: the pair's live count has its own entry
+        if -negc < 2:
             break  # nothing repeats — further merges are noise
         merges.append(best)
-        merged = best[0] + best[1]
-        for syms, _ in words:
+        a, b = best
+        merged = a + b
+        # the index may hold stale word ids (word mutated since insert);
+        # sorted() pins the visit order, though deltas commute anyway
+        for wi in sorted(where.pop(best, ())):
+            syms, c = words[wi]
+            before = _pair_multiset(syms)
+            if best not in before:
+                continue  # stale index entry
             i = 0
             while i < len(syms) - 1:
-                if syms[i] == best[0] and syms[i + 1] == best[1]:
+                if syms[i] == a and syms[i + 1] == b:
                     syms[i : i + 2] = [merged]
                 else:
                     i += 1
+            after = _pair_multiset(syms)
+            for q in before.keys() | after.keys():
+                d = (after.get(q, 0) - before.get(q, 0)) * c
+                if d == 0:
+                    continue
+                nv = pair_counts.get(q, 0) + d
+                if nv > 0:
+                    pair_counts[q] = nv
+                    heapq.heappush(heap, (-nv, q))
+                else:
+                    pair_counts.pop(q, None)
+                if after.get(q, 0) > 0:
+                    where.setdefault(q, set()).add(wi)
     return merges
 
 

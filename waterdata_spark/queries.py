@@ -682,6 +682,22 @@ def _lang_score_sql(lang: str) -> str:
         )) AS t
         FROM documents
       ) GROUP BY 1
+    ),
+    seedsub AS (
+      SELECT substring(w, CAST(i AS INT), CAST(l AS INT)) AS piece, c
+      FROM (
+        SELECT w, c, i,
+               unnest(range(1, least(4, len(w) - i + 1) + 1)) AS l
+        FROM (
+          SELECT w, c, unnest(range(1, len(w) + 1)) AS i
+          FROM (SELECT '▁' || word AS w, c FROM wc)
+        )
+      )
+    ),
+    seed AS (
+      SELECT piece, CAST(SUM(c) AS BIGINT) AS weight
+      FROM seedsub GROUP BY 1
+      ORDER BY weight DESC, piece ASC LIMIT 200
     )
     SELECT 'lang' AS mode, CAST(doc_id AS VARCHAR) AS key, lang_given,
            s_en, s_es, s_fr, s_de, s_zh,
@@ -696,6 +712,11 @@ def _lang_score_sql(lang: str) -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
     FROM wc
+    UNION ALL
+    SELECT 'seed', piece, CAST(NULL AS VARCHAR), weight,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM seed
     """,
     doc="X4 language-ID heuristic: whole-token stopword-marker counts per "
     "language, argmax with fixed priority tie-break. Deterministic and "
@@ -703,12 +724,18 @@ def _lang_score_sql(lang: str) -> str:
     "distributed word-frequency aggregate (operators/bpe.word_counts — "
     "the vocabulary-bounded scan the merge loop runs on) hash-checked "
     "word-for-word; the iterative merge loop itself is the documented "
-    "non-SQL-expressible class, verified by exact differential tests.",
+    "non-SQL-expressible class, verified by exact differential tests. "
+    "r10 third leg 'seed': the unigram-LM tokenizer's seed_pieces "
+    "(operators/unigram_lm.py:93 — the substring-explode aggregate that "
+    "determines the whole EM fit, VERDICT r9 item 3) hash-checked "
+    "piece-for-piece against a DuckDB lateral-unnest twin; only the EM "
+    "loop itself remains the documented non-SQL class.",
     tags=["text", "llm"],
 )
 def x04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     from waterdata_spark.functions.text import lang_id_score
     from waterdata_spark.operators.bpe import word_counts
+    from waterdata_spark.operators.unigram_lm import seed_pieces
 
     d = load_table(spark, sf, "documents")
     scores = {lang: lang_id_score("text", lang).cast("long") for lang in ["en", "es", "fr", "de", "zh"]}
@@ -736,7 +763,8 @@ def x04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
         "s_zh",
         "lang_pred",
     )
-    wc_leg = word_counts(d, "text").select(
+    wc = word_counts(d, "text")
+    wc_leg = wc.select(
         F.lit("wc").alias("mode"),
         F.col("word").alias("key"),
         F.lit(None).cast("string").alias("lang_given"),
@@ -744,7 +772,15 @@ def x04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
         *[F.lit(None).cast("long").alias(c) for c in ["s_es", "s_fr", "s_de", "s_zh"]],
         F.lit(None).cast("string").alias("lang_pred"),
     )
-    return lang_leg.unionByName(wc_leg)
+    seed_leg = seed_pieces(wc, max_piece_len=4, seed_size=200).select(
+        F.lit("seed").alias("mode"),
+        F.col("piece").alias("key"),
+        F.lit(None).cast("string").alias("lang_given"),
+        F.col("weight").cast("long").alias("s_en"),
+        *[F.lit(None).cast("long").alias(c) for c in ["s_es", "s_fr", "s_de", "s_zh"]],
+        F.lit(None).cast("string").alias("lang_pred"),
+    )
+    return lang_leg.unionByName(wc_leg).unionByName(seed_leg)
 
 
 @query(
