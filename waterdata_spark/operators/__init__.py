@@ -80,7 +80,10 @@ from waterdata_spark.operators.unigram_lm import (
     encode_unigram,
     train_unigram,
 )
-from waterdata_spark.operators.urlfilter import url_blocklist_filter
+from waterdata_spark.operators.urlfilter import (
+    registered_domains_psl,
+    url_blocklist_filter,
+)
 from waterdata_spark.operators.semdedup import (
     assign_clusters,
     semdedup,
@@ -161,6 +164,7 @@ __all__ = [
     "range_join",
     "remove_boilerplate_lines",
     "rrf_fuse",
+    "registered_domains_psl",
     "url_blocklist_filter",
     "UnigramModel",
     "encode_unigram",
