@@ -1005,6 +1005,110 @@ class TestUnigramLm:
 
         assert sum(math.exp(v) for v in a.logp.values()) == pytest.approx(1.0, abs=1e-9)
 
+    def test_removal_loss_differential_vs_enumeration(self):
+        """_piece_removal_loss (r10 prune_mode='loss', Kudo §3.2) ==
+        expected-count × (logp − best alternative score) where the
+        alternative is found by EXHAUSTIVE enumeration of every
+        segmentation of the piece's string that is not the piece
+        itself — an independent formulation of the DP."""
+        import itertools
+        import math
+
+        from waterdata_spark.operators.unigram_lm import _piece_removal_loss
+
+        logp = {
+            "a": math.log(0.3),
+            "b": math.log(0.2),
+            "ab": math.log(0.25),
+            "ba": math.log(0.05),
+            "aba": math.log(0.1),
+            "c": math.log(0.1),
+        }
+        floor = min(logp.values()) - 1.0
+
+        def enum_alt(p, max_len):
+            best = None
+            L = len(p)
+            for cuts in itertools.product([0, 1], repeat=L - 1):
+                segs, start = [], 0
+                for i, cut in enumerate(cuts, 1):
+                    if cut:
+                        segs.append(p[start:i])
+                        start = i
+                segs.append(p[start:])
+                if segs == [p] or any(len(s) > max_len for s in segs):
+                    continue
+                score = 0.0
+                ok = True
+                for s in segs:
+                    lp = logp.get(s)
+                    if lp is None:
+                        if len(s) > 1:
+                            ok = False
+                            break
+                        lp = floor
+                    score += lp
+                if ok and (best is None or score > best):
+                    best = score
+            return best
+
+        for p in ["ab", "ba", "aba", "abc", "aq"]:
+            lp_p = logp.get(p)
+            if lp_p is None:
+                continue
+            want = math.exp(lp_p) * (lp_p - enum_alt(p, 3))
+            got = _piece_removal_loss(p, logp, 3)
+            assert got == pytest.approx(want, rel=1e-12), p
+
+    def test_prune_mode_loss_laws(self, spark):
+        """prune_mode='loss': fit is partition-invariant, hits the
+        vocab budget, round-trips encode∘decode, and actually ranks
+        differently from the default count mode on a corpus built so a
+        frequent-but-redundant piece exists; an unknown mode raises and
+        the default is unchanged."""
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.unigram_lm import (
+            decode_pieces,
+            encode_unigram,
+            train_unigram,
+        )
+        from waterdata_spark.schemas import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(80)
+        a = train_unigram(
+            docs, vocab_size=120, max_piece_len=4, min_count=1, prune_mode="loss"
+        )
+        b = train_unigram(
+            docs.repartition(7),
+            vocab_size=120,
+            max_piece_len=4,
+            min_count=1,
+            prune_mode="loss",
+        )
+        assert a.to_json() == b.to_json()
+        assert len(a.logp) <= 120
+        out = encode_unigram(docs, a).collect()
+        for r in out:
+            assert decode_pieces(r["pieces"]) == " ".join(r["text"].lower().split())
+        # the rankings genuinely differ: a high-probability piece whose
+        # string re-segments almost as well without it ('ab' = 'a'+'b')
+        # outranks 'xy' by count but loses to it by removal loss
+        import math
+
+        from waterdata_spark.operators.unigram_lm import _piece_removal_loss
+
+        toy = {
+            "a": math.log(0.3), "b": math.log(0.3), "ab": math.log(0.2),
+            "x": math.log(0.05), "y": math.log(0.05), "xy": math.log(0.1),
+        }
+        by_count = sorted(["ab", "xy"], key=lambda p: (-toy[p], p))
+        by_loss = sorted(
+            ["ab", "xy"], key=lambda p: (-_piece_removal_loss(p, toy, 4), p)
+        )
+        assert by_count == ["ab", "xy"] and by_loss == ["xy", "ab"]
+        with pytest.raises(ValueError, match="prune_mode"):
+            train_unigram(docs, vocab_size=120, prune_mode="viterbi")
+
     def test_encode_decode_roundtrip_on_documents(self, spark):
         from tests.conftest import SF_SMOKE
         from waterdata_spark.operators.unigram_lm import (
