@@ -3321,9 +3321,24 @@ def x25_linked_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _psl_rule_values() -> str:
+    """VALUES list of the vendored PSL snapshot for the x27 'psl' leg —
+    the twin shares the rule DATA (a data file, not logic) and
+    re-implements the matching algorithm independently in SQL."""
+    from waterdata_spark.functions.urls import load_psl
+
+    p = load_psl()
+    rows = (
+        [(r, 0) for r in sorted(p.rules)]
+        + [(w, 1) for w in sorted(p.wildcards)]
+        + [(e, 2) for e in sorted(p.exceptions)]
+    )
+    return ", ".join(f"('{r}', {k})" for r, k in rows)
+
+
 @query(
     "x27_url_canonicalize",
-    """
+    f"""
     WITH u AS (
       SELECT c_custkey,
              (CASE WHEN c_custkey % 3 = 0 THEN 'HTTP'
@@ -3386,13 +3401,54 @@ def x25_linked_dedup(spark: SparkSession, sf: str) -> DataFrame:
                list_transform(range(1, len(parts) + 1), i -> array_to_string(parts[i:], '.')),
                ['site-3.co.uk', 'site-7.com', 'ite-7.com'])) > 0 AS INT) AS blocked
       FROM dom
+    ),
+    u3 AS (
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 23 = 0 THEN 'www.ck'
+             WHEN c_custkey % 23 = 1 THEN 'ck'
+             WHEN c_custkey % 23 = 2 THEN 'deep.www.ck'
+             ELSE
+               (CASE WHEN c_custkey % 3 = 1 THEN 'www.' WHEN c_custkey % 3 = 2 THEN 'a.b.' ELSE '' END)
+               || 'user-' || CAST(c_custkey % 17 AS VARCHAR)
+               || (CASE WHEN c_custkey % 5 = 0 THEN '.github.io'
+                        WHEN c_custkey % 5 = 1 THEN '.co.uk'
+                        WHEN c_custkey % 5 = 2 THEN '.ck'
+                        WHEN c_custkey % 5 = 3 THEN '.com'
+                        ELSE '.zz' END)
+        END AS host3
+      FROM customer
+    ),
+    pslr(rule, kind) AS (VALUES {_psl_rule_values()}),
+    h3 AS (SELECT c_custkey, host3, string_split(host3, '.') AS p3 FROM u3),
+    sufs3 AS (
+      SELECT c_custkey, len(p3) AS n3,
+             unnest(list_transform(range(1, len(p3) + 1), i -> array_to_string(p3[i:], '.'))) AS suf
+      FROM h3
+    ),
+    m3 AS (
+      SELECT c_custkey,
+             arg_max(CASE WHEN kind = 2 THEN k - 1 WHEN kind = 1 THEN k + 1 ELSE k END,
+                     (CASE WHEN kind = 2 THEN 1 ELSE 0 END) * 1000000
+                     + (CASE WHEN kind = 1 THEN k + 1 ELSE k END)) AS ps
+      FROM (SELECT c_custkey, n3, suf, len(string_split(suf, '.')) AS k FROM sufs3) s
+      JOIN pslr r ON s.suf = r.rule
+      WHERE NOT (r.kind = 1 AND s.n3 < s.k + 1)
+      GROUP BY 1
+    ),
+    psl3 AS (
+      SELECT h.c_custkey, h.host3,
+             CASE WHEN len(h.p3) > COALESCE(m3.ps, 1)
+                  THEN array_to_string(h.p3[-(COALESCE(m3.ps, 1) + 1):], '.')
+                  ELSE NULL END AS reg_dom_psl
+      FROM h3 h LEFT JOIN m3 USING (c_custkey)
     )
     SELECT n.c_custkey, n.url,
            n.scheme || '://' || n.auth2 || n.path2
              || (CASE WHEN n.qstr <> '' THEN '?' || n.qstr ELSE '' END) AS canon_url,
            regexp_replace(n.auth2, ':[0-9]+$', '') AS host,
-           d.host2, d.reg_dom, d.blocked
-    FROM norm n JOIN dom2 d USING (c_custkey)
+           d.host2, d.reg_dom, d.blocked,
+           p.host3, p.reg_dom_psl
+    FROM norm n JOIN dom2 d USING (c_custkey) JOIN psl3 p USING (c_custkey)
     """,
     doc="Crawl URL canonicalization (NEW r8, functions/urls.py): the "
     "dedup-key problem BEFORE content dedup — scheme/host lowercasing, "
@@ -3413,16 +3469,26 @@ def x25_linked_dedup(spark: SparkSession, sf: str) -> DataFrame:
     "domain blocklists) — suffix-CHAIN matching on dot boundaries over "
     "diverse synthetic hosts, with a planted 'ite-7.com' endswith-trap "
     "entry that must match nothing; the twin reproduces the suffix "
-    "chain, the registered-domain rule, and every block decision.",
+    "chain, the registered-domain rule, and every block decision. "
+    "r10 'psl' leg: registered_domains_psl (operators/urlfilter.py) — "
+    "exact public-suffix-list semantics over the vendored snapshot "
+    "(normal + '*.ck' wildcard + '!www.ck' exception rules, private "
+    "suffixes like github.io) on hosts built to fire every rule kind; "
+    "the twin shares only the rule DATA and re-implements the match "
+    "(exception wins, else longest, default '*') independently in SQL.",
     tags=["url", "text", "llm"],
 )
 def x27_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     from waterdata_spark.functions.urls import (
         canonicalize_url,
+        load_psl,
         registered_domain,
         url_host,
     )
-    from waterdata_spark.operators.urlfilter import url_blocklist_filter
+    from waterdata_spark.operators.urlfilter import (
+        registered_domains_psl,
+        url_blocklist_filter,
+    )
 
     c = load_table(spark, sf, "customer")
     k = F.col("c_custkey")
@@ -3467,12 +3533,39 @@ def x27_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     url2 = F.concat(
         F.lit("http://"), sub, F.lit("site-"), (k % 19).cast("string"), tld, F.lit("/p")
     )
-    base = c.select("c_custkey", url.alias("url"), url2.alias("url2"))
+    # 'psl' leg (r10): hosts that fire every PSL rule kind — private
+    # suffix (github.io), multi-label (co.uk), wildcard (*.ck),
+    # exception (!www.ck), bare TLD, unknown TLD (default '*' rule)
+    host3 = (
+        F.when(k % 23 == 0, F.lit("www.ck"))
+        .when(k % 23 == 1, F.lit("ck"))
+        .when(k % 23 == 2, F.lit("deep.www.ck"))
+        .otherwise(
+            F.concat(
+                F.when(k % 3 == 1, F.lit("www."))
+                .when(k % 3 == 2, F.lit("a.b."))
+                .otherwise(F.lit("")),
+                F.lit("user-"),
+                (k % 17).cast("string"),
+                F.when(k % 5 == 0, F.lit(".github.io"))
+                .when(k % 5 == 1, F.lit(".co.uk"))
+                .when(k % 5 == 2, F.lit(".ck"))
+                .when(k % 5 == 3, F.lit(".com"))
+                .otherwise(F.lit(".zz")),
+            )
+        )
+    )
+    base = c.select(
+        "c_custkey", url.alias("url"), url2.alias("url2"), host3.alias("host3")
+    )
     bl = spark.createDataFrame(
         [("site-3.co.uk",), ("site-7.com",), ("ite-7.com",)], "domain string"
     )
     flagged = url_blocklist_filter(base, bl, url_col="url2", mode="flag")
-    return flagged.select(
+    withpsl = registered_domains_psl(
+        flagged, load_psl(), host_col="host3", out_col="reg_dom_psl"
+    )
+    return withpsl.select(
         "c_custkey",
         "url",
         canonicalize_url("url").alias("canon_url"),
@@ -3480,6 +3573,8 @@ def x27_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
         url_host(F.col("url2")).alias("host2"),
         registered_domain(url_host(F.col("url2"))).alias("reg_dom"),
         F.col("url_blocked").cast("int").alias("blocked"),
+        "host3",
+        "reg_dom_psl",
     )
 
 
