@@ -556,6 +556,127 @@ class TestLmPerplexity:
             else:
                 assert got[did] == pytest.approx(w, rel=1e-9), did
 
+    def test_kn_differential_vs_python_reference_on_documents(self, spark):
+        """smoothing='kn' (r10 — interpolated bigram Kneser-Ney, the
+        KenLM/CCNet smoothing) vs a pure-Python reimplementation on
+        real documents, md5 path: per-doc mean NLL equal to 1e-9; the
+        unguarded per-context distribution sums to 1 (the KN mass
+        identity); repartitioned corpus scores identical."""
+        import hashlib
+        import math
+        import re
+
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.selection import lm_perplexity
+        from waterdata_spark.schemas import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+        ref = docs.filter(F.col("doc_id") % 4 == 1).select("text")
+
+        def toks(t):
+            return [x for x in re.split(r"\s+", t.strip(" ")) if x != ""]
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % self.B
+
+        bc: dict = {}
+        for r in ref.collect():
+            ts = [bucket(t) for t in toks(r["text"])]
+            for b1, b2 in zip(ts, ts[1:]):
+                bc[(b1, b2)] = bc.get((b1, b2), 0) + 1
+        B = len(bc)
+        n1 = sum(1 for c in bc.values() if c == 1)
+        n2 = sum(1 for c in bc.values() if c == 2)
+        D = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) else 0.5
+        cl: dict = {}
+        nl: dict = {}
+        nr: dict = {}
+        for (b1, b2), c in bc.items():
+            cl[b1] = cl.get(b1, 0) + c
+            nl[b1] = nl.get(b1, 0) + 1
+            nr[b2] = nr.get(b2, 0) + 1
+        V = len(nr)
+
+        def p_cont(b2, alpha):
+            return (nr.get(b2, 0) + alpha) / (B + alpha * V)
+
+        def p_kn(b1, b2, alpha):
+            pc = p_cont(b2, alpha)
+            if b1 not in cl:
+                return pc
+            return max(bc.get((b1, b2), 0) - D, 0) / cl[b1] + D * nl[b1] / cl[b1] * pc
+
+        # the KN mass identity: with alpha=0 the per-context
+        # distribution over SEEN right buckets sums to exactly 1
+        for ctx in list(cl)[:5]:
+            assert sum(p_kn(ctx, w, 0.0) for w in nr) == pytest.approx(1.0, abs=1e-9)
+
+        def score(text):
+            ts = [bucket(t) for t in toks(text)]
+            if len(ts) < 2:
+                return None
+            return sum(
+                -math.log(p_kn(b1, b2, self.ALPHA)) for b1, b2 in zip(ts, ts[1:])
+            ) / (len(ts) - 1)
+
+        want = {r["doc_id"]: score(r["text"]) for r in docs.collect()}
+        got = {
+            r["doc_id"]: r["log_ppl"]
+            for r in lm_perplexity(
+                docs, ref, n_buckets=self.B, alpha=self.ALPHA,
+                hash_fn="md5", smoothing="kn",
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for did, w in want.items():
+            if w is None:
+                assert got[did] is None, did
+            else:
+                assert got[did] == pytest.approx(w, rel=1e-9), did
+        again = {
+            r["doc_id"]: r["log_ppl"]
+            for r in lm_perplexity(
+                docs.repartition(7), ref, n_buckets=self.B, alpha=self.ALPHA,
+                hash_fn="md5", smoothing="kn",
+            ).collect()
+        }
+        for did in want:
+            assert again[did] == pytest.approx(got[did], rel=1e-12) if got[did] is not None else again[did] is None
+
+    def test_kn_laws_and_validation(self, spark):
+        """KN mode: reference-like beats gibberish on both hash paths,
+        <2-token null contract, unknown smoothing and bigram-free
+        reference raise."""
+        from waterdata_spark.operators.selection import lm_perplexity
+
+        ref = spark.createDataFrame(
+            [(i, "the water quality report shows safe levels today " * 6)
+             for i in range(4)],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "the water quality report shows safe levels today " * 4),
+                (2, "zqx vbn mlk poi uyt rew qas dfg hjk " * 4),
+                (3, "one"),
+            ],
+            "doc_id long, text string",
+        )
+        for hash_fn in ("xx", "md5"):
+            got = {
+                r["doc_id"]: r["log_ppl"]
+                for r in lm_perplexity(
+                    corpus, ref.select("text"), hash_fn=hash_fn, smoothing="kn"
+                ).collect()
+            }
+            assert got[1] < got[2], hash_fn
+            assert got[3] is None, hash_fn
+        with pytest.raises(ValueError, match="smoothing"):
+            lm_perplexity(corpus, ref.select("text"), smoothing="katz")
+        single = spark.createDataFrame([("one",), ("two",)], "text string")
+        with pytest.raises(ValueError, match="no bigrams"):
+            lm_perplexity(corpus, single, smoothing="kn")
+
     def test_reference_like_scores_lower_than_gibberish(self, spark):
         from waterdata_spark.operators.selection import lm_perplexity
 

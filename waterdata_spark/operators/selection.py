@@ -215,6 +215,7 @@ def lm_perplexity(
     ppl_col: str = "log_ppl",
     max_broadcast_rows: int = 10_000_000,
     decimal_round: int | None = None,
+    smoothing: str = "jm",
 ) -> DataFrame:
     """CCNet-style quality scoring (Wenzek et al. 2020, "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl Data"
@@ -223,14 +224,33 @@ def lm_perplexity(
     text); low perplexity ≈ reference-like quality, and pipelines
     keep/bucket by perplexity tertiles.
 
-    The model is an interpolated hashed-bigram LM (the classical
-    Jelinek-Mercer form, not KenLM's 5-gram Kneser-Ney — documented
-    capability difference; the hashed feature space is the same
-    trade DSIR makes):
+    Two smoothings over the same hashed-bigram tables (``smoothing``):
+
+    - ``'jm'`` (default, unchanged): the classical Jelinek-Mercer
+      interpolation —
 
         p(w2 | w1) = interp·p_uni(w2) + (1-interp)·p_big(w2 | w1)
         p_uni(b)   = (cnt_uni(b) + alpha) / (N + alpha·n_buckets)
         p_big(b2|b1) = (cnt_big(b1,b2) + alpha) / (cnt_uni(b1) + alpha·n_buckets)
+
+    - ``'kn'`` (r10): interpolated bigram KNESER-NEY (Kneser & Ney
+      1995; Chen & Goodman 1999 eq. 4.15-4.16 — the smoothing KenLM,
+      CCNet's actual scorer, uses), absolute discount D estimated from
+      the count-of-counts (D = n1/(n1+2·n2)):
+
+        p_kn(w|v)  = max(c(v,w)−D, 0)/c(v·) + D·N1+(v·)/c(v·) · p_cont(w)
+        p_cont(w)  = (N1+(·w) + alpha) / (B + alpha·V)        [guarded]
+        unseen v   → p_kn(w|v) = p_cont(w)
+
+      where c(v·) = Σ_w c(v,w), N1+(v·)/N1+(·w) are distinct-follower/
+      distinct-predecessor counts, B = distinct observed bigrams and
+      V = distinct observed right buckets; the alpha terms keep unseen
+      buckets finite (the hashed-vocabulary analogue of KN's unknown
+      handling) and vanish relative to the exact formula as the
+      reference grows. ``interp`` is ignored for 'kn' (the
+      continuation term IS the interpolation). Up to the alpha guard
+      the per-context distribution sums to 1 exactly:
+      Σ_w p_kn(w|v) = (c(v·)−D·N1+(v·))/c(v·) + D·N1+(v·)/c(v·) = 1.
 
     over xxhash64 (or md5 — the pure-Python differential contract)
     token buckets. Returns corpus rows + ``ppl_col`` = mean negative
@@ -252,18 +272,8 @@ def lm_perplexity(
     broadcast-fast — instead of a driver OOM."""
     from waterdata_spark.plans import cachereg
 
-    uni_b = _bucket(F.col("__g"), n_buckets, hash_fn)
-    r_toks = reference.select(
-        F.explode(_gram_array(F.col(text_col), use_bigrams=False)).alias("__g")
-    ).select(uni_b.alias("b"))
-    # uc feeds the n_ref action plus TWO broadcast joins, and bc one
-    # more — persist both (<=n_buckets / <=observed-bigram rows) so the
-    # reference is scanned once per model table (code-review r7)
-    uc = cachereg.register(
-        "selection.lm_uc",
-        r_toks.groupBy("b").agg(F.count(F.lit(1)).alias("cu")).persist(),
-    )
-    n_ref = uc.agg(F.sum("cu")).first()[0] or 0
+    if smoothing not in ("jm", "kn"):
+        raise ValueError(f"smoothing must be 'jm' or 'kn', got {smoothing!r}")
 
     def _bigram_buckets(df: DataFrame, extra: list[str]) -> DataFrame:
         """(…extra, b1, b2) one row per bigram occurrence."""
@@ -286,38 +296,102 @@ def lm_perplexity(
         .agg(F.count(F.lit(1)).alias("cb"))
         .persist(),
     )
-    denom_u = math.log(n_ref + alpha * n_buckets)
-    # broadcast is opt-in per table, gated on a real count — both
-    # frames are persisted, so each count is one cheap action; a huge
-    # reference (or huge n_buckets) falls back to shuffle joins rather
-    # than OOMing the driver with an unbounded broadcast
-    bc_small = bc.count() <= max_broadcast_rows
-    uc_small = uc.count() <= max_broadcast_rows
 
     def _b(df: DataFrame, small: bool) -> DataFrame:
         return F.broadcast(df) if small else df
 
-    scored = (
-        _bigram_buckets(corpus, [id_col])
-        .join(_b(bc, bc_small), ["b1", "b2"], "left")
-        .join(
-            _b(uc.select(F.col("b").alias("b1"), F.col("cu").alias("cu1")), uc_small),
-            "b1",
-            "left",
+    if smoothing == "kn":
+        # one pass over the persisted bigram table for the scalar
+        # statistics: B (distinct bigrams), the count-of-counts n1/n2
+        # for the discount estimate — bounded driver state (3 numbers)
+        st = bc.agg(
+            F.count(F.lit(1)).alias("B"),
+            F.sum((F.col("cb") == 1).cast("long")).alias("n1"),
+            F.sum((F.col("cb") == 2).cast("long")).alias("n2"),
+        ).first()
+        n_big = int(st["B"] or 0)
+        if n_big == 0:
+            raise ValueError(
+                "lm_perplexity(smoothing='kn'): reference has no bigrams"
+            )
+        n1, n2 = int(st["n1"] or 0), int(st["n2"] or 0)
+        disc = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) > 0 else 0.5
+        # left-context totals + distinct-follower counts (≤ distinct
+        # left buckets rows) and distinct-predecessor counts (≤ distinct
+        # right buckets rows) — both derived from bc, both persisted,
+        # both broadcast under the same enforced bound
+        cleft = cachereg.register(
+            "selection.lm_kn_cleft",
+            bc.groupBy("b1")
+            .agg(F.sum("cb").alias("cl"), F.count(F.lit(1)).alias("nl"))
+            .persist(),
         )
-        .join(
-            _b(uc.select(F.col("b").alias("b2"), F.col("cu").alias("cu2")), uc_small),
-            "b2",
-            "left",
+        nright = cachereg.register(
+            "selection.lm_kn_nright",
+            bc.groupBy("b2").agg(F.count(F.lit(1)).alias("nr")).persist(),
         )
-    )
-    p_uni = F.exp(
-        F.log(F.coalesce(F.col("cu2"), F.lit(0)) + F.lit(alpha)) - F.lit(denom_u)
-    )
-    p_big = (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(alpha)) / (
-        F.coalesce(F.col("cu1"), F.lit(0)) + F.lit(alpha * n_buckets)
-    )
-    nll = -F.log(F.lit(interp) * p_uni + F.lit(1.0 - interp) * p_big)
+        bc_small = n_big <= max_broadcast_rows
+        cl_small = cleft.count() <= max_broadcast_rows
+        n_right_buckets = nright.count()
+        nr_small = n_right_buckets <= max_broadcast_rows
+        scored = (
+            _bigram_buckets(corpus, [id_col])
+            .join(_b(bc, bc_small), ["b1", "b2"], "left")
+            .join(_b(cleft, cl_small), "b1", "left")
+            .join(_b(nright, nr_small), "b2", "left")
+        )
+        p_cont = (F.coalesce(F.col("nr"), F.lit(0)) + F.lit(alpha)) / F.lit(
+            n_big + alpha * n_right_buckets
+        )
+        cl = F.col("cl").cast("double")
+        p_kn = (
+            F.greatest(F.coalesce(F.col("cb"), F.lit(0)) - F.lit(disc), F.lit(0.0))
+            / cl
+            + F.lit(disc) * F.col("nl") / cl * p_cont
+        )
+        nll = -F.log(F.when(F.col("cl").isNull(), p_cont).otherwise(p_kn))
+    else:
+        uni_b = _bucket(F.col("__g"), n_buckets, hash_fn)
+        r_toks = reference.select(
+            F.explode(_gram_array(F.col(text_col), use_bigrams=False)).alias("__g")
+        ).select(uni_b.alias("b"))
+        # uc feeds the n_ref action plus TWO broadcast joins — persist
+        # (<=n_buckets rows) so the reference is scanned once per model
+        # table (code-review r7)
+        uc = cachereg.register(
+            "selection.lm_uc",
+            r_toks.groupBy("b").agg(F.count(F.lit(1)).alias("cu")).persist(),
+        )
+        n_ref = uc.agg(F.sum("cu")).first()[0] or 0
+        denom_u = math.log(n_ref + alpha * n_buckets)
+        # broadcast is opt-in per table, gated on a real count — both
+        # frames are persisted, so each count is one cheap action; a huge
+        # reference (or huge n_buckets) falls back to shuffle joins rather
+        # than OOMing the driver with an unbounded broadcast
+        bc_small = bc.count() <= max_broadcast_rows
+        uc_small = uc.count() <= max_broadcast_rows
+
+        scored = (
+            _bigram_buckets(corpus, [id_col])
+            .join(_b(bc, bc_small), ["b1", "b2"], "left")
+            .join(
+                _b(uc.select(F.col("b").alias("b1"), F.col("cu").alias("cu1")), uc_small),
+                "b1",
+                "left",
+            )
+            .join(
+                _b(uc.select(F.col("b").alias("b2"), F.col("cu").alias("cu2")), uc_small),
+                "b2",
+                "left",
+            )
+        )
+        p_uni = F.exp(
+            F.log(F.coalesce(F.col("cu2"), F.lit(0)) + F.lit(alpha)) - F.lit(denom_u)
+        )
+        p_big = (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(alpha)) / (
+            F.coalesce(F.col("cu1"), F.lit(0)) + F.lit(alpha * n_buckets)
+        )
+        nll = -F.log(F.lit(interp) * p_uni + F.lit(1.0 - interp) * p_big)
     if decimal_round is not None:
         # determinism contract (the bm25/NB recipe): round each
         # per-bigram NLL once, sum exactly as decimal, and take the

@@ -3864,9 +3864,43 @@ def x29_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS lp
       FROM scored GROUP BY 1
     ),
+    kd AS (
+      SELECT COUNT(*) AS B,
+             CAST(SUM(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / (SUM(CASE WHEN cb = 1 THEN 1 ELSE 0 END)
+                  + 2 * SUM(CASE WHEN cb = 2 THEN 1 ELSE 0 END)) AS D
+      FROM bc
+    ),
+    cleft AS (SELECT b1, SUM(cb) AS cl, COUNT(*) AS nl FROM bc GROUP BY 1),
+    nright AS (SELECT b2, COUNT(*) AS nr FROM bc GROUP BY 1),
+    vstat AS (SELECT COUNT(*) AS V FROM nright),
+    knsc AS (
+      SELECT c.doc_id,
+             CAST(round(-ln(
+               CASE WHEN l.cl IS NULL
+                    THEN (CAST(COALESCE(r.nr, 0) AS DOUBLE) + 0.1)
+                         / (k.B + 0.1 * v.V)
+                    ELSE greatest(CAST(COALESCE(b.cb, 0) AS DOUBLE) - k.D, 0.0)
+                           / l.cl
+                         + k.D * l.nl / l.cl
+                           * ((CAST(COALESCE(r.nr, 0) AS DOUBLE) + 0.1)
+                              / (k.B + 0.1 * v.V))
+               END), 7) AS DECIMAL(20,7)) AS nll
+      FROM cbig c
+      LEFT JOIN bc b ON b.b1 = c.b1 AND b.b2 = c.b2
+      LEFT JOIN cleft l ON l.b1 = c.b1
+      LEFT JOIN nright r ON r.b2 = c.b2, kd k, vstat v
+    ),
+    knpd AS (
+      SELECT doc_id, CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS lp
+      FROM knsc GROUP BY 1
+    ),
     base AS (
-      SELECT d.doc_id, d.lang, round(pd.lp, 7) AS log_ppl
-      FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+      SELECT d.doc_id, d.lang, pd.lp AS log_ppl,
+             knpd.lp AS log_ppl_kn
+      FROM documents d
+      LEFT JOIN pd ON pd.doc_id = d.doc_id
+      LEFT JOIN knpd ON knpd.doc_id = d.doc_id
     ),
     terc AS (
       SELECT doc_id,
@@ -3874,7 +3908,7 @@ def x29_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
       FROM base WHERE log_ppl IS NOT NULL
     )
-    SELECT b.doc_id, b.lang, b.log_ppl, t.ppl_bucket
+    SELECT b.doc_id, b.lang, b.log_ppl, t.ppl_bucket, b.log_ppl_kn
     FROM base b LEFT JOIN terc t ON t.doc_id = b.doc_id
     """,
     doc="X7 CCNet-style LM quality scoring, oracle-backed (NEW r8 — the "
@@ -3885,7 +3919,15 @@ def x29_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     "alpha=0.1, interp=0.3). decimal_round=7 is the determinism "
     "contract: each per-bigram NLL rounds once to 7dp and sums as "
     "DECIMAL(20,7); the mean is one IEEE division of bit-identical "
-    "inputs, so log_ppl reproduces bit-for-bit across engines. The "
+    "inputs, so log_ppl reproduces bit-for-bit across engines — and is "
+    "presented UNROUNDED (r10: half-boundary means made Spark/DuckDB "
+    "round() disagree 3/500 docs per leg; the raw double needs no "
+    "rounding to compare exactly). r10 'kn' leg: log_ppl_kn scores the "
+    "same documents under interpolated bigram KNESER-NEY (Kneser & Ney "
+    "1995; Chen & Goodman 1999 — the smoothing KenLM, CCNet's actual "
+    "scorer, uses; smoothing='kn' with count-of-counts discount "
+    "D=n1/(n1+2n2)), the twin refitting the continuation/"
+    "distinct-follower statistics independently. The "
     "DuckDB twin refits the unigram AND bigram reference tables, "
     "mirrors the exp(ln()-ln()) unigram form and the "
     "Jelinek-Mercer interpolation term-for-term, and reproduces the "
@@ -3908,10 +3950,38 @@ def x30_lm_ppl_score(spark: SparkSession, sf: str) -> DataFrame:
         hash_fn="md5",
         decimal_round=7,
     )
-    scored = out.select("doc_id", "lang", F.round("log_ppl", 7).alias("log_ppl"))
-    # r9: CCNet §4.3 head/middle/tail terciles per language on the
-    # 7dp-rounded score (same values both engines see), exact mode —
-    # the oracle twin of quantile_buckets; ties break by doc_id
+    # r10: NO presentation rounding on either mean — sum(7dp-decimal)/n
+    # frequently lands exactly on x.xxxxxx5 boundaries (odd scaled sum /
+    # even count), where Spark round (BigDecimal of the SHORTEST double
+    # repr) and DuckDB round (scaled-double multiply) can disagree with
+    # each other and with exact HALF_UP (measured: 3/500 docs each leg
+    # at sf0.01). decimal_round=7 already makes the unrounded mean ONE
+    # IEEE division of bit-identical inputs, so it compares exactly on
+    # both engines with no rounding at all.
+    scored = out.select("doc_id", "lang", "log_ppl")
+    # r10 'kn' leg: the same documents scored under interpolated bigram
+    # KNESER-NEY (the KenLM/CCNet smoothing; selection.lm_perplexity
+    # smoothing='kn'), hash-checked against a DuckDB twin that refits
+    # the continuation/discount statistics independently
+    kn = lm_perplexity(
+        docs,
+        ref,
+        n_buckets=65536,
+        alpha=0.1,
+        hash_fn="md5",
+        decimal_round=7,
+        smoothing="kn",
+    ).select("doc_id", F.col("log_ppl").alias("log_ppl_kn"))
+    # NO presentation rounding on the kn mean: it is sum(7dp-decimal)/n,
+    # which lands EXACTLY on x.xxxxxx5 boundaries whenever n divides the
+    # scaled sum oddly — and DuckDB's round() on double (scaled-multiply)
+    # disagrees with exact-decimal HALF_UP there (3/500 docs at sf0.01).
+    # The unrounded mean is one IEEE division of bit-identical inputs on
+    # both engines, so it compares exactly without any rounding.
+    # r9: CCNet §4.3 head/middle/tail terciles per language, exact
+    # mode — the oracle twin of quantile_buckets; ties break by doc_id
+    # (the unrounded means are bit-identical on both engines, so the
+    # NTILE ordering is too)
     return quantile_buckets(
         scored,
         "log_ppl",
@@ -3921,4 +3991,4 @@ def x30_lm_ppl_score(spark: SparkSession, sf: str) -> DataFrame:
         bucket_col="ppl_bucket",
         labels=["head", "middle", "tail"],
         mode="exact",
-    )
+    ).join(kn, "doc_id", "left")
