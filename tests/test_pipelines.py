@@ -262,6 +262,64 @@ class TestCurateCorpus:
         vals = [v for _, v in res.report()]
         assert all(a >= b for a, b in zip(vals, vals[1:]))
 
+    def test_url_filter_stage_runs_first(self, spark):
+        """r10: url_filter is RefinedWeb §3.1's stage 0 — rows drop by
+        URL before any content work, the funnel shows it first, and
+        the strict PSL-keyed form threads through."""
+        from waterdata_spark.functions.urls import load_psl
+        from waterdata_spark.pipelines.curate import curate_corpus
+
+        rows = [
+            (i, t, u)
+            for (i, t), u in zip(
+                self.ROWS,
+                [
+                    "https://user1.github.io/a",
+                    "https://good.example.com/b",
+                    "https://good.example.com/c",
+                    "https://user2.github.io/d",
+                    "https://blocked.example.org/e",
+                    "https://good.example.com/f",
+                ],
+            )
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+        bl = spark.createDataFrame(
+            [("user1.github.io",), ("blocked.example.org",)], "domain string"
+        )
+        res = curate_corpus(
+            df, url_filter={"blocklist": bl, "url_col": "url"}, exact_dedup=True
+        )
+        ids = {r["doc_id"] for r in res.df.collect()}
+        assert 1 not in ids and 5 not in ids  # URL-blocked
+        # doc 1 (the exact-dup twin of 2) left by URL, so dedup keeps 2/3
+        assert {2, 3, 4, 6} == ids
+        funnel = res.report()
+        assert funnel[1][0] == "url_filter" and funnel[1][1] == 4
+        # strict registered-domain form: user2.github.io survives a
+        # blocklist naming only user1.github.io even under PSL matching
+        res2 = curate_corpus(
+            df,
+            url_filter={
+                "blocklist": bl,
+                "url_col": "url",
+                "match_on": "registered_domain",
+                "psl": load_psl(),
+            },
+            exact_dedup=False,
+        )
+        ids2 = {r["doc_id"] for r in res2.df.collect()}
+        # strict mode matches only registrable-domain-keyed entries:
+        # user1.github.io IS a registrable domain (PSL private suffix)
+        # → doc 1 blocked; blocked.example.org sits BELOW example.org's
+        # registrable level → doc 5 survives (the suffix-chain default
+        # above blocked it)
+        assert ids2 == {2, 3, 4, 5, 6}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="blocklist"):
+            curate_corpus(df, url_filter={"url_col": "url"})
+
     def test_empty_dict_enables_stage(self, spark):
         """ADVICE r8: `{}` — the natural 'enable with defaults'
         spelling — must RUN the dict|bool stages, not silently skip

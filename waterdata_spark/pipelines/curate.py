@@ -79,6 +79,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
+    url_filter: dict | None = None,
     unicode_normalize: bool = False,
     exact_dedup: bool = True,
     boilerplate_min_docs: int | None = None,
@@ -97,6 +98,11 @@ def curate_corpus(
     (``span_dedup={"min_chunk": 32}``, ``near_dup={"threshold":
     0.8}``, ``quality_gate={"thresholds": {...}}``). ``audit=False``
     skips the observations entirely (no overhead at all).
+    ``url_filter`` (r10) runs RefinedWeb §3.1's stage 0 FIRST — drop
+    rows by URL against a domain blocklist before any content work:
+    ``{"blocklist": frame, "url_col": "url"}`` plus any
+    url_blocklist_filter kwarg (e.g. ``match_on="registered_domain",
+    psl=load_psl()`` for the strict PSL-keyed form).
 
     Returns :class:`CurationResult`; the frame keeps ``id_col`` and
     ``text_col`` plus any other input columns EXCEPT through the
@@ -117,6 +123,20 @@ def curate_corpus(
 
     def mark(frame: DataFrame, name: str) -> DataFrame:
         return _observed(frame, name, stages) if audit else frame
+
+    if url_filter is not None:
+        # RefinedWeb §3.1's stage 0 (r10): drop documents by URL against
+        # a domain blocklist BEFORE any content work — the cheapest cut
+        # first. kwargs pass through to url_blocklist_filter, e.g.
+        # {"blocklist": df, "url_col": "url"} or the strict form
+        # {"blocklist": df, "match_on": "registered_domain", "psl": psl}.
+        from waterdata_spark.operators.urlfilter import url_blocklist_filter
+
+        kwargs = dict(url_filter)
+        bl = kwargs.pop("blocklist", None)
+        if bl is None:
+            raise ValueError("url_filter requires a 'blocklist' frame")
+        cur = mark(url_blocklist_filter(cur, bl, **kwargs), "url_filter")
 
     if unicode_normalize:
         cur = mark(
