@@ -698,6 +698,66 @@ class TestStreaming:
         assert out.select("event_id").distinct().count() == n_distinct
 
 
+class TestStreamingPplGate:
+    def test_stream_equals_batch_threshold(self, spark, tmp_path):
+        """A 3-micro-batch document stream gated at a log-perplexity
+        threshold under a frozen reference LM (r10) must keep exactly
+        what the batch lm_perplexity filter keeps, quarantine the rest,
+        and be non-vacuous both ways; <2-token docs reject by
+        default."""
+        from waterdata_spark.operators.selection import lm_perplexity
+        from waterdata_spark.schemas import load_table
+        from waterdata_spark.streaming.hygiene import ppl_gate_stream_sink
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+        reference = docs.filter(F.col("doc_id") % 5 == 0).select("text")
+        # pick the threshold as the batch median so the gate splits
+        scored = lm_perplexity(
+            docs, reference, n_buckets=4096, hash_fn="md5", smoothing="kn"
+        )
+        thr = scored.approxQuantile("log_ppl", [0.5], 0.0)[0]
+        batch_kept = {
+            r["doc_id"]
+            for r in scored.filter(F.col("log_ppl") <= thr).collect()
+        }
+
+        src = tmp_path / "docs_stream"
+        src.mkdir()
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                str(src / f"f{i}")
+            )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = ppl_gate_stream_sink(
+            stream,
+            reference,
+            out_dir=str(tmp_path / "kept"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            max_log_ppl=thr,
+            quarantine_dir=str(tmp_path / "rejected"),
+            n_buckets=4096,
+            hash_fn="md5",
+            smoothing="kn",
+        )
+        q.awaitTermination()
+
+        all_ids = {r["doc_id"] for r in docs.collect()}
+        got_kept = {
+            r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept")).collect()
+        }
+        got_rej = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "rejected")).collect()
+        }
+        assert got_kept == batch_kept
+        assert got_rej == all_ids - batch_kept
+        assert got_kept and got_rej  # the median threshold splits
+
+
 class TestStreamNsPrecision:
     def test_ns_layout_ts_survives_untruncated(self, spark, tmp_path):
         """On the nanos-as-long physical layout, read_events_stream must

@@ -643,6 +643,41 @@ class TestLmPerplexity:
         for did in want:
             assert again[did] == pytest.approx(got[did], rel=1e-12) if got[did] is not None else again[did] is None
 
+    def test_frozen_tables_score_equals_lm_perplexity(self, spark):
+        """score_lm ∘ fit_lm_tables (r10 — the streaming-gate frozen
+        form) must equal lm_perplexity EXACTLY for both smoothings and
+        both rounding modes (the two code paths share formulas; this
+        pin is the contract that keeps them together)."""
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.selection import (
+            fit_lm_tables,
+            lm_perplexity,
+            score_lm,
+        )
+        from waterdata_spark.schemas import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+        ref = docs.filter(F.col("doc_id") % 4 == 1).select("text")
+        for smoothing in ("jm", "kn"):
+            for dr in (None, 7):
+                want = {
+                    r["doc_id"]: r["log_ppl"]
+                    for r in lm_perplexity(
+                        docs, ref, n_buckets=self.B, alpha=self.ALPHA,
+                        interp=self.INTERP, hash_fn="md5",
+                        smoothing=smoothing, decimal_round=dr,
+                    ).collect()
+                }
+                tables = fit_lm_tables(
+                    ref, n_buckets=self.B, alpha=self.ALPHA,
+                    interp=self.INTERP, hash_fn="md5", smoothing=smoothing,
+                )
+                got = {
+                    r["doc_id"]: r["log_ppl"]
+                    for r in score_lm(docs, tables, decimal_round=dr).collect()
+                }
+                assert got == want, (smoothing, dr)
+
     def test_kn_laws_and_validation(self, spark):
         """KN mode: reference-like beats gibberish on both hash paths,
         <2-token null contract, unknown smoothing and bigram-free

@@ -512,3 +512,166 @@ def quantile_buckets(
     return joined.withColumn(bucket_col, lab(assign)).drop(
         *[f"__thr{i}" for i in range(1, n_buckets)]
     )
+
+
+# ---------------------------------------------------------------------------
+# Frozen-model LM scoring (r10) — the streaming/hygiene contract: fit the
+# reference tables ONCE into driver-local rows, rebuild broadcast frames
+# per micro-batch, score statelessly. The driver-local form is safe by the
+# same bound that lets lm_perplexity broadcast its model tables (a curated
+# reference's hashed tables are KB-MB); tests pin score_lm ∘ fit_lm_tables
+# EXACTLY equal to lm_perplexity for both smoothings.
+# ---------------------------------------------------------------------------
+
+
+class LmTables:
+    """Driver-local frozen LM model tables (see module note above)."""
+
+    def __init__(self, smoothing, n_buckets, alpha, interp, hash_fn, **kw):
+        self.smoothing = smoothing
+        self.n_buckets = n_buckets
+        self.alpha = alpha
+        self.interp = interp
+        self.hash_fn = hash_fn
+        self.__dict__.update(kw)
+
+
+def _bigram_bucket_frame(
+    df: DataFrame, extra: list[str], text_col: str, n_buckets: int, hash_fn: str
+) -> DataFrame:
+    """(…extra, b1, b2) one row per bigram occurrence — module-level
+    twin of lm_perplexity's internal helper (kept textually identical;
+    the fit/score≡lm_perplexity equality test pins them together)."""
+    toks = _gram_array(F.col(text_col), use_bigrams=False)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return df.select(*extra, F.explode(pairs).alias("__p")).select(
+        *extra,
+        _bucket(F.col("__p.w1"), n_buckets, hash_fn).alias("b1"),
+        _bucket(F.col("__p.w2"), n_buckets, hash_fn).alias("b2"),
+    )
+
+
+def fit_lm_tables(
+    reference: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    alpha: float = 0.1,
+    interp: float = 0.3,
+    hash_fn: str = "xx",
+    smoothing: str = "jm",
+) -> LmTables:
+    """Fit the reference-side model tables of :func:`lm_perplexity`
+    once, into driver-local pandas rows (vocabulary-bounded — the same
+    size class the batch operator broadcasts)."""
+    if smoothing not in ("jm", "kn"):
+        raise ValueError(f"smoothing must be 'jm' or 'kn', got {smoothing!r}")
+    bc = (
+        _bigram_bucket_frame(reference, [], text_col, n_buckets, hash_fn)
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    bc_pdf = bc.toPandas()
+    if smoothing == "kn":
+        n_big = len(bc_pdf)
+        if n_big == 0:
+            raise ValueError("fit_lm_tables(smoothing='kn'): reference has no bigrams")
+        n1 = int((bc_pdf["cb"] == 1).sum())
+        n2 = int((bc_pdf["cb"] == 2).sum())
+        disc = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) > 0 else 0.5
+        cleft = (
+            bc_pdf.groupby("b1")
+            .agg(cl=("cb", "sum"), nl=("cb", "size"))
+            .reset_index()
+        )
+        nright = bc_pdf.groupby("b2").agg(nr=("cb", "size")).reset_index()
+        return LmTables(
+            "kn", n_buckets, alpha, interp, hash_fn,
+            bc_pdf=bc_pdf, cleft_pdf=cleft, nright_pdf=nright,
+            n_big=n_big, disc=disc, n_right_buckets=len(nright),
+        )
+    uc = (
+        reference.select(
+            F.explode(_gram_array(F.col(text_col), use_bigrams=False)).alias("__g")
+        )
+        .select(_bucket(F.col("__g"), n_buckets, hash_fn).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    uc_pdf = uc.toPandas()
+    n_ref = int(uc_pdf["cu"].sum()) if len(uc_pdf) else 0
+    return LmTables(
+        "jm", n_buckets, alpha, interp, hash_fn,
+        bc_pdf=bc_pdf, uc_pdf=uc_pdf, n_ref=n_ref,
+    )
+
+
+def score_lm(
+    corpus: DataFrame,
+    tables: LmTables,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ppl_col: str = "log_ppl",
+    decimal_round: int | None = None,
+) -> DataFrame:
+    """Score a corpus (or one micro-batch) against frozen
+    :class:`LmTables` — identical formulas and output to
+    :func:`lm_perplexity` (test-pinned), with every model-table join
+    an explicit broadcast of a frame rebuilt on the CALLER's session
+    (the foreachBatch contract: no frames captured across sessions)."""
+    spark = corpus.sparkSession
+    t = tables
+    bc = F.broadcast(
+        spark.createDataFrame(t.bc_pdf, schema="b1 long, b2 long, cb long")
+    )
+    scored = _bigram_bucket_frame(
+        corpus, [id_col], text_col, t.n_buckets, t.hash_fn
+    ).join(bc, ["b1", "b2"], "left")
+    if t.smoothing == "kn":
+        cleft = F.broadcast(
+            spark.createDataFrame(t.cleft_pdf, schema="b1 long, cl long, nl long")
+        )
+        nright = F.broadcast(
+            spark.createDataFrame(t.nright_pdf, schema="b2 long, nr long")
+        )
+        scored = scored.join(cleft, "b1", "left").join(nright, "b2", "left")
+        p_cont = (F.coalesce(F.col("nr"), F.lit(0)) + F.lit(t.alpha)) / F.lit(
+            t.n_big + t.alpha * t.n_right_buckets
+        )
+        cl = F.col("cl").cast("double")
+        p_kn = (
+            F.greatest(F.coalesce(F.col("cb"), F.lit(0)) - F.lit(t.disc), F.lit(0.0))
+            / cl
+            + F.lit(t.disc) * F.col("nl") / cl * p_cont
+        )
+        nll = -F.log(F.when(F.col("cl").isNull(), p_cont).otherwise(p_kn))
+    else:
+        uc = spark.createDataFrame(t.uc_pdf, schema="b long, cu long")
+        denom_u = math.log(t.n_ref + t.alpha * t.n_buckets)
+        scored = scored.join(
+            F.broadcast(uc.select(F.col("b").alias("b1"), F.col("cu").alias("cu1"))),
+            "b1",
+            "left",
+        ).join(
+            F.broadcast(uc.select(F.col("b").alias("b2"), F.col("cu").alias("cu2"))),
+            "b2",
+            "left",
+        )
+        p_uni = F.exp(
+            F.log(F.coalesce(F.col("cu2"), F.lit(0)) + F.lit(t.alpha)) - F.lit(denom_u)
+        )
+        p_big = (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(t.alpha)) / (
+            F.coalesce(F.col("cu1"), F.lit(0)) + F.lit(t.alpha * t.n_buckets)
+        )
+        nll = -F.log(F.lit(t.interp) * p_uni + F.lit(1.0 - t.interp) * p_big)
+    if decimal_round is not None:
+        nll_dec = F.round(nll, decimal_round).cast(f"decimal(20,{decimal_round})")
+        per_doc = scored.groupBy(id_col).agg(
+            (F.sum(nll_dec).cast("double") / F.count(F.lit(1))).alias(ppl_col)
+        )
+    else:
+        per_doc = scored.groupBy(id_col).agg(F.avg(nll).alias(ppl_col))
+    return corpus.join(per_doc, id_col, "left")

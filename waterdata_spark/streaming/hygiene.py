@@ -218,3 +218,81 @@ def dedup_against_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming perplexity-gated ingestion (r10) — CCNet's quality score
+# applied at ingest time: the reference LM is fit ONCE at stream-definition
+# time (selection.fit_lm_tables → driver-local rows, the same KB-MB bound
+# that lets the batch operator broadcast its model tables), and every
+# micro-batch is scored statelessly with selection.score_lm (pinned exactly
+# equal to lm_perplexity) and split at a log-perplexity threshold. No
+# Structured Streaming state — the same family shape as the decontaminate
+# and near-dup gates above.
+# ---------------------------------------------------------------------------
+
+
+def ppl_gate_batch(
+    batch_df: DataFrame,
+    tables,
+    max_log_ppl: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_unscored: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch's (kept, rejected) split at ``max_log_ppl``
+    under frozen :class:`~waterdata_spark.operators.selection.LmTables`
+    — the foreachBatch body, callable directly for tests and shard
+    processing. Documents with no bigram evidence (<2 tokens) score
+    null and are REJECTED by default (``keep_unscored=True`` keeps
+    them — both are defensible; CCNet buckets only scored docs)."""
+    from pyspark.sql import functions as F
+
+    from waterdata_spark.operators.selection import score_lm
+
+    scored = score_lm(batch_df, tables, id_col=id_col, text_col=text_col)
+    ok = F.col("log_ppl") <= F.lit(max_log_ppl)
+    if keep_unscored:
+        ok = ok | F.col("log_ppl").isNull()
+    kept = scored.filter(ok).drop("log_ppl")
+    rejected = scored.filter(~F.coalesce(ok, F.lit(False))).drop("log_ppl")
+    return kept, rejected
+
+
+def ppl_gate_stream_sink(
+    corpus_stream: DataFrame,
+    reference: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_log_ppl: float,
+    quarantine_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_unscored: bool = False,
+    **lm_kwargs,
+):
+    """Start an ``availableNow`` foreachBatch query appending documents
+    whose log perplexity under the ``reference``-trained LM is ≤
+    ``max_log_ppl`` to ``out_dir`` (rejects to ``quarantine_dir`` when
+    given). ``lm_kwargs`` pass to fit_lm_tables (n_buckets, alpha,
+    interp, hash_fn, smoothing='jm'|'kn'). Returns the StreamingQuery.
+    Stream-vs-batch equality is pinned by
+    tests/test_extensions.py::TestStreamingPplGate."""
+    from waterdata_spark.operators.selection import fit_lm_tables
+
+    tables = fit_lm_tables(reference, text_col=text_col, **lm_kwargs)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        kept, rejected = ppl_gate_batch(
+            batch_df, tables, max_log_ppl, id_col, text_col, keep_unscored
+        )
+        kept.write.mode("append").parquet(out_dir)
+        if quarantine_dir:
+            rejected.write.mode("append").parquet(quarantine_dir)
+
+    return (
+        corpus_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
