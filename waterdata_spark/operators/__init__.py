@@ -36,6 +36,14 @@ from waterdata_spark.operators.dedup_approx import (
     star_contraction_components,
 )
 from waterdata_spark.operators.expand import expand_keys
+from waterdata_spark.operators.sketches import (
+    count_min_build,
+    count_min_lookup,
+    count_min_merge,
+    estimate_hll_profile,
+    hll_profile,
+    merge_hll_profiles,
+)
 from waterdata_spark.operators.expectations import (
     ExpectationError,
     expect_column_consistency,
@@ -115,6 +123,9 @@ __all__ = [
     "cosine_topk_ivf",
     "cosine_topk_ivf_blocked",
     "cosine_topk_lsh",
+    "count_min_build",
+    "count_min_lookup",
+    "count_min_merge",
     "decontaminate",
     "dedup_against",
     "dedup_against_exact",
@@ -131,6 +142,9 @@ __all__ = [
     "expect_row_count_preserved",
     "expect_schema",
     "ExpectationError",
+    "estimate_hll_profile",
+    "hll_profile",
+    "merge_hll_profiles",
     "fallback_join",
     "fit_pca",
     "fit_pca_gram",

@@ -698,6 +698,23 @@ def _lang_score_sql(lang: str) -> str:
       SELECT piece, CAST(SUM(c) AS BIGINT) AS weight
       FROM seedsub GROUP BY 1
       ORDER BY weight DESC, piece ASC LIMIT 200
+    ),
+    cmsk AS (
+      SELECT word,
+             CAST(j AS INT) AS j,
+             CAST(('0x' || substring(
+               md5('cms:' || CAST(j AS VARCHAR) || ':' || word), 1, 15
+             ))::BIGINT % 1024 AS INT) AS bucket
+      FROM (SELECT word, unnest([0, 1, 2]) AS j FROM wc)
+    ),
+    cmsb AS (
+      SELECT k.j, k.bucket, CAST(SUM(w.c) AS BIGINT) AS cnt
+      FROM cmsk k JOIN wc w USING (word) GROUP BY 1, 2
+    ),
+    cmse AS (
+      SELECT k.word, MIN(b.cnt) AS est
+      FROM cmsk k JOIN cmsb b ON k.j = b.j AND k.bucket = b.bucket
+      GROUP BY 1
     )
     SELECT 'lang' AS mode, CAST(doc_id AS VARCHAR) AS key, lang_given,
            s_en, s_es, s_fr, s_de, s_zh,
@@ -717,6 +734,11 @@ def _lang_score_sql(lang: str) -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
     FROM seed
+    UNION ALL
+    SELECT 'cms', word, CAST(NULL AS VARCHAR), est,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM cmse
     """,
     doc="X4 language-ID heuristic: whole-token stopword-marker counts per "
     "language, argmax with fixed priority tie-break. Deterministic and "
@@ -729,7 +751,16 @@ def _lang_score_sql(lang: str) -> str:
     "(operators/unigram_lm.py:93 — the substring-explode aggregate that "
     "determines the whole EM fit, VERDICT r9 item 3) hash-checked "
     "piece-for-piece against a DuckDB lateral-unnest twin; only the EM "
-    "loop itself remains the documented non-SQL class.",
+    "loop itself remains the documented non-SQL class. "
+    "r10 fourth leg 'cms': the mergeable count-min sketch "
+    "(operators/sketches.py, Cormode & Muthukrishnan 2005) — the "
+    "incremental corpus-stats path for 100 TB profiling — built as a "
+    "depth=3 x width=1024 counter TABLE with portable md5 row hashes "
+    "over the word-count frame (weighted build == token-stream build, "
+    "test-pinned) and queried back for every vocabulary word; the twin "
+    "rebuilds the identical counter table in SQL, so every estimate is "
+    "hash-checked. Merge==whole and never-underestimate are pinned in "
+    "tests/test_sketches.py.",
     tags=["text", "llm"],
 )
 def x04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
@@ -780,7 +811,26 @@ def x04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
         *[F.lit(None).cast("long").alias(c) for c in ["s_es", "s_fr", "s_de", "s_zh"]],
         F.lit(None).cast("string").alias("lang_pred"),
     )
-    return lang_leg.unionByName(wc_leg).unionByName(seed_leg)
+    # 'cms' leg (r10): mergeable count-min sketch — weighted build over
+    # the word-count frame (identical counters to the token stream),
+    # then every vocabulary word queried back; depth/width/seed match
+    # the DuckDB twin's literal rebuild
+    from waterdata_spark.operators.sketches import count_min_build, count_min_lookup
+
+    cms = count_min_build(wc, "word", depth=3, width=1024, weight_col="count")
+    cms_leg = count_min_lookup(
+        cms, wc.select("word"), "word", depth=3, width=1024
+    ).select(
+        F.lit("cms").alias("mode"),
+        F.col("word").alias("key"),
+        F.lit(None).cast("string").alias("lang_given"),
+        F.col("est").cast("long").alias("s_en"),
+        *[F.lit(None).cast("long").alias(c) for c in ["s_es", "s_fr", "s_de", "s_zh"]],
+        F.lit(None).cast("string").alias("lang_pred"),
+    )
+    return (
+        lang_leg.unionByName(wc_leg).unionByName(seed_leg).unionByName(cms_leg)
+    )
 
 
 @query(
