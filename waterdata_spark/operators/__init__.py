@@ -71,6 +71,7 @@ from waterdata_spark.operators.sampling import (
     upsample,
 )
 from waterdata_spark.operators.linkage import link_pairs, linked_dedup
+from waterdata_spark.operators.mining import mine_hard_negatives
 from waterdata_spark.operators.selection import (
     importance_resample,
     importance_weights,
@@ -158,6 +159,7 @@ __all__ = [
     "lm_perplexity",
     "merge_upsert",
     "min_id_components",
+    "mine_hard_negatives",
     "minhash_candidate_pairs",
     "minhash_dedup",
     "mixture_rates",

@@ -1643,10 +1643,10 @@ def x31_semdedup(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "x16_ann_search",
     """
-    WITH d AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
-    q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    WITH d AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+    q AS (SELECT vec_id AS qid, label AS qlabel, embedding FROM embeddings WHERE vec_id % 5 = 0),
     p AS (
-      SELECT q.qid, d.vec_id AS neighbor_id,
+      SELECT q.qid, q.qlabel, d.vec_id AS neighbor_id, d.label,
              list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                     CAST(d.embedding AS DOUBLE[])) AS c
       FROM q CROSS JOIN d
@@ -1657,6 +1657,15 @@ def x31_semdedup(spark: SparkSession, sf: str) -> DataFrame:
                PARTITION BY qid ORDER BY c DESC, neighbor_id
              ) AS BIGINT) AS rank
       FROM p QUALIFY rank <= 5
+    ),
+    hardneg AS (
+      SELECT 'hardneg' AS mode, qid AS query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY round(c, 6) DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM p
+      WHERE label <> qlabel AND round(c, 6) >= 0.1 AND round(c, 6) < 0.8
+      QUALIFY rank <= 5
     ),
     e AS (
       SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
@@ -1685,6 +1694,7 @@ def x31_semdedup(spark: SparkSession, sf: str) -> DataFrame:
       QUALIFY rank <= 5
     )
     SELECT * FROM search UNION ALL SELECT * FROM selfk
+    UNION ALL SELECT * FROM hardneg
     """,
     doc="X3 exact dense retrieval, both shapes in one oracle row (r8: "
     "the former x07_cosine_topk is the 'self' leg — slot freed for "
@@ -1694,7 +1704,15 @@ def x31_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     "and recall-measured at partial probe); 'self' = brute-force "
     "self-top-k over vec_id < 200 (the dedup shape — the ANN baseline "
     "the LSH/IVF paths are measured against). Rank-only per leg: float "
-    "sums differ in the last ulp across engines, ranks don't.",
+    "sums differ in the last ulp across engines, ranks don't. "
+    "r10 third leg 'hardneg': hard-negative mining for contrastive/"
+    "retrieval training (operators/mining.py — DPR/RocketQA-style: "
+    "highest-cosine DIFFERENT-label candidates inside the semi-hard "
+    "band [0.1, 0.8), 6dp-rounded so band and order decisions "
+    "reproduce across engines); the twin re-derives every surviving "
+    "(query, neighbor, rank) from the same cross product. The IVF "
+    "scale path is equivalence-tested against this exact form at "
+    "probe-all in tests/test_mining.py.",
     tags=["similarity", "llm"],
 )
 def x16_ann_search(spark: SparkSession, sf: str) -> DataFrame:
@@ -1717,7 +1735,26 @@ def x16_ann_search(spark: SparkSession, sf: str) -> DataFrame:
         "neighbor_id",
         "rank",
     )
-    return search.unionByName(selfk)
+    # 'hardneg' leg (r10): semi-hard different-label negatives, exact
+    # method (the oracle form; the IVF path is equivalence-tested
+    # against it at probe-all)
+    from waterdata_spark.operators.mining import mine_hard_negatives
+
+    hardneg = mine_hard_negatives(
+        data,
+        queries,
+        query_id_col="qid",
+        label_col="label",
+        k=5,
+        lo=0.1,
+        hi=0.8,
+    ).select(
+        F.lit("hardneg").alias("mode"),
+        "query_id",
+        "neighbor_id",
+        "rank",
+    )
+    return search.unionByName(selfk).unionByName(hardneg)
 
 
 @query(
