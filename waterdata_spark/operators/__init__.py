@@ -26,6 +26,7 @@ from waterdata_spark.operators.embeddings import (
     fit_pca_gram,
     project_pca,
 )
+from waterdata_spark.operators.diff import dataset_diff
 from waterdata_spark.operators.dedup_approx import (
     dedup_against,
     min_id_components,
@@ -124,6 +125,7 @@ __all__ = [
     "cosine_topk_ivf",
     "cosine_topk_ivf_blocked",
     "cosine_topk_lsh",
+    "dataset_diff",
     "count_min_build",
     "count_min_lookup",
     "count_min_merge",

@@ -2899,14 +2899,27 @@ def x19_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
       FROM chg
       QUALIFY row_number() OVER (
         PARTITION BY o_orderkey ORDER BY seq DESC, (op = 'delete') DESC) = 1
+    ), merged AS (
+      SELECT COALESCE(t.o_orderkey, l.o_orderkey) AS o_orderkey,
+             t.o_orderstatus AS o_orderstatus,
+             CASE WHEN l.o_orderkey IS NOT NULL THEN l.o_totalprice
+                  ELSE t.o_totalprice END AS o_totalprice
+      FROM tgt t FULL OUTER JOIN latest l ON t.o_orderkey = l.o_orderkey
+      WHERE (t.o_orderkey IS NOT NULL AND NOT (l.o_orderkey IS NOT NULL AND l.is_del))
+         OR (t.o_orderkey IS NULL AND NOT l.is_del)
     )
-    SELECT COALESCE(t.o_orderkey, l.o_orderkey) AS o_orderkey,
-           t.o_orderstatus AS o_orderstatus,
-           CASE WHEN l.o_orderkey IS NOT NULL THEN l.o_totalprice
-                ELSE t.o_totalprice END AS o_totalprice
-    FROM tgt t FULL OUTER JOIN latest l ON t.o_orderkey = l.o_orderkey
-    WHERE (t.o_orderkey IS NOT NULL AND NOT (l.o_orderkey IS NOT NULL AND l.is_del))
-       OR (t.o_orderkey IS NULL AND NOT l.is_del)
+    SELECT 'merged' AS mode, o_orderkey, o_orderstatus, o_totalprice
+    FROM merged
+    UNION ALL
+    SELECT 'diff', COALESCE(t.o_orderkey, m.o_orderkey),
+           CASE WHEN t.o_orderkey IS NULL THEN 'added'
+                WHEN m.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END,
+           CAST(NULL AS DOUBLE)
+    FROM tgt t FULL OUTER JOIN merged m ON t.o_orderkey = m.o_orderkey
+    WHERE t.o_orderkey IS NULL OR m.o_orderkey IS NULL
+       OR t.o_totalprice IS DISTINCT FROM m.o_totalprice
+       OR t.o_orderstatus IS DISTINCT FROM m.o_orderstatus
     """,
     doc="CDC changelog apply (operators/merge.apply_changes → "
     "merge_upsert): a synthetic two-generation changelog over orders "
@@ -2915,7 +2928,14 @@ def x19_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     "delete-on-tie — then SCD-1 full-outer merges into a target missing "
     "every 4th key, exercising update, insert and delete paths in one "
     "oracle row. Inserted keys carry NULL for columns absent from the "
-    "feed (o_orderstatus).",
+    "feed (o_orderstatus). r10 second leg 'diff': dataset_diff "
+    "(operators/diff.py) — the snapshot-versioning audit between the "
+    "pre-merge target and the merged result (added = inserted keys, "
+    "removed = deletes, changed = updates); each side reduces to "
+    "(key, md5 digest) BEFORE the full-outer join so wide rows never "
+    "ride the shuffle, and the twin re-derives every status with "
+    "IS DISTINCT FROM value comparison — digest equality and value "
+    "equality must agree row-for-row.",
     tags=["merge", "cdc"],
 )
 def x20_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
@@ -2945,7 +2965,20 @@ def x20_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("c"),
     ).select("o_orderkey", "c.seq", "c.op", "c.o_totalprice")
-    return apply_changes(tgt, chg, ["o_orderkey"])
+    merged = apply_changes(tgt, chg, ["o_orderkey"])
+    merged_leg = merged.select(
+        F.lit("merged").alias("mode"), "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # 'diff' leg (r10): the snapshot audit — what did the changelog do?
+    from waterdata_spark.operators.diff import dataset_diff
+
+    diff_leg = dataset_diff(tgt, merged, "o_orderkey").select(
+        F.lit("diff").alias("mode"),
+        "o_orderkey",
+        F.col("status").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    return merged_leg.unionByName(diff_leg)
 
 
 @query(
