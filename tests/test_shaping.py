@@ -8,7 +8,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from waterdata_spark.operators.chunking import chunk_documents, pack_sequences
+from waterdata_spark.operators.chunking import (
+    chunk_documents,
+    pack_sequences,
+    pack_sequences_bfd,
+)
 from waterdata_spark.operators.sampling import (
     hash_sample,
     stratified_sample,
@@ -127,6 +131,105 @@ class TestPacking:
         out = pack_sequences(df, budget_tokens=10, n_streams=1).collect()
         big_bin = next(r for r in out if r["doc_id"] == 1)["bin_id"]
         assert all(r["bin_id"] != big_bin for r in out if r["doc_id"] != 1)
+
+
+class TestPackingBfd:
+    @pytest.fixture()
+    def corpus(self, spark):
+        import random
+
+        r = random.Random(23)
+        rows = [(i, " ".join("w" for _ in range(r.randint(1, 40)))) for i in range(300)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_no_bin_exceeds_budget(self, spark, corpus):
+        budget = 64
+        out = pack_sequences_bfd(corpus, budget_tokens=budget, n_streams=4)
+        bins = out.groupBy("stream_id", "bin_id").agg(
+            F.sum("n_tokens").alias("tot"), F.first("bin_tokens").alias("reported")
+        )
+        assert bins.filter(F.col("tot") != F.col("reported")).count() == 0
+        # every doc here is <= 40 tokens < budget, so NO bin may overflow
+        assert bins.filter(F.col("tot") > budget).count() == 0
+
+    def test_bfd_bound_vs_optimal(self, spark, corpus):
+        # BFD uses at most 11/9 * OPT + 1 bins; OPT >= ceil(total/budget)
+        budget = 64
+        out = pack_sequences_bfd(corpus, budget_tokens=budget, n_streams=4)
+        per_stream = (
+            out.groupBy("stream_id")
+            .agg(
+                F.countDistinct("bin_id").alias("bins"),
+                F.sum("n_tokens").alias("tot"),
+            )
+            .collect()
+        )
+        import math
+
+        for r in per_stream:
+            lower = math.ceil(r["tot"] / budget)
+            assert r["bins"] <= math.ceil(11 / 9 * lower) + 1
+
+    def test_differential_vs_quadratic_best_fit(self, spark, corpus):
+        # independent O(n*bins) reimplementation: scan ALL open bins,
+        # choose the tightest fit, lowest bin id on capacity ties
+        budget = 64
+        out = pack_sequences_bfd(corpus, budget_tokens=budget, n_streams=4)
+        rows = sorted(
+            ((r["stream_id"], r["doc_id"], r["n_tokens"], r["bin_id"]) for r in out.collect())
+        )
+        from collections import defaultdict
+
+        by_stream = defaultdict(list)
+        for sid, did, n, b in rows:
+            by_stream[sid].append((did, n, b))
+        for sid, items in by_stream.items():
+            order = sorted(items, key=lambda t: (-t[1], t[0]))
+            caps: list[int] = []  # remaining capacity per bin id
+            expect = {}
+            for did, n, _ in order:
+                best = None
+                for b, rem in enumerate(caps):
+                    if rem >= n and (best is None or rem < caps[best]):
+                        best = b
+                if n <= budget and best is not None:
+                    caps[best] -= n
+                    expect[did] = best
+                else:
+                    caps.append(max(0, budget - n))
+                    expect[did] = len(caps) - 1
+            got = {did: b for did, n, b in items}
+            assert got == expect
+
+    def test_deterministic_under_repartition(self, spark, corpus):
+        a = {
+            r["doc_id"]: (r["stream_id"], r["bin_id"])
+            for r in pack_sequences_bfd(
+                corpus.repartition(3), budget_tokens=64, n_streams=4
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: (r["stream_id"], r["bin_id"])
+            for r in pack_sequences_bfd(
+                corpus.repartition(7), budget_tokens=64, n_streams=4
+            ).collect()
+        }
+        assert a == b
+
+    def test_oversized_doc_gets_own_bin(self, spark):
+        rows = [(1, " ".join("w" for _ in range(100))), (2, "w w"), (3, "w w w")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pack_sequences_bfd(df, budget_tokens=10, n_streams=1).collect()
+        big = next(r for r in out if r["doc_id"] == 1)
+        assert big["bin_tokens"] == 100
+        assert all(r["bin_id"] != big["bin_id"] for r in out if r["doc_id"] != 1)
+
+    def test_same_stream_assignment_as_cumsum_pack(self, spark, corpus):
+        # both packers share the stream hash: a corpus packs into the
+        # same streams either way (only the bin layout differs)
+        a = {r["doc_id"]: r["stream_id"] for r in pack_sequences(corpus, n_streams=8).collect()}
+        b = {r["doc_id"]: r["stream_id"] for r in pack_sequences_bfd(corpus, n_streams=8).collect()}
+        assert a == b
 
 
 class TestSampling:

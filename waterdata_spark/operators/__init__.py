@@ -1,5 +1,9 @@
 from waterdata_spark.operators.asof import asof_join
-from waterdata_spark.operators.chunking import chunk_documents, pack_sequences
+from waterdata_spark.operators.chunking import (
+    chunk_documents,
+    pack_sequences,
+    pack_sequences_bfd,
+)
 from waterdata_spark.operators.decontaminate import decontaminate, ngram_contamination
 from waterdata_spark.operators.classify import (
     LRModel,
@@ -172,6 +176,7 @@ __all__ = [
     "nb_train",
     "ngram_contamination",
     "pack_sequences",
+    "pack_sequences_bfd",
     "pagerank",
     "quantile_buckets",
     "PCAModel",

@@ -151,3 +151,88 @@ def pack_sequences(
     )
     bin_tot = Window.partitionBy("stream_id", "bin_id")
     return out.withColumn("bin_tokens", F.sum("n_tokens").over(bin_tot)).drop("__cum")
+
+
+def pack_sequences_bfd(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_tokens: int = 512,
+    n_streams: int = DEFAULT_PACK_STREAMS,
+    tokenizer=tokens,
+    stream_hash=None,
+) -> DataFrame:
+    """Capacity-respecting packing: best-fit-decreasing within each
+    stream (Johnson 1973's BFD, the classic 11/9·OPT+1 bin-packing
+    heuristic). Same output contract as :func:`pack_sequences`
+    (``stream_id``, ``bin_id``, ``bin_tokens``), but **no bin ever
+    exceeds the budget** — the property a fixed-context training run
+    needs when overflowing documents cannot simply be truncated — at
+    the price of bins that close below budget (FFD/BFD waste instead
+    of overflow; :func:`pack_sequences`'s running-sum form overflows
+    each bin by at most the boundary document and uses the minimum bin
+    count).
+
+    A document longer than the budget gets a bin of its own (callers
+    chunk first — :func:`chunk_documents`).
+
+    Deterministic: streams are content-hash partitions with a fixed
+    count (identical on any cluster size); within a stream, items
+    place in (token count DESC, id ASC) order into the open bin with
+    the LEAST remaining capacity that fits (smallest bin id on ties),
+    and bin ids are assigned in opening order. Pinned by an
+    independent quadratic differential in tests.
+
+    Scale shape: one shuffle (the stream hash — same exchange as
+    :func:`pack_sequences`), then one Arrow-batched per-stream pass.
+    Packing is inherently sequential per stream; the sequential state
+    is the open-bin capacity list, O(bins) per stream, and streams are
+    the parallelism unit. The in-stream algorithm is O(n log n) via a
+    sorted capacity list.
+    """
+    import bisect
+
+    import pandas as pd
+
+    if stream_hash is None:
+        stream_hash = lambda c: F.xxhash64(F.col(c).cast("string"))  # noqa: E731
+
+    prepared = (
+        df.withColumn("n_tokens", F.size(tokenizer(text_col)).cast("long"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "stream_id",
+            F.pmod(stream_hash(id_col), F.lit(n_streams)).cast("int"),
+        )
+    )
+    out_schema = prepared.withColumn("bin_id", F.lit(0).cast("long")).withColumn(
+        "bin_tokens", F.lit(0).cast("long")
+    ).schema
+
+    budget = int(budget_tokens)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        open_bins: list[tuple[int, int]] = []  # (remaining, bin_id), sorted
+        next_bin = 0
+        bin_ids = []
+        for s in pdf["n_tokens"].astype("int64"):
+            s = int(s)
+            i = bisect.bisect_left(open_bins, (s, -1))
+            if s <= budget and i < len(open_bins):
+                rem, b = open_bins.pop(i)
+                if rem - s > 0:
+                    bisect.insort(open_bins, (rem - s, b))
+            else:
+                b = next_bin
+                next_bin += 1
+                if budget - s > 0:
+                    bisect.insort(open_bins, (budget - s, b))
+            bin_ids.append(b)
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        pdf["bin_tokens"] = pdf.groupby("bin_id")["n_tokens"].transform("sum")
+        return pdf
+
+    return prepared.groupBy("stream_id").applyInPandas(_pack, out_schema)
