@@ -232,6 +232,111 @@ class TestPackingBfd:
         assert a == b
 
 
+class TestCapPerGroup:
+    @pytest.fixture()
+    def skewed(self, spark):
+        # group 'hot' has 200 rows, 'a'/'b' have 5 and 12
+        return spark.range(0, 217).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 5, "a")
+            .when(F.col("id") < 17, "b")
+            .otherwise("hot")
+            .alias("g"),
+            (F.col("id") % 50).cast("double").alias("score"),
+        )
+
+    def test_semantics_equal_plain_row_number(self, spark, skewed):
+        from pyspark.sql import Window
+
+        from waterdata_spark.operators.sampling import _hash_u, cap_per_group
+
+        cap = 20
+        got = sorted(
+            r["doc_id"] for r in cap_per_group(skewed, "g", cap, id_col="doc_id").collect()
+        )
+        ranked = skewed.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy(
+                    _hash_u("doc_id", "cap42"), F.col("doc_id")
+                )
+            ),
+        )
+        want = sorted(r["doc_id"] for r in ranked.filter(F.col("rn") <= cap).collect())
+        assert got == want
+
+    def test_under_cap_groups_untouched(self, skewed):
+        from waterdata_spark.operators.sampling import cap_per_group
+
+        out = cap_per_group(skewed, "g", 20, id_col="doc_id")
+        per = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+        assert per == {"a": 5, "b": 12, "hot": 20}
+
+    def test_order_by_keeps_best(self, skewed):
+        from waterdata_spark.operators.sampling import cap_per_group
+
+        out = cap_per_group(
+            skewed, "g", 10, id_col="doc_id", order_by=[F.col("score").desc()]
+        )
+        hot_scores = sorted(
+            (r["score"] for r in out.filter(F.col("g") == "hot").collect()),
+            reverse=True,
+        )
+        # 200 hot rows cover scores 0..49 four times each; the top 10 by
+        # score desc (id tiebreak) are four 49s, four 48s, two 47s
+        assert hot_scores == [49.0] * 4 + [48.0] * 4 + [47.0] * 2
+
+    def test_flag_mode_preserves_rows(self, skewed):
+        from waterdata_spark.operators.sampling import cap_per_group
+
+        out = cap_per_group(skewed, "g", 20, id_col="doc_id", mode="flag")
+        assert out.count() == 217
+        kept = out.filter("kept").count()
+        assert kept == 5 + 12 + 20
+
+    def test_deterministic_under_repartition(self, skewed):
+        from waterdata_spark.operators.sampling import cap_per_group
+
+        a = sorted(
+            r["doc_id"]
+            for r in cap_per_group(skewed.repartition(3), "g", 15, id_col="doc_id").collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in cap_per_group(skewed.repartition(11), "g", 15, id_col="doc_id").collect()
+        )
+        assert a == b
+
+    def test_growth_never_promotes(self, spark, skewed):
+        # adding corpus rows can push an existing row OUT (outranked)
+        # but can never pull a previously-dropped row IN
+        from waterdata_spark.operators.sampling import cap_per_group
+
+        extra = spark.range(300, 400).select(
+            F.col("id").alias("doc_id"), F.lit("hot").alias("g"),
+            F.lit(0.0).alias("score"),
+        )
+        kept_a = {
+            r["doc_id"] for r in cap_per_group(skewed, "g", 20, id_col="doc_id").collect()
+        }
+        kept_ab = {
+            r["doc_id"]
+            for r in cap_per_group(
+                skewed.unionByName(extra), "g", 20, id_col="doc_id"
+            ).collect()
+        }
+        old_ids = {r["doc_id"] for r in skewed.collect()}
+        assert (kept_ab & old_ids) <= kept_a
+
+    def test_validation(self, skewed):
+        from waterdata_spark.operators.sampling import cap_per_group
+
+        with pytest.raises(ValueError):
+            cap_per_group(skewed, "g", 0, id_col="doc_id")
+        with pytest.raises(ValueError):
+            cap_per_group(skewed, "g", 5, id_col="doc_id", mode="nope")
+
+
 class TestSampling:
     @pytest.fixture()
     def ids(self, spark):

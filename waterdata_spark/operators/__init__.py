@@ -1,4 +1,10 @@
 from waterdata_spark.operators.asof import asof_join
+from waterdata_spark.operators.bloom import (
+    BloomFilter,
+    bloom_build,
+    bloom_merge,
+    with_bloom_contains,
+)
 from waterdata_spark.operators.chunking import (
     chunk_documents,
     pack_sequences,
@@ -45,6 +51,7 @@ from waterdata_spark.operators.sketches import (
     count_min_build,
     count_min_lookup,
     count_min_merge,
+    count_min_might_contain,
     estimate_hll_profile,
     hll_profile,
     merge_hll_profiles,
@@ -68,6 +75,7 @@ from waterdata_spark.operators.quantize import (
 )
 from waterdata_spark.operators.range_join import range_join
 from waterdata_spark.operators.sampling import (
+    cap_per_group,
     assign_split,
     hash_sample,
     mixture_rates,
@@ -119,8 +127,13 @@ __all__ = [
     "asof_join",
     "assign_clusters",
     "assign_split",
+    "bloom_build",
+    "bloom_merge",
+    "BloomFilter",
     "bm25_topk",
     "build_ivf_index",
+    "with_bloom_contains",
+    "cap_per_group",
     "chunk_documents",
     "content_digest",
     "cosine_search_bruteforce",
@@ -133,6 +146,7 @@ __all__ = [
     "count_min_build",
     "count_min_lookup",
     "count_min_merge",
+    "count_min_might_contain",
     "decontaminate",
     "dedup_against",
     "dedup_against_exact",

@@ -244,3 +244,72 @@ def _hash_u_salted(id_col: str, seed: str, extra) -> F.Column:
         )
     )
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(float(16**15))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    id_col: str,
+    order_by: list | None = None,
+    seed: str = "cap42",
+    mode: str = "remove",
+    flag_col: str = "kept",
+    max_broadcast_rows: int = 10_000_000,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group — the published
+    frequency-cap rule (C4 and RefinedWeb cap documents per
+    host/domain so a handful of mega-sites cannot dominate the mix;
+    the same rule caps near-dup cluster contributions).
+
+    Which rows survive is deterministic: rank within the group by
+    ``order_by`` (a list of Columns/names — e.g. a quality score
+    descending to keep the BEST ``max_rows``) or, by default, by the
+    salted-md5 uniform on ``id_col`` (an unbiased random-but-frozen
+    cap: rerun-stable, and adding corpus rows never flips an existing
+    row below the cap unless the new rows genuinely outrank it);
+    ``id_col`` always breaks ties. Semantics == ``row_number() <=
+    max_rows`` over (group, order) — the x19 'cap' oracle leg pins it.
+
+    Scale shape (the skew point of this operator): the window runs
+    ONLY over rows of groups that exceed the cap. One
+    map-side-combinable count per group finds the offenders; rows of
+    under-cap groups — the overwhelming bulk of a crawl, and exactly
+    the rows a naive global window would pointlessly shuffle — pass
+    through with a broadcast semi-join and never enter the window
+    exchange. The hot-domain partition the window DOES process is
+    bounded per group by that group's row count; the cap itself
+    guarantees the OUTPUT is bounded, and the input skew is the
+    reason this operator exists. The input plan is evaluated twice
+    (pass branch + capped branch) — persist upstream if it is an
+    expensive derivation.
+
+    ``mode='flag'`` keeps every row and adds boolean ``flag_col``
+    (audit form); ``mode='remove'`` (default) drops rows over the cap.
+    """
+    if max_rows < 1:
+        raise ValueError(f"need max_rows >= 1, got {max_rows}")
+    if mode not in ("remove", "flag"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if order_by is None:
+        order_exprs = [_hash_u(id_col, seed).asc()]
+    else:
+        order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    order_exprs = list(order_exprs) + [F.col(id_col).asc()]
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
+    over = counts.filter(F.col("__gn") > max_rows).select(group_col)
+    over_j = F.broadcast(over) if over.count() <= max_broadcast_rows else over
+
+    under_rows = df.join(over_j, group_col, "left_anti")
+    w = Window.partitionBy(group_col).orderBy(*order_exprs)
+    over_rows = df.join(over_j, group_col, "left_semi").withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    if mode == "remove":
+        return under_rows.unionByName(
+            over_rows.filter(F.col("__rn") <= max_rows).drop("__rn")
+        )
+    return under_rows.withColumn(flag_col, F.lit(True)).unionByName(
+        over_rows.withColumn(flag_col, F.col("__rn") <= max_rows).drop("__rn")
+    )

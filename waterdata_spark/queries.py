@@ -2828,6 +2828,16 @@ def x18_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
                   / 1152921504606846976.0 < 0.9 THEN 'val'
              ELSE 'test' END AS sample
     FROM documents
+    UNION ALL
+    SELECT doc_id, lang, source, 'cap' AS sample FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY CASE WHEN doc_id % 3 = 0 THEN source ELSE 'big' END
+               ORDER BY CAST('0x' || substr(md5('cap42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT),
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 30
     """,
     doc="Deterministic sampling and splitting, three forms in one "
     "oracle row (r8: the former x13_hash_sample is the 'hash25' leg — "
@@ -2846,7 +2856,15 @@ def x18_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     "reproducible across engines and cluster sizes, unlike "
     "rand()-based sampling; the per-stratum rates ride one broadcast "
     "of a |strata|-row literal frame; the split is a zero-shuffle "
-    "CASE chain.",
+    "CASE chain. r10 fourth leg 'cap': sampling.cap_per_group — the "
+    "C4/RefinedWeb per-domain frequency cap (at most N docs per "
+    "group, frozen-random order) over a deliberately SKEWED synthetic "
+    "group (every 3rd doc keeps its source, the rest pool into one "
+    "hot 'big' group), so the skew-aware plan's both branches fire: "
+    "small groups pass through the broadcast anti-join untouched, "
+    "only the hot group's rows enter the window; the twin is the "
+    "plain row_number()<=N — the split plan must be semantically "
+    "invisible.",
     tags=["llm", "sampling"],
 )
 def x19_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -2877,7 +2895,16 @@ def x19_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         F.concat(F.lit("split_"), F.col("split")).alias("sample"),
     )
-    return strat.unionByName(hs).unionByName(sp)
+    # 'cap' leg (r10): per-group frequency cap over a skewed synthetic
+    # group — both plan branches (broadcast pass-through + windowed hot
+    # group) execute; semantics pinned to plain row_number()<=N
+    from waterdata_spark.operators.sampling import cap_per_group
+
+    grp = F.when(F.col("doc_id") % 3 == 0, F.col("source")).otherwise(F.lit("big"))
+    cap_leg = cap_per_group(
+        d.withColumn("__g", grp), "__g", 30, id_col="doc_id", seed="cap42"
+    ).select("doc_id", "lang", "source", F.lit("cap").alias("sample"))
+    return strat.unionByName(hs).unionByName(sp).unionByName(cap_leg)
 
 
 @query(
