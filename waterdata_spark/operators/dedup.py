@@ -318,6 +318,12 @@ def dedup_against_exact(
     reference: DataFrame,
     content_cols: list[str],
     digest_col: str | None = None,
+    prefilter: str | None = None,
+    prefilter_depth: int = 4,
+    prefilter_width: int = 1 << 20,
+    prefilter_bloom=None,
+    bloom_bits: int = 1 << 23,
+    bloom_k: int = 4,
 ) -> DataFrame:
     """Cross-corpus EXACT dedup: drop corpus rows whose content exists
     anywhere in ``reference`` (dedup a new crawl against the corpus
@@ -334,17 +340,80 @@ def dedup_against_exact(
     ``digest_col`` (r9): name of a pre-computed :func:`content_digest`
     column present on BOTH frames — reuses an upstream digest instead
     of re-scanning the content (``content_cols`` ignored; the column
-    is caller-owned and kept on the output)."""
+    is caller-owned and kept on the output).
+
+    ``prefilter='cms'`` (r10): the Bloom-gate scale path. At 100 TB the
+    stored reference digest set is billions of rows — too big to
+    broadcast, so the plain anti-join shuffles the ENTIRE corpus on
+    the digest. The gate sketches the reference digests once into a
+    bounded ``prefilter_depth × prefilter_width`` counter table
+    (``sketches.count_min_build``) and flags each corpus row with
+    shuffle-free broadcast joins (``count_min_might_contain``): a
+    missed counter means DEFINITELY not in the reference (the sketch
+    never underestimates — no false negatives, so the result is
+    EXACTLY the plain path's, test-pinned), and only the flagged
+    sliver (true members + the load-factor false-positive rate) pays
+    the exact anti-join. The corpus plan is evaluated twice (pass
+    branch + candidate branch) — two scans beat one corpus-wide
+    shuffle whenever overlap is the exception; persist upstream if
+    the corpus is itself an expensive derivation.
+
+    ``prefilter='bloom'`` (r10): the bit-packed serving form of the
+    same gate (``operators/bloom`` — 64x denser than the counter rows,
+    one Arrow bit-gather instead of broadcast joins; same md5 hashes,
+    same no-false-negative exactness). Building the filter runs ONE
+    eager aggregation over the reference digests at call time; pass a
+    prebuilt/merged :class:`~waterdata_spark.operators.bloom.
+    BloomFilter` via ``prefilter_bloom`` to amortize it across shards
+    — the filter must have been built over the SAME digest encoding
+    (``content_digest`` of ``content_cols``, or the ``digest_col``
+    values)."""
+    if prefilter not in (None, "cms", "bloom"):
+        raise ValueError(f"unknown prefilter {prefilter!r}")
     if digest_col is not None:
+        key = digest_col
         ref_h = reference.select(F.col(digest_col)).distinct()
-        return corpus.join(ref_h, digest_col, "left_anti")
-    h = content_digest(content_cols)
-    ref_h = reference.select(h.alias("__h")).distinct()
-    return (
-        corpus.withColumn("__h", h)
-        .join(ref_h, "__h", "left_anti")
-        .drop("__h")
-    )
+        keyed = corpus
+    else:
+        key = "__h"
+        h = content_digest(content_cols)
+        ref_h = reference.select(h.alias("__h")).distinct()
+        keyed = corpus.withColumn("__h", h)
+    if prefilter == "cms":
+        from waterdata_spark.operators.sketches import (
+            count_min_build,
+            count_min_might_contain,
+        )
+
+        cms = count_min_build(ref_h, key, prefilter_depth, prefilter_width, seed="xgate")
+        flagged = count_min_might_contain(
+            cms, keyed, key, prefilter_depth, prefilter_width, seed="xgate",
+            out_col="__maybe",
+        )
+        definitely_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
+        candidates = (
+            flagged.filter(F.col("__maybe"))
+            .drop("__maybe")
+            .join(ref_h, key, "left_anti")
+        )
+        out = definitely_new.unionByName(candidates)
+    elif prefilter == "bloom":
+        from waterdata_spark.operators.bloom import bloom_build, with_bloom_contains
+
+        bf = prefilter_bloom
+        if bf is None:
+            bf = bloom_build(ref_h, key, n_bits=bloom_bits, k=bloom_k, seed="xgate")
+        flagged = with_bloom_contains(keyed, key, bf, out_col="__maybe")
+        definitely_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
+        candidates = (
+            flagged.filter(F.col("__maybe"))
+            .drop("__maybe")
+            .join(ref_h, key, "left_anti")
+        )
+        out = definitely_new.unionByName(candidates)
+    else:
+        out = keyed.join(ref_h, key, "left_anti")
+    return out if digest_col is not None else out.drop("__h")
 
 
 def dedup_spans_global(

@@ -17,8 +17,14 @@ Two published sketch families (both mergeable, both deterministic):
   ``hll_union_agg`` / ``hll_sketch_estimate``; Flajolet et al. 2007
   HyperLogLog as implemented by the DataSketches HLL family). Binary
   sketch per column; union of per-shard sketches with the same
-  ``lg_k`` estimates the same value as sketching the whole corpus
-  (test-pinned).
+  ``lg_k`` carries the same error guarantee as sketching the whole
+  corpus directly (register-wise max is associative). NB the merged
+  ESTIMATE is not always bit-identical to a direct whole-corpus
+  sketch: small shards stay in the library's sparse/exact coupon mode,
+  so their union can be MORE accurate than a direct sketch that
+  already transitioned to dense registers (observed: 6 sparse shards
+  of 3000 ids union to 2997 where the direct sketch says 2977) — both
+  are within the lg_k error bound, which is the contract tests pin.
 - **Count-min sketch** (Cormode & Muthukrishnan 2005) for item/token
   frequency estimates — implemented NATIVELY as a DataFrame of
   ``depth x width`` counter rows rather than an opaque binary: rows
@@ -55,6 +61,7 @@ __all__ = [
     "count_min_build",
     "count_min_merge",
     "count_min_lookup",
+    "count_min_might_contain",
 ]
 
 
@@ -222,4 +229,49 @@ def count_min_lookup(
     )
     return joined.groupBy(col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(out_col)
+    )
+
+
+def count_min_might_contain(
+    cms: DataFrame,
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 8192,
+    seed: str = "cms",
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Per-ROW membership test against a sketched set — the counting-
+    Bloom-filter reading of the count-min structure: because counters
+    never underestimate, a row whose ``depth`` counters are not ALL
+    present is **definitely absent** from the sketched set;
+    ``out_col = True`` means *possibly present* (false-positive rate
+    set by the load factor, never a false negative).
+
+    Unlike :func:`count_min_lookup` this adds the flag WITHOUT any
+    aggregation or shuffle: ``depth`` broadcast hash joins, one per
+    counter row (each side is the ≤``width``-row d-slice of the
+    sketch), so the input's partitioning and row identity survive —
+    the shape a 100 TB gate needs (flag a trillion rows against a
+    stored corpus membership sketch at scan speed, then send only the
+    flagged sliver to the exact check). NULL values flag False (a
+    NULL is never a member)."""
+    out = df
+    c = F.col(col)
+    hit_cols = []
+    for j in range(depth):
+        slice_j = cms.filter(F.col("d") == j).select(
+            F.col("bucket").alias(f"__bk{j}"), F.lit(True).alias(f"__hit{j}")
+        )
+        out = out.join(
+            F.broadcast(slice_j),
+            _cms_bucket(c, j, width, seed) == F.col(f"__bk{j}"),
+            "left",
+        )
+        hit_cols.append(f"__hit{j}")
+    all_hit = c.isNotNull()
+    for hc in hit_cols:
+        all_hit = all_hit & F.col(hc).isNotNull()
+    return out.withColumn(out_col, all_hit).drop(
+        *[f"__bk{j}" for j in range(depth)], *hit_cols
     )
