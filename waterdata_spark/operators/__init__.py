@@ -36,6 +36,7 @@ from waterdata_spark.operators.embeddings import (
     fit_pca_gram,
     project_pca,
 )
+from waterdata_spark.operators.content import content_blocks, extract_main_content
 from waterdata_spark.operators.diff import dataset_diff
 from waterdata_spark.operators.dedup_approx import (
     dedup_against,
@@ -135,7 +136,9 @@ __all__ = [
     "with_bloom_contains",
     "cap_per_group",
     "chunk_documents",
+    "content_blocks",
     "content_digest",
+    "extract_main_content",
     "cosine_search_bruteforce",
     "cosine_search_ivf",
     "cosine_topk_bruteforce",

@@ -1773,13 +1773,83 @@ def x16_ann_search(spark: SparkSession, sf: str) -> DataFrame:
              list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
       FROM t
     )
-    SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens,
-           n_chars_measured, n_bpe_tokens, mtl AS mean_token_len
+    SELECT 'quality' AS mode, doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens,
+           n_chars_measured, n_bpe_tokens, mtl AS mean_token_len,
+           CAST(NULL AS VARCHAR) AS main_text
     FROM m
     WHERE n_tok >= 30 AND mtl BETWEEN 3.0 AND 8.0
       AND (CASE WHEN len(grams) > 0
             THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
             ELSE 0.0 END) <= 0.05
+    UNION ALL
+    SELECT 'main', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           main_text
+    FROM (
+      WITH mh AS (
+        SELECT doc_id,
+               '<html><body><div id="nav"><a href="/">Home</a> <a href="/a">Section A</a> <a href="/b">Section B</a></div><p>'
+               || substr(text, 1, CAST(floor(length(text) / 2) AS INT))
+               || '</p><p>'
+               || substr(text, CAST(floor(length(text) / 2) AS INT) + 1)
+               || '</p><div class="rel"><a href="/x">More one</a> <a href="/y">More two</a></div></body></html>'
+               AS html
+        FROM documents
+      ),
+      mclean AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                 '(?is)<a\\b[^>]*>', CHR(1), 'g'),
+                 '(?is)</a\\s*>', CHR(2), 'g'),
+                 '(?i)</(?:p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article|header|footer|pre|figure|figcaption|dd|dt)>|<br\\s*/?>|<hr\\s*/?>',
+                 CHR(10), 'g'),
+                 '(?s)<[^>]*>', '', 'g') AS s
+        FROM mh
+      ),
+      mblk AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS block_idx, parts[CAST(i AS INT)] AS blk
+        FROM (
+          SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i
+          FROM (SELECT doc_id, string_split(s, CHR(10)) AS parts FROM mclean)
+        )
+      ),
+      mfeat AS (
+        SELECT doc_id, block_idx,
+               trim(regexp_replace(replace(replace(blk, CHR(1), ''), CHR(2), ''), '\\s+', ' ', 'g')) AS block_text,
+               length(replace(replace(blk, CHR(1), ''), CHR(2), '')) AS raw_len,
+               CAST(COALESCE(list_sum(list_transform(
+                 regexp_extract_all(blk, CHR(1) || '([^' || CHR(2) || ']*)' || CHR(2), 1),
+                 x -> length(x))), 0) AS BIGINT) AS anchor_chars
+        FROM mblk
+      ),
+      mcls AS (
+        SELECT doc_id, block_idx, block_text,
+               length(block_text) AS n_chars,
+               CAST(anchor_chars AS DOUBLE) / greatest(raw_len, 1) AS ld
+        FROM mfeat WHERE length(block_text) > 0
+      ),
+      mgood AS (
+        SELECT doc_id, block_idx, block_text,
+               (ld <= 0.3 AND n_chars >= 80) AS base,
+               (ld <= 0.3 AND n_chars >= 20) AS short_ok
+        FROM mcls
+      ),
+      mfinal AS (
+        SELECT doc_id, block_idx, block_text,
+               base OR (NOT base AND short_ok
+                 AND COALESCE(lag(base) OVER w, FALSE)
+                 AND COALESCE(lead(base) OVER w, FALSE)) AS is_content
+        FROM mgood
+        WINDOW w AS (PARTITION BY doc_id ORDER BY block_idx)
+      )
+      SELECT d.doc_id,
+             COALESCE(g.main_text, '') AS main_text
+      FROM documents d
+      LEFT JOIN (
+        SELECT doc_id, string_agg(block_text, CHR(10) ORDER BY block_idx) AS main_text
+        FROM mfinal WHERE is_content GROUP BY doc_id
+      ) g USING (doc_id)
+    )
     """,
     doc="X4 LLM-data quality filter: token count + mean-token-length "
     "thresholds plus the Gopher-style within-document repetition gate "
@@ -1791,7 +1861,16 @@ def x16_ann_search(spark: SparkSession, sf: str) -> DataFrame:
     "entry (char length, whitespace token count, BPE-ish regex "
     "pre-tokenizer count, mean token length — all still oracle-hashed "
     "here) to free a registry slot for x21_decontaminate; see "
-    "COVERAGE.md.",
+    "COVERAGE.md. r10 second leg 'main': main-content extraction "
+    "(operators/content.py — the boilerpipe/jusText block classifier: "
+    "anchors sentinel-marked before tag strip so per-block link "
+    "density survives, blocks gated on length + link density with the "
+    "near-good neighbor inheritance window) over pages synthesized "
+    "deterministically from each document's text wrapped in nav and "
+    "related-links rails; the DuckDB twin re-implements the whole "
+    "block chain (sentinel regexps, block split, raw-length density, "
+    "neighbor window, ordered reassembly) and every extracted "
+    "main_text string must match byte-for-byte.",
     tags=["text", "llm", "filter"],
 )
 def x11_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
@@ -1803,7 +1882,7 @@ def x11_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
     mtl = tok_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
     dup_bigrams = repetition_features("text", ngram=2)["dup_ngram_fraction"]
-    return (
+    quality = (
         d.withColumn("n_tokens", n_tok)
         .withColumn("n_chars_measured", F.length("text").cast("long"))
         .withColumn("n_bpe_tokens", F.size(bpe_tokens("text")).cast("long"))
@@ -1815,8 +1894,49 @@ def x11_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("mean_token_len") <= 8.0)
             & (F.col("__dup") <= 0.05)
         )
-        .select("doc_id", "lang", "n_tokens", "n_chars_measured", "n_bpe_tokens", "mean_token_len")
+        .select(
+            F.lit("quality").alias("mode"),
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_chars_measured",
+            "n_bpe_tokens",
+            "mean_token_len",
+            F.lit(None).cast("string").alias("main_text"),
+        )
     )
+    # 'main' leg (r10): main-content extraction through the REAL
+    # operator over deterministically synthesized pages — every doc's
+    # text wrapped in nav/related link rails and split across two <p>
+    # blocks; the twin re-implements the block chain in SQL
+    from waterdata_spark.operators.content import extract_main_content
+
+    html = F.concat(
+        F.lit(
+            '<html><body><div id="nav"><a href="/">Home</a> '
+            '<a href="/a">Section A</a> <a href="/b">Section B</a></div><p>'
+        ),
+        F.expr("substr(text, 1, CAST(floor(length(text) / 2) AS INT))"),
+        F.lit("</p><p>"),
+        F.expr("substr(text, CAST(floor(length(text) / 2) AS INT) + 1)"),
+        F.lit(
+            '</p><div class="rel"><a href="/x">More one</a> '
+            '<a href="/y">More two</a></div></body></html>'
+        ),
+    )
+    main = extract_main_content(
+        d.select("doc_id", html.alias("html")), id_col="doc_id", html_col="html"
+    ).select(
+        F.lit("main").alias("mode"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("n_chars_measured"),
+        F.lit(None).cast("long").alias("n_bpe_tokens"),
+        F.lit(None).cast("double").alias("mean_token_len"),
+        "main_text",
+    )
+    return quality.unionByName(main)
 
 
 @query(
