@@ -320,6 +320,40 @@ class TestCurateCorpus:
         with _pytest.raises(ValueError, match="blocklist"):
             curate_corpus(df, url_filter={"url_col": "url"})
 
+    def test_html_extract_stage(self, spark):
+        """r10: html_extract is stage 0.5 (the trafilatura position) —
+        pages extract to boilerplate-free text INTO text_col, nav-only
+        pages drop, and downstream stages (exact dedup) see the
+        extracted text, not the raw page."""
+        from waterdata_spark.pipelines.curate import curate_corpus
+
+        body1 = (
+            "This is the main article body and it is comfortably long "
+            "enough to pass the block length gate in the extractor."
+        )
+        nav = (
+            '<div><a href="/">Home</a> <a href="/a">About</a> '
+            '<a href="/b">More</a></div>'
+        )
+        page = f"<html><body>{nav}<p>{body1}</p></body></html>"
+        # docs 1 and 2: DIFFERENT nav rails, SAME body -> only the
+        # extracted text is an exact dup; doc 3: nav-only page -> drops
+        rows = [
+            (1, page),
+            (2, f'<html><body><div><a href="/z">Other nav</a></div><p>{body1}</p></body></html>'),
+            (3, f"<html><body>{nav}</body></html>"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, html string")
+        res = curate_corpus(df, html_extract=True, exact_dedup=True)
+        got = {r["doc_id"]: r["text"] for r in res.df.collect()}
+        assert set(got) == {1}  # 2 deduped against 1, 3 dropped empty
+        assert got[1] == body1
+        funnel = dict(res.report())
+        assert funnel["html_extract"] == 2 and funnel["exact_dedup"] == 1
+        # {} enables with defaults (the ADVICE r8 contract)
+        res2 = curate_corpus(df, html_extract={}, exact_dedup=False)
+        assert {r["doc_id"] for r in res2.df.collect()} == {1, 2}
+
     def test_empty_dict_enables_stage(self, spark):
         """ADVICE r8: `{}` — the natural 'enable with defaults'
         spelling — must RUN the dict|bool stages, not silently skip

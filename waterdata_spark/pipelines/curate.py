@@ -80,6 +80,7 @@ def curate_corpus(
     text_col: str = "text",
     *,
     url_filter: dict | None = None,
+    html_extract: dict | bool = False,
     unicode_normalize: bool = False,
     exact_dedup: bool = True,
     boilerplate_min_docs: int | None = None,
@@ -103,6 +104,17 @@ def curate_corpus(
     ``{"blocklist": frame, "url_col": "url"}`` plus any
     url_blocklist_filter kwarg (e.g. ``match_on="registered_domain",
     psl=load_psl()`` for the strict PSL-keyed form).
+
+    ``html_extract`` (r10) runs main-content extraction (stage 0.5 —
+    the trafilatura position in RefinedWeb's cascade: after the URL
+    cut, before any text analysis): the input's ``html_col`` (default
+    ``"html"``) extracts through ``operators/content.
+    extract_main_content`` INTO ``text_col``, so every later stage
+    sees boilerplate-free text. ``True`` = defaults; a dict passes
+    content_blocks kwargs (``min_len``, ``max_link_density``,
+    ``min_stopword_frac``, plus ``html_col``/``drop_empty``).
+    ``drop_empty`` (default True) drops documents whose page yields no
+    content block — audited as part of the stage's funnel row.
 
     Returns :class:`CurationResult`; the frame keeps ``id_col`` and
     ``text_col`` plus any other input columns EXCEPT through the
@@ -137,6 +149,20 @@ def curate_corpus(
         if bl is None:
             raise ValueError("url_filter requires a 'blocklist' frame")
         cur = mark(url_blocklist_filter(cur, bl, **kwargs), "url_filter")
+
+    if isinstance(html_extract, dict) or html_extract:
+        from waterdata_spark.operators.content import extract_main_content
+
+        kwargs = dict(html_extract) if isinstance(html_extract, dict) else {}
+        html_col = kwargs.pop("html_col", "html")
+        drop_empty = kwargs.pop("drop_empty", True)
+        src = cur.drop(text_col) if text_col in cur.columns else cur
+        extracted = extract_main_content(
+            src, id_col=id_col, html_col=html_col, out_col=text_col, **kwargs
+        ).drop(html_col)
+        if drop_empty:
+            extracted = extracted.filter(F.col(text_col) != "")
+        cur = mark(extracted, "html_extract")
 
     if unicode_normalize:
         cur = mark(
