@@ -232,6 +232,59 @@ class TestPackingBfd:
         assert a == b
 
 
+class TestPackOffsets:
+    @pytest.fixture()
+    def corpus(self, spark):
+        import random
+
+        r = random.Random(31)
+        rows = [(i, " ".join("w" for _ in range(r.randint(1, 40)))) for i in range(300)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _check_contiguous(self, rows):
+        from collections import defaultdict
+
+        bins = defaultdict(list)
+        for r in rows:
+            bins[(r["stream_id"], r["bin_id"])].append(r)
+        for key, docs in bins.items():
+            docs.sort(key=lambda r: r["offset"])
+            pos = 0
+            for d in docs:
+                assert d["offset"] == pos, (key, d)
+                pos += d["n_tokens"]
+            assert pos == docs[0]["bin_tokens"]
+
+    def test_offsets_contiguous_cumsum_pack(self, corpus):
+        from waterdata_spark.operators.chunking import pack_offsets
+
+        packed = pack_sequences(corpus, budget_tokens=64, n_streams=4)
+        self._check_contiguous(pack_offsets(packed).collect())
+
+    def test_offsets_contiguous_bfd_and_bounded(self, corpus):
+        from waterdata_spark.operators.chunking import pack_offsets
+
+        packed = pack_sequences_bfd(corpus, budget_tokens=64, n_streams=4)
+        rows = pack_offsets(packed).collect()
+        self._check_contiguous(rows)
+        # BFD bins respect capacity, so every doc fits inside the budget
+        assert all(r["offset"] + r["n_tokens"] <= 64 for r in rows)
+
+    def test_bin_manifest_round_trip(self, corpus):
+        from waterdata_spark.operators.chunking import bin_manifest
+
+        packed = pack_sequences_bfd(corpus, budget_tokens=64, n_streams=4)
+        mans = bin_manifest(packed).collect()
+        n_docs = 0
+        for m in mans:
+            docs = m["docs"]
+            n_docs += len(docs)
+            assert [d["offset"] for d in docs] == sorted(d["offset"] for d in docs)
+            assert sum(d["n_tokens"] for d in docs) == m["bin_tokens"]
+            assert docs[0]["offset"] == 0
+        assert n_docs == packed.count()
+
+
 class TestCapPerGroup:
     @pytest.fixture()
     def skewed(self, spark):

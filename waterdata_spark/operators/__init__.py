@@ -6,7 +6,9 @@ from waterdata_spark.operators.bloom import (
     with_bloom_contains,
 )
 from waterdata_spark.operators.chunking import (
+    bin_manifest,
     chunk_documents,
+    pack_offsets,
     pack_sequences,
     pack_sequences_bfd,
 )
@@ -128,6 +130,7 @@ __all__ = [
     "asof_join",
     "assign_clusters",
     "assign_split",
+    "bin_manifest",
     "bloom_build",
     "bloom_merge",
     "BloomFilter",
@@ -192,6 +195,7 @@ __all__ = [
     "nb_score",
     "nb_train",
     "ngram_contamination",
+    "pack_offsets",
     "pack_sequences",
     "pack_sequences_bfd",
     "pagerank",

@@ -236,3 +236,49 @@ def pack_sequences_bfd(
         return pdf
 
     return prepared.groupBy("stream_id").applyInPandas(_pack, out_schema)
+
+
+def pack_offsets(packed: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Adds ``offset``: each document's start-token position within its
+    bin — what a training loader needs to pack WITHOUT cross-document
+    attention contamination (per-document attention masking / position
+    resets inside a packed sequence requires knowing where each
+    document starts; packing that skips this silently trains on
+    attention across unrelated documents).
+
+    Works on the output of :func:`pack_sequences` AND
+    :func:`pack_sequences_bfd`: both place documents within a bin in
+    (token count DESC, id ASC) order — the cumsum packer because that
+    IS its stream order, BFD because placements follow the globally
+    sorted visit order — so the within-bin prior-token sum under that
+    order is the placement offset for either. One window over the
+    existing (stream_id, bin_id) grain; no extra shuffle beyond the
+    window's (which reuses the packing partitioning at scale).
+    """
+    w = (
+        Window.partitionBy("stream_id", "bin_id")
+        .orderBy(F.col("n_tokens").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return packed.withColumn(
+        "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+
+
+def bin_manifest(packed: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The loader-facing manifest: one row per bin with the ordered
+    document list — ``stream_id, bin_id, bin_tokens, docs`` where
+    ``docs`` is array<struct<offset, doc_id, n_tokens>> sorted by
+    offset (placement order). Built from :func:`pack_offsets`; one
+    grouped collect over the bin grain (bounded by the token budget —
+    a bin holds at most budget/1 documents)."""
+    with_off = pack_offsets(packed, id_col)
+    return (
+        with_off.groupBy("stream_id", "bin_id")
+        .agg(
+            F.first("bin_tokens").alias("bin_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct("offset", F.col(id_col).alias("doc_id"), "n_tokens"))
+            ).alias("docs"),
+        )
+    )

@@ -2896,7 +2896,11 @@ def _portable_stream_hash(c: str) -> F.Column:
       FROM c
     )
     SELECT doc_id, n_tokens, stream_id, bin_id,
-           CAST(SUM(n_tokens) OVER (PARTITION BY stream_id, bin_id) AS BIGINT) AS bin_tokens
+           CAST(SUM(n_tokens) OVER (PARTITION BY stream_id, bin_id) AS BIGINT) AS bin_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY stream_id, bin_id
+             ORDER BY n_tokens DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
     FROM b
     """,
     doc="Fixed-budget sequence packing (operators/chunking.pack_sequences): "
@@ -2905,11 +2909,16 @@ def _portable_stream_hash(c: str) -> F.Column:
     "the scalable approximation of bin packing used by training-data "
     "pipelines (one shuffle, one window, no driver state). The "
     "registered variant uses the portable md5 stream hash so the DuckDB "
-    "twin reproduces bin assignments bit-for-bit.",
+    "twin reproduces bin assignments bit-for-bit. r10 'offset' column: "
+    "pack_offsets — each document's start-token position within its "
+    "bin, the loader contract for packing WITHOUT cross-document "
+    "attention contamination (per-document masks/position resets need "
+    "document starts); hash-checked per row against the twin's "
+    "within-bin prior-token window sum.",
     tags=["llm", "shaping"],
 )
 def x18_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.operators.chunking import pack_sequences
+    from waterdata_spark.operators.chunking import pack_offsets, pack_sequences
 
     d = load_table(spark, sf, "documents")
     out = pack_sequences(
@@ -2920,7 +2929,9 @@ def x18_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         n_streams=8,
         stream_hash=_portable_stream_hash,
     )
-    return out.select("doc_id", "n_tokens", "stream_id", "bin_id", "bin_tokens")
+    return pack_offsets(out).select(
+        "doc_id", "n_tokens", "stream_id", "bin_id", "bin_tokens", "offset"
+    )
 
 
 @query(
