@@ -232,6 +232,70 @@ class TestPackingBfd:
         assert a == b
 
 
+class TestSentenceChunking:
+    def test_sentences_never_cut_and_budget_respected(self, spark):
+        from waterdata_spark.operators.chunking import chunk_documents_sentences
+
+        text = (
+            "One two three four. Five six seven eight nine ten! "
+            "Eleven twelve? Thirteen fourteen fifteen. Sixteen."
+        )
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = sorted(
+            chunk_documents_sentences(df, max_tokens=6).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        # every sentence appears intact in exactly one chunk
+        joined = " ".join(r["chunk_text"] for r in out)
+        for s in [
+            "One two three four.",
+            "Five six seven eight nine ten!",
+            "Eleven twelve?",
+            "Thirteen fourteen fifteen.",
+            "Sixteen.",
+        ]:
+            assert s in joined
+        # running-sum convention: a chunk overflows only by its boundary
+        # sentence (longest sentence = 6 tokens), never more
+        assert all(r["n_chunk_tokens"] <= 6 + 6 for r in out)
+        assert sum(r["n_sentences"] for r in out) == 5
+
+    def test_long_sentence_stays_intact(self, spark):
+        # a sentence far over the budget is NEVER split: it rides in the
+        # chunk where it starts (the running-sum convention), and the
+        # next chunk resumes at the following sentence boundary
+        from waterdata_spark.operators.chunking import chunk_documents_sentences
+
+        long_sent = " ".join(f"w{i}" for i in range(30))
+        text = f"Short one. {long_sent}. Tail two."
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = chunk_documents_sentences(df, max_tokens=8).collect()
+        holders = [r for r in out if long_sent in r["chunk_text"]]
+        assert len(holders) == 1  # intact, in exactly one chunk
+        tail = [r for r in out if "Tail two." in r["chunk_text"]]
+        assert len(tail) == 1 and tail[0]["chunk_idx"] > holders[0]["chunk_idx"]
+
+    def test_deterministic_under_repartition(self, spark):
+        from waterdata_spark.operators.chunking import chunk_documents_sentences
+
+        rows = [
+            (i, ". ".join(f"s{i} w{j} x{j} y{j}" for j in range(10)) + ".")
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, chunk_documents_sentences(df.repartition(3), max_tokens=9).collect()))
+        b = sorted(map(tuple, chunk_documents_sentences(df.repartition(11), max_tokens=9).collect()))
+        assert a == b
+
+    def test_empty_and_validation(self, spark):
+        from waterdata_spark.operators.chunking import chunk_documents_sentences
+
+        df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+        assert chunk_documents_sentences(df).count() == 0
+        with pytest.raises(ValueError):
+            chunk_documents_sentences(df, max_tokens=0)
+
+
 class TestPackOffsets:
     @pytest.fixture()
     def corpus(self, spark):

@@ -8,6 +8,7 @@ from waterdata_spark.operators.bloom import (
 from waterdata_spark.operators.chunking import (
     bin_manifest,
     chunk_documents,
+    chunk_documents_sentences,
     pack_offsets,
     pack_sequences,
     pack_sequences_bfd,
@@ -139,6 +140,7 @@ __all__ = [
     "with_bloom_contains",
     "cap_per_group",
     "chunk_documents",
+    "chunk_documents_sentences",
     "content_blocks",
     "content_digest",
     "extract_main_content",

@@ -282,3 +282,79 @@ def bin_manifest(packed: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ).alias("docs"),
         )
     )
+
+
+def chunk_documents_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 256,
+    boundary: str = r"(?<=[.!?])\s+",
+    tokenizer=tokens,
+    joiner: str = " ",
+) -> DataFrame:
+    """Sentence-preserving chunking: split each document into sentences
+    at ``boundary``, then assign CONSECUTIVE sentences to token-budget
+    chunks — the RAG/training split that never cuts mid-sentence
+    (mid-sentence cuts hurt both retrieval embeddings and LM training
+    targets; :func:`chunk_documents` is the token-exact form when
+    sentence integrity doesn't matter).
+
+    Budget semantics match :func:`pack_sequences`'s running-sum
+    convention: ``chunk_idx = floor((cumsum - n) / max_tokens)`` over
+    sentences in document order, so a chunk overflows only by the
+    sentence that crosses its boundary (bounded by the longest
+    sentence; a sentence longer than the budget gets a chunk of its
+    own). Output: one row per chunk — ``chunk_idx`` (long),
+    ``chunk_text`` (sentences re-joined with ``joiner`` — the boundary
+    match is CONSUMED by the split, so byte fidelity is not the
+    contract, sentence-window fidelity is), ``n_chunk_tokens``,
+    ``n_sentences``.
+
+    ``boundary`` is a Java regex (the default uses lookbehind to keep
+    terminal punctuation attached); pass an RE2-safe consuming pattern
+    (e.g. ``'\\.\\s+'``) when a second engine must reproduce the split
+    — the x17 'sent' oracle leg does exactly that.
+
+    Plan: one narrow explode + one per-document window + one grouped
+    ordered reassembly — the window partitions by document (bounded by
+    per-doc sentence count, never corpus-wide).
+    """
+    if max_tokens < 1:
+        raise ValueError(f"need max_tokens >= 1, got {max_tokens}")
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), boundary)).alias(
+                "sent_idx", "__s"
+            ),
+        )
+        .withColumn("__s", F.trim("__s"))
+        .withColumn("__n", F.size(tokenizer(F.col("__s"))).cast("long"))
+        .filter(F.col("__n") > 0)
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = exploded.withColumn(
+        "chunk_idx",
+        F.floor((F.sum("__n").over(w) - F.col("__n")) / F.lit(max_tokens)).cast(
+            "long"
+        ),
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sent_idx", "__s"))),
+                    lambda s: s["__s"],
+                ),
+                joiner,
+            ).alias("chunk_text"),
+            F.sum("__n").alias("n_chunk_tokens"),
+            F.count(F.lit(1)).alias("n_sentences"),
+        )
+    )

@@ -2846,25 +2846,93 @@ def w03_curation_cascade(spark: SparkSession, sf: str) -> DataFrame:
     ), e AS (
       SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS g FROM n
     )
-    SELECT doc_id,
+    SELECT 'tok' AS mode, doc_id,
            CAST(g AS BIGINT) AS chunk_idx,
            array_to_string(list_slice(toks, g * 24 + 1, g * 24 + 32), ' ') AS chunk_text,
-           CAST(len(list_slice(toks, g * 24 + 1, g * 24 + 32)) AS BIGINT) AS n_chunk_tokens
+           CAST(len(list_slice(toks, g * 24 + 1, g * 24 + 32)) AS BIGINT) AS n_chunk_tokens,
+           CAST(NULL AS BIGINT) AS n_sentences
     FROM e
+    UNION ALL
+    SELECT 'sent', doc_id, chunk_idx,
+           string_agg(sent, ' ' ORDER BY sent_idx) AS chunk_text,
+           CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+    FROM (
+      SELECT doc_id, sent_idx, sent, n,
+             CAST(floor((SUM(n) OVER (
+               PARTITION BY doc_id ORDER BY sent_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n) / 32.0) AS BIGINT) AS chunk_idx
+      FROM (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+               trim(parts[CAST(i AS INT)]) AS sent,
+               CAST(len(list_filter(
+                 regexp_split_to_array(trim(parts[CAST(i AS INT)]), '\\s+'),
+                 x -> x <> '')) AS BIGINT) AS n
+        FROM (
+          SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i
+          FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                     regexp_replace(text, '\\bvalue\\b', 'value.', 'g'),
+                     '\\.\\s+') AS parts
+            FROM documents
+          )
+        )
+      ) WHERE n > 0
+    )
+    GROUP BY doc_id, chunk_idx
     """,
     doc="Token-window document chunking (operators/chunking.chunk_documents): "
     "max 32 tokens per chunk, 8-token overlap (stride 24) — the "
     "context-preserving split for training/RAG ingestion. Spark plan is "
     "one narrow stage (tokens → sequence → posexplode → slice, no "
     "shuffle, no UDF); the oracle reproduces the same windows with "
-    "DuckDB list slicing over generate_series.",
+    "DuckDB list slicing over generate_series. r10 second leg 'sent': "
+    "sentence-preserving chunking (chunk_documents_sentences — "
+    "consecutive sentences assigned to token-budget chunks by the "
+    "pack_sequences running-sum convention, never cutting "
+    "mid-sentence) over text given deterministic sentence boundaries "
+    "(a period after every 'value' token — the corpus vocabulary "
+    "guarantees coverage) with an RE2-safe consuming boundary pattern "
+    "so the twin reproduces the split, the per-document cumsum window, "
+    "and the ordered reassembly string-for-string.",
     tags=["llm", "shaping"],
 )
 def x17_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.operators.chunking import chunk_documents
+    from waterdata_spark.operators.chunking import (
+        chunk_documents,
+        chunk_documents_sentences,
+    )
 
     d = load_table(spark, sf, "documents")
-    return chunk_documents(d, id_col="doc_id", text_col="text", max_tokens=32, overlap=8)
+    tok = chunk_documents(
+        d, id_col="doc_id", text_col="text", max_tokens=32, overlap=8
+    ).select(
+        F.lit("tok").alias("mode"),
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        "n_chunk_tokens",
+        F.lit(None).cast("long").alias("n_sentences"),
+    )
+    # 'sent' leg (r10): deterministic sentence boundaries synthesized in
+    # both engines (period after every 'value' token), RE2-safe
+    # consuming boundary so DuckDB reproduces the split
+    sent_src = d.select(
+        "doc_id",
+        F.regexp_replace("text", r"\bvalue\b", "value.").alias("text"),
+    )
+    sent = chunk_documents_sentences(
+        sent_src, id_col="doc_id", text_col="text", max_tokens=32,
+        boundary=r"\.\s+",
+    ).select(
+        F.lit("sent").alias("mode"),
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        "n_chunk_tokens",
+        "n_sentences",
+    )
+    return tok.unionByName(sent)
 
 
 def _portable_stream_hash(c: str) -> F.Column:
