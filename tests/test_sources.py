@@ -853,6 +853,47 @@ class TestTrainingShards:
             assert sorted(o1) == sorted(op)  # same content
             assert o1 != sorted(o1)  # actually shuffled
 
+    def test_curriculum_order_within_shards(self, spark, tmp_path):
+        """order_by (r10): within-shard rows come out in curriculum
+        order (here: score ascending — easy-to-hard) with id
+        tie-breaks; shard membership and digests unchanged vs a plain
+        write; mutually exclusive with shuffle_seed."""
+        import glob as g
+        import json as j
+
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from waterdata_spark.sources.shards import write_training_shards
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}", float((i * 37) % 100)) for i in range(300)],
+            "doc_id long, text string, score double",
+        )
+        plain = write_training_shards(df, str(tmp_path / "cp"), n_shards=4)
+        cur = write_training_shards(
+            df, str(tmp_path / "cc"), n_shards=4, order_by=[F.col("score").asc()]
+        )
+        assert cur["curriculum"] is True and plain["curriculum"] is False
+        for k in range(4):
+            assert cur["shards"][k] == plain["shards"][k]
+
+        for k in range(4):
+            (f,) = [
+                x
+                for x in g.glob(str(tmp_path / "cc") + f"/__shard={k}/*")
+                if not x.endswith((".crc", "_SUCCESS"))
+            ]
+            rows = [j.loads(line) for line in open(f)]
+            keys = [(r["score"], r["doc_id"]) for r in rows]
+            assert keys == sorted(keys)  # curriculum order + tie-break
+
+        with _pytest.raises(ValueError):
+            write_training_shards(
+                df, str(tmp_path / "cx"), n_shards=4,
+                order_by=["score"], shuffle_seed="s",
+            )
+
     def test_assignment_deterministic_under_partitioning(self, spark, tmp_path):
         from waterdata_spark.sources.shards import with_shard
 

@@ -55,6 +55,7 @@ def write_training_shards(
     salt: str = "shard42",
     mode: str = "error",
     shuffle_seed: str | None = None,
+    order_by=None,
 ) -> dict:
     """Write ``df`` as ``shard=K`` partitions (JSONL by default, the
     release convention; ``fmt='parquet'`` for columnar) plus a
@@ -74,7 +75,18 @@ def write_training_shards(
     rides sortWithinPartitions on the shard-repartitioned exchange.
     The manifest digest is order-independent, so a shuffled and an
     unshuffled release of the same corpus compare EQUAL — by design:
-    the digest certifies content, the seed certifies order."""
+    the digest certifies content, the seed certifies order.
+
+    ``order_by`` (r10): CURRICULUM ordering — a list of Columns/names
+    that fixes the within-shard training order (e.g. a quality or
+    perplexity score ascending: easy-to-hard curricula, Bengio et al.
+    2009); ``id_col`` always appended as the deterministic tie-break.
+    Mutually exclusive with ``shuffle_seed`` (an order is either
+    curricular or shuffled). Same zero-extra-shuffle mechanics: the
+    sort leads with the shard column and rides the existing exchange;
+    the manifest digest again certifies content, not order."""
+    if order_by is not None and shuffle_seed is not None:
+        raise ValueError("order_by and shuffle_seed are mutually exclusive")
     sharded = with_shard(df, id_col, n_shards, salt)
     # ONE task per shard -> one file per shard directory (the
     # bucketed.py file-explosion lesson); n_shards is the write
@@ -89,6 +101,11 @@ def write_training_shards(
         laid_out = laid_out.sortWithinPartitions(
             F.col("__shard"),
             F.xxhash64(F.lit(shuffle_seed), F.col(id_col).cast("string")),
+        )
+    elif order_by is not None:
+        exprs = [F.col(c) if isinstance(c, str) else c for c in order_by]
+        laid_out = laid_out.sortWithinPartitions(
+            F.col("__shard"), *exprs, F.col(id_col).asc()
         )
     (
         laid_out.write.partitionBy("__shard")
@@ -118,6 +135,7 @@ def write_training_shards(
         "salt": salt,
         "id_col": id_col,
         "shuffle_seed": shuffle_seed,
+        "curriculum": order_by is not None,
         "total_rows": int(sum(r["rows"] for r in stats)),
         "shards": {
             int(r["__shard"]): {
