@@ -41,7 +41,11 @@ from pyspark.sql import functions as F
 
 __all__ = ["BloomFilter", "bloom_build", "bloom_merge", "with_bloom_contains"]
 
-_MAX_BITS = 1 << 30  # 128 MB of driver bits — refuse beyond
+# The build collects one (word-index, bits) row per SET 64-bit word —
+# up to n_bits/64 rows. 2^28 bits = 32 MB of bit state and ≤4M
+# collected rows (~hundreds of MB of transient driver Rows): the safe
+# ceiling. Beyond that the filter itself stops being broadcast-shaped.
+_MAX_BITS = 1 << 28
 
 
 def _positions(col: Column, k: int, n_bits: int, seed: str) -> list[Column]:
