@@ -445,6 +445,32 @@ class TestCapPerGroup:
         old_ids = {r["doc_id"] for r in skewed.collect()}
         assert (kept_ab & old_ids) <= kept_a
 
+    def test_window_plan_equivalent(self, skewed):
+        from waterdata_spark.operators.sampling import cap_per_group
+
+        a = sorted(
+            r["doc_id"] for r in cap_per_group(skewed, "g", 15, id_col="doc_id").collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in cap_per_group(
+                skewed, "g", 15, id_col="doc_id", plan="window"
+            ).collect()
+        )
+        assert a == b
+        # flag mode too
+        fa = {
+            r["doc_id"]: r["kept"]
+            for r in cap_per_group(skewed, "g", 15, id_col="doc_id", mode="flag").collect()
+        }
+        fb = {
+            r["doc_id"]: r["kept"]
+            for r in cap_per_group(
+                skewed, "g", 15, id_col="doc_id", mode="flag", plan="window"
+            ).collect()
+        }
+        assert fa == fb
+
     def test_validation(self, skewed):
         from waterdata_spark.operators.sampling import cap_per_group
 
@@ -452,6 +478,8 @@ class TestCapPerGroup:
             cap_per_group(skewed, "g", 0, id_col="doc_id")
         with pytest.raises(ValueError):
             cap_per_group(skewed, "g", 5, id_col="doc_id", mode="nope")
+        with pytest.raises(ValueError):
+            cap_per_group(skewed, "g", 5, id_col="doc_id", plan="nope")
 
 
 class TestSampling:

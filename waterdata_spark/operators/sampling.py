@@ -256,6 +256,7 @@ def cap_per_group(
     mode: str = "remove",
     flag_col: str = "kept",
     max_broadcast_rows: int = 10_000_000,
+    plan: str = "split",
 ) -> DataFrame:
     """Keep at most ``max_rows`` rows per group — the published
     frequency-cap rule (C4 and RefinedWeb cap documents per
@@ -286,23 +287,41 @@ def cap_per_group(
 
     ``mode='flag'`` keeps every row and adds boolean ``flag_col``
     (audit form); ``mode='remove'`` (default) drops rows over the cap.
+
+    ``plan`` picks the physical strategy, semantics identical
+    (equivalence test-pinned; measured in tools/cap_scale_probe.py):
+    ``'split'`` (default) is the wide-row/document form above — at 8M
+    x ~1 KB rows it beats the global window 2.1x and the gap grows
+    with payload width, because the bulk's payloads never reach an
+    exchange; ``'window'`` is the plain corpus-wide
+    ``row_number() <= cap`` window — the right plan for NARROW rows
+    (ids + keys), where one cheap shuffle beats the split plan's
+    count + double scan + joins by ~2.4x (measured).
     """
     if max_rows < 1:
         raise ValueError(f"need max_rows >= 1, got {max_rows}")
     if mode not in ("remove", "flag"):
         raise ValueError(f"unknown mode {mode!r}")
+    if plan not in ("split", "window"):
+        raise ValueError(f"unknown plan {plan!r}")
     if order_by is None:
         order_exprs = [_hash_u(id_col, seed).asc()]
     else:
         order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_by]
     order_exprs = list(order_exprs) + [F.col(id_col).asc()]
 
+    w = Window.partitionBy(group_col).orderBy(*order_exprs)
+    if plan == "window":
+        ranked = df.withColumn("__rn", F.row_number().over(w))
+        if mode == "remove":
+            return ranked.filter(F.col("__rn") <= max_rows).drop("__rn")
+        return ranked.withColumn(flag_col, F.col("__rn") <= max_rows).drop("__rn")
+
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
     over = counts.filter(F.col("__gn") > max_rows).select(group_col)
     over_j = F.broadcast(over) if over.count() <= max_broadcast_rows else over
 
     under_rows = df.join(over_j, group_col, "left_anti")
-    w = Window.partitionBy(group_col).orderBy(*order_exprs)
     over_rows = df.join(over_j, group_col, "left_semi").withColumn(
         "__rn", F.row_number().over(w)
     )
