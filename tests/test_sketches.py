@@ -178,6 +178,76 @@ class TestCountMin:
             count_min_build(words, "w", 2, 0)
 
 
+class TestGroupedProfile:
+    def test_grouped_counts_and_merge(self, spark):
+        from waterdata_spark.operators.sketches import (
+            estimate_hll_profile_grouped,
+            hll_profile_grouped,
+            merge_hll_profiles_grouped,
+        )
+
+        df = spark.range(0, 6000).select(
+            "id",
+            F.concat(F.lit("l"), (F.col("id") % 3)).alias("lang"),
+            (F.col("id") % 701).alias("k"),
+            F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id") % 11).alias("n"),
+        )
+        whole = {
+            (r["lang"], r["column"]): r
+            for r in estimate_hll_profile_grouped(
+                hll_profile_grouped(df, "lang", ["k", "n"]), "lang"
+            ).collect()
+        }
+        assert len(whole) == 6  # 3 groups x 2 columns
+        for g in ["l0", "l1", "l2"]:
+            assert whole[(g, "k")]["n_rows"] == 2000
+            assert whole[(g, "n")]["n_nulls"] == 400
+            # 701 distinct k overall; per group of 2000 rows each k mod
+            # class appears — exact small-cardinality estimates
+            assert abs(whole[(g, "k")]["distinct_est"] - 701) <= 701 * 0.05
+            assert whole[(g, "n")]["distinct_est"] == 11
+
+        # merge of disjoint shards == whole within the lg_k bound; a
+        # group present in only one shard merges from it alone
+        parts = [
+            hll_profile_grouped(df.filter(F.col("id") % 2 == i), "lang", ["k", "n"])
+            for i in range(2)
+        ]
+        merged = {
+            (r["lang"], r["column"]): r
+            for r in estimate_hll_profile_grouped(
+                merge_hll_profiles_grouped("lang", *parts), "lang"
+            ).collect()
+        }
+        for key, w in whole.items():
+            assert merged[key]["n_rows"] == w["n_rows"]
+            assert merged[key]["n_nulls"] == w["n_nulls"]
+            assert (
+                abs(merged[key]["distinct_est"] - w["distinct_est"])
+                <= max(w["distinct_est"], 1) * 0.05
+            )
+
+    def test_group_only_in_one_shard(self, spark):
+        from waterdata_spark.operators.sketches import (
+            estimate_hll_profile_grouped,
+            hll_profile_grouped,
+            merge_hll_profiles_grouped,
+        )
+
+        a = spark.createDataFrame([("x", 1), ("x", 2)], "g string, v int")
+        b = spark.createDataFrame([("y", 7)], "g string, v int")
+        merged = estimate_hll_profile_grouped(
+            merge_hll_profiles_grouped(
+                "g",
+                hll_profile_grouped(a, "g", ["v"]),
+                hll_profile_grouped(b, "g", ["v"]),
+            ),
+            "g",
+        ).collect()
+        got = {(r["g"], r["column"]): (r["n_rows"], r["distinct_est"]) for r in merged}
+        assert got[("x", "v")] == (2, 2) and got[("y", "v")] == (1, 1)
+
+
 class TestStreamingProfile:
     COLS = ["lang", "doc_id"]
 

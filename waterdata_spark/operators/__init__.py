@@ -57,8 +57,11 @@ from waterdata_spark.operators.sketches import (
     count_min_merge,
     count_min_might_contain,
     estimate_hll_profile,
+    estimate_hll_profile_grouped,
     hll_profile,
+    hll_profile_grouped,
     merge_hll_profiles,
+    merge_hll_profiles_grouped,
 )
 from waterdata_spark.operators.expectations import (
     ExpectationError,
@@ -172,8 +175,11 @@ __all__ = [
     "expect_schema",
     "ExpectationError",
     "estimate_hll_profile",
+    "estimate_hll_profile_grouped",
     "hll_profile",
+    "hll_profile_grouped",
     "merge_hll_profiles",
+    "merge_hll_profiles_grouped",
     "fallback_join",
     "fit_pca",
     "fit_pca_gram",

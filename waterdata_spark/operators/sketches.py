@@ -56,8 +56,11 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hll_profile",
+    "hll_profile_grouped",
     "merge_hll_profiles",
+    "merge_hll_profiles_grouped",
     "estimate_hll_profile",
+    "estimate_hll_profile_grouped",
     "count_min_build",
     "count_min_merge",
     "count_min_lookup",
@@ -274,4 +277,70 @@ def count_min_might_contain(
         all_hit = all_hit & F.col(hc).isNotNull()
     return out.withColumn(out_col, all_hit).drop(
         *[f"__bk{j}" for j in range(depth)], *hit_cols
+    )
+
+
+def hll_profile_grouped(
+    df: DataFrame, group_col: str, columns: list[str], lg_k: int = 12
+) -> DataFrame:
+    """Per-GROUP mergeable profile — the per-domain/per-language grain
+    a corpus datasheet reports: for each (group, column), one row
+    ``(group_col, column, n_rows, n_nulls, hll)``. Same single-scan
+    shape as :func:`hll_profile` (one wide groupBy aggregate, then a
+    driver-free unpivot by column), and the SAME merge operator
+    applies per group: :func:`merge_hll_profiles_grouped`.
+
+    Output size is |groups| x |columns| rows — bounded by the grouping
+    cardinality, never the corpus."""
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(
+            F.hll_sketch_agg(F.col(c).cast("string"), F.lit(lg_k)).alias(f"__hll_{c}")
+        )
+    one = df.groupBy(group_col).agg(*aggs)
+    parts = [
+        one.select(
+            F.col(group_col),
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+            F.col(f"__hll_{c}").alias("hll"),
+        )
+        for c in columns
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def merge_hll_profiles_grouped(group_col: str, *profiles: DataFrame) -> DataFrame:
+    """Merge per-shard grouped profiles: counts add, sketches union,
+    per (group, column). A group appearing in only some shards merges
+    from those shards alone — exactly the semantics incremental
+    ingestion needs."""
+    if not profiles:
+        raise ValueError("need at least one profile")
+    u = profiles[0]
+    for p in profiles[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(group_col, "column").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nulls").alias("n_nulls"),
+        F.hll_union_agg("hll").alias("hll"),
+    )
+
+
+def estimate_hll_profile_grouped(profile: DataFrame, group_col: str) -> DataFrame:
+    """Materialize grouped estimates: (group, column, n_rows, n_nulls,
+    distinct_est)."""
+    return profile.select(
+        group_col,
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.round(F.hll_sketch_estimate("hll")).cast("long").alias("distinct_est"),
     )
