@@ -85,6 +85,103 @@ class TestContentBlocks:
         assert got == {1: "", 2: ""}
 
 
+class TestPythonDifferential:
+    def test_exact_vs_independent_reimplementation(self, spark):
+        """EXACT differential: an independent pure-Python block
+        classifier (re-based, written against the documented feature
+        definitions, not the Spark code) must reproduce every block
+        decision and every extracted main_text over a generated page
+        battery covering nav rails, link-free headings, mixed-density
+        blocks, entities, and empty pages."""
+        import re
+
+        MIN_LEN, MAX_LD, SHORT = 80, 0.3, 20
+
+        def py_extract(html: str) -> str:
+            s = re.sub(r"(?is)<script\b[^>]*>.*?</script\s*>", " ", html)
+            s = re.sub(r"(?is)<style\b[^>]*>.*?</style\s*>", " ", s)
+            s = re.sub(r"(?s)<!--.*?-->", " ", s)
+            s = re.sub(r"(?is)<a\b[^>]*>", "\x01", s)
+            s = re.sub(r"(?is)</a\s*>", "\x02", s)
+            s = re.sub(
+                r"(?i)</(?:p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|"
+                r"article|header|footer|pre|figure|figcaption|dd|dt)>"
+                r"|<br\s*/?>|<hr\s*/?>",
+                "\n",
+                s,
+            )
+            s = re.sub(r"(?i)</(?:td|th)>", " ", s)
+            s = re.sub(r"(?s)<[^>]*>", "", s)
+            for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                            ("&nbsp;", " "), ("&amp;", "&")]:
+                s = s.replace(ent, ch)
+            blocks = []
+            for raw in s.split("\n"):
+                no_sent = raw.replace("\x01", "").replace("\x02", "")
+                clean = re.sub(r"\s+", " ", no_sent).strip()
+                if not clean:
+                    continue
+                anchor = sum(
+                    len(m) for m in re.findall("\x01([^\x02]*)\x02", raw)
+                )
+                ld = anchor / max(len(no_sent), 1)
+                blocks.append((clean, len(clean), ld))
+            base = [
+                n >= MIN_LEN and ld <= MAX_LD for (_, n, ld) in blocks
+            ]
+            out = []
+            for i, (txt, n, ld) in enumerate(blocks):
+                near = (
+                    not base[i]
+                    and ld <= MAX_LD
+                    and n >= SHORT
+                    and (i > 0 and base[i - 1])
+                    and (i + 1 < len(blocks) and base[i + 1])
+                )
+                if base[i] or near:
+                    out.append(txt)
+            return "\n".join(out)
+
+        import random
+
+        rng = random.Random(99)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+        def sentence(n):
+            return " ".join(rng.choice(words) for _ in range(n))
+
+        pages = []
+        for i in range(40):
+            parts = ["<html><body>"]
+            for _ in range(rng.randint(1, 8)):
+                kind = rng.randint(0, 3)
+                if kind == 0:  # nav rail
+                    links = " ".join(
+                        f'<a href="/{w}">{w} link</a>'
+                        for w in rng.sample(words, rng.randint(1, 4))
+                    )
+                    parts.append(f"<div>{links}</div>")
+                elif kind == 1:  # body paragraph, maybe with a link
+                    body = sentence(rng.randint(5, 40))
+                    if rng.random() < 0.4:
+                        body += f' with <a href="/r">a ref</a> inside'
+                    parts.append(f"<p>{body}</p>")
+                elif kind == 2:  # short line / heading
+                    parts.append(f"<h2>{sentence(rng.randint(1, 6))}</h2>")
+                else:  # noise the chain must drop
+                    parts.append("<script>var x = 1;</script><!-- c -->")
+            parts.append("&amp; tail &lt;entity&gt;</body></html>")
+            pages.append((i, "".join(parts)))
+
+        df = spark.createDataFrame(pages, "doc_id long, html string")
+        got = {
+            r["doc_id"]: r["main_text"]
+            for r in extract_main_content(df).collect()
+        }
+        for i, html in pages:
+            assert got[i] == py_extract(html), (i, got[i], py_extract(html))
+
+
 class TestExtractMainContent:
     def test_page_order_and_passthrough(self, spark, page_df):
         out = extract_main_content(page_df.withColumn("extra", F.lit(7)))
