@@ -82,6 +82,34 @@ class TestPlanted:
         with pytest.raises(ValueError):
             mine_hard_negatives(data, queries, method="nope")
 
+    def test_default_method_resolves_to_ivf_with_index(self, planted):
+        # VERDICT r10 item 5: passing an index with no explicit method
+        # must take the scale path, not the quadratic baseline — the
+        # plan must contain no cross join (the exact path's signature)
+        data, queries = planted
+        idx = build_ivf_index(data, n_cells=2)
+        out = mine_hard_negatives(
+            data, queries, label_col="label", k=5, lo=0.2, hi=0.95,
+            index=idx, n_probe=2, overfetch=50,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+        got = [(r["neighbor_id"], r["rank"]) for r in out.collect()]
+        assert got == [(3, 1), (4, 2)]
+
+    def test_exact_refuses_beyond_row_bound(self, planted):
+        # the quadratic baseline raises instead of silently cross-joining
+        # a corpus-sized candidate side (VERDICT r10 item 5)
+        data, queries = planted
+        with pytest.raises(ValueError, match="max_exact_rows"):
+            mine_hard_negatives(data, queries, k=1, max_exact_rows=3)
+        # explicit opt-in: raising the bound runs the brute force
+        out = mine_hard_negatives(
+            data, queries, label_col="label", k=5, lo=0.2, hi=0.95,
+            method="exact", max_exact_rows=10,
+        ).collect()
+        assert [(r["neighbor_id"], r["rank"]) for r in out] == [(3, 1), (4, 2)]
+
 
 class TestIvfEquivalence:
     def test_exact_equals_ivf_at_probe_all(self, spark):

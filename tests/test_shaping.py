@@ -231,6 +231,33 @@ class TestPackingBfd:
         b = {r["doc_id"]: r["stream_id"] for r in pack_sequences_bfd(corpus, n_streams=8).collect()}
         assert a == b
 
+    def test_payload_never_enters_pandas_group(self, spark, corpus):
+        # VERDICT r10 item 2: the packing pass must run on the
+        # (id, n_tokens, stream_id) projection — a document payload in
+        # the applyInPandas group is a per-task corpus/n_streams x
+        # full-text pandas allocation (~400 GB at 100 TB with the 256
+        # default streams). Assert the FlatMapGroupsInPandas node's
+        # schema carries no text column.
+        out = pack_sequences_bfd(corpus, budget_tokens=64, n_streams=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        pandas_lines = [
+            ln for ln in plan.splitlines() if "FlatMapGroupsInPandas" in ln
+        ]
+        assert len(pandas_lines) == 1
+        assert "text" not in pandas_lines[0]
+        # extra columns ride along through the join-back, still slim
+        wide = pack_sequences_bfd(
+            corpus.withColumn("meta", F.repeat(F.lit("m"), 5)),
+            budget_tokens=64,
+            n_streams=4,
+        )
+        plan_w = wide._jdf.queryExecution().executedPlan().toString()
+        ln = next(l for l in plan_w.splitlines() if "FlatMapGroupsInPandas" in l)
+        assert "text" not in ln and "meta" not in ln
+        assert set(wide.columns) == {
+            "doc_id", "text", "meta", "n_tokens", "stream_id", "bin_id", "bin_tokens"
+        }
+
 
 class TestSentenceChunking:
     def test_sentences_never_cut_and_budget_respected(self, spark):
@@ -1880,28 +1907,40 @@ class TestBpePackCompose:
         for r in rows:
             assert again[r["doc_id"]] == (r["stream_id"], r["bin_id"])
 
-    def test_full_release_path(self, spark, tmp_path):
-        """VERDICT r9 item 6 — the whole release chain on real
-        documents: curate_corpus → train/encode BPE → pack → near-dup
-        components → leakage-safe assign_split → write_training_shards.
-        Pins (a) decode round-trip of every curated doc, (b) every
-        near-dup component landing in ONE split, (c) rebuild-identical
-        manifests AND byte-identical shard files across two builds."""
+    @pytest.mark.parametrize("packer", ["cumsum", "bfd"])
+    def test_full_release_path(self, spark, tmp_path, packer):
+        """VERDICT r9 item 6 + r10 items 1/8 — the whole release chain
+        on real documents: curate_corpus → train BPE → vocab artifact →
+        encode token IDS → pack (both packers — the BFD leg exercises
+        the zero-overflow contract on real curated docs) → loader bins
+        with offsets → near-dup components → leakage-safe assign_split
+        → write_training_shards carrying the id arrays. Pins (a) id
+        decode round-trip of every curated doc THROUGH the shard
+        read-back, (b) every near-dup component landing in ONE split,
+        (c) rebuild-identical manifests AND byte-identical shard files
+        across two builds."""
         import hashlib
 
         from tests.conftest import SF_SMOKE
-        from waterdata_spark.operators.bpe import (
-            decode_symbols,
-            encode_bpe,
-            train_bpe,
+        from waterdata_spark.operators.bpe import train_bpe
+        from waterdata_spark.operators.chunking import (
+            pack_sequences,
+            pack_sequences_bfd,
         )
-        from waterdata_spark.operators.chunking import pack_sequences
         from waterdata_spark.operators.dedup_approx import (
             jaccard_verify_pairs,
             min_id_components,
             minhash_candidate_pairs,
         )
         from waterdata_spark.operators.sampling import assign_split
+        from waterdata_spark.operators.vocab import (
+            Vocab,
+            alphabet_of,
+            bpe_vocab,
+            decode_ids,
+            encode_bpe_ids,
+            pack_bins_ids,
+        )
         from waterdata_spark.pipelines.curate import curate_corpus
         from waterdata_spark.sources.shards import write_training_shards
 
@@ -1927,17 +1966,41 @@ class TestBpePackCompose:
         n_curated = curated.count()
         assert n_curated == len(rows) + len(planted) - 1  # exact dup gone
 
-        # tokenize + decode round-trip
+        # tokenize to INTEGER IDS via the vocab artifact (r11): the
+        # artifact itself must survive a JSON round-trip (what ships
+        # next to the release) and decode every document back exactly
         model = train_bpe(curated, n_merges=80, min_count=1)
-        enc = encode_bpe(curated, model)
-        for r in enc.collect():
-            assert decode_symbols(r["bpe"]) == " ".join(r["text"].lower().split())
-
-        # pack: every curated doc packed exactly once
-        packed = pack_sequences(
-            enc, tokenizer=lambda c: F.col("bpe"), budget_tokens=256
+        vocab = Vocab.from_json(
+            bpe_vocab(model, alphabet_of(curated)).to_json()
         )
+        enc = encode_bpe_ids(curated, model, vocab)
+        for r in enc.collect():
+            assert decode_ids(r["input_ids"], vocab, "bpe") == " ".join(
+                r["text"].lower().split()
+            )
+
+        # pack ON THE ID ARRAYS: every curated doc packed exactly once;
+        # the loader bins concatenate aligned with the reported budget
+        budget = 256
+        pack = pack_sequences if packer == "cumsum" else pack_sequences_bfd
+        packed = pack(
+            enc, text_col="input_ids", tokenizer=lambda c: F.col(c),
+            budget_tokens=budget,
+        ).persist()
         assert packed.count() == n_curated
+        bins = pack_bins_ids(packed).persist()
+        assert (
+            bins.filter(F.size("input_ids") != F.col("bin_tokens")).count() == 0
+        )
+        if packer == "bfd":
+            # the capacity contract on real curated docs: no multi-doc
+            # bin over budget (oversized single docs get their own bin)
+            over = bins.filter(
+                (F.col("bin_tokens") > budget) & (F.size("doc_ids") > 1)
+            )
+            assert over.count() == 0
+        packed.unpersist()
+        bins.unpersist()
 
         # near-dup components → leakage-safe split
         cand = minhash_candidate_pairs(curated, "doc_id", "text")
@@ -1966,14 +2029,19 @@ class TestBpePackCompose:
         assert len(multi) >= 3, "planted near-dup components missing"
         assert all(per_group[g][1] == 1 for g in multi), "split leaked a group"
 
-        # sharded release: two builds must agree manifest-for-manifest
-        # and byte-for-byte (rebuild-identical training order)
-        out = split_df.select("doc_id", "text", "split")
+        # sharded release CARRYING THE ID ARRAYS (r11 — the loader-ready
+        # artifact): two builds must agree manifest-for-manifest and
+        # byte-for-byte (rebuild-identical training order)
+        out = split_df.join(enc.select("doc_id", "input_ids"), "doc_id").select(
+            "doc_id", "input_ids", "split"
+        )
         m1 = write_training_shards(
-            out, str(tmp_path / "rel1"), n_shards=4, shuffle_seed="s1"
+            out, str(tmp_path / "rel1"), text_col="input_ids",
+            n_shards=4, shuffle_seed="s1",
         )
         m2 = write_training_shards(
-            out, str(tmp_path / "rel2"), n_shards=4, shuffle_seed="s1"
+            out, str(tmp_path / "rel2"), text_col="input_ids",
+            n_shards=4, shuffle_seed="s1",
         )
         assert m1 == m2
         assert m1["total_rows"] == n_curated
@@ -1988,3 +2056,20 @@ class TestBpePackCompose:
         h1 = shard_hashes(tmp_path / "rel1")
         h2 = shard_hashes(tmp_path / "rel2")
         assert h1 and list(h1.values()) == [h2[k] for k in h1]
+
+        # read-back + decode: the shipped ids plus the shipped vocab
+        # JSON reconstruct every document's normalized text exactly —
+        # the artifact a training loader consumes is complete
+        from waterdata_spark.sources.shards import read_training_shards
+
+        back = read_training_shards(
+            spark,
+            str(tmp_path / "rel1"),
+            schema="doc_id long, input_ids array<int>, split string",
+        )
+        originals = {r["doc_id"]: r["text"] for r in curated.collect()}
+        got = back.collect()
+        assert len(got) == n_curated
+        for r in got:
+            norm = " ".join(originals[r["doc_id"]].lower().split())
+            assert decode_ids(r["input_ids"], vocab, "bpe") == norm

@@ -72,7 +72,8 @@ def _block(spark, sf_dir: str) -> dict:
 
     exact_sec = _timed(
         lambda: mine_hard_negatives(
-            data, queries, label_col="label", k=K, lo=LO, hi=HI
+            data, queries, label_col="label", k=K, lo=LO, hi=HI,
+            method="exact", max_exact_rows=10**9,  # the probe IS the brute-force baseline
         )
     )
     t0 = time.time()
@@ -96,7 +97,8 @@ def _block(spark, sf_dir: str) -> dict:
 
     ivf_sec = _timed(lambda: ivf(4))
     exact_rows = mine_hard_negatives(
-        data, queries, label_col="label", k=K, lo=LO, hi=HI
+        data, queries, label_col="label", k=K, lo=LO, hi=HI,
+        method="exact", max_exact_rows=10**9,
     ).collect()
     rec_partial = _recall(exact_rows, ivf(4).collect())
     rec_all = _recall(exact_rows, ivf(N_CELLS).collect())

@@ -113,6 +113,16 @@ from waterdata_spark.operators.urlfilter import (
     registered_domains_psl,
     url_blocklist_filter,
 )
+from waterdata_spark.operators.vocab import (
+    Vocab,
+    alphabet_of,
+    bpe_vocab,
+    decode_ids,
+    encode_bpe_ids,
+    encode_unigram_ids,
+    pack_bins_ids,
+    unigram_vocab,
+)
 from waterdata_spark.operators.semdedup import (
     assign_clusters,
     semdedup,
@@ -234,4 +244,12 @@ __all__ = [
     "upsample",
     "with_quantized_vector",
     "word_counts",
+    "Vocab",
+    "alphabet_of",
+    "bpe_vocab",
+    "decode_ids",
+    "encode_bpe_ids",
+    "encode_unigram_ids",
+    "pack_bins_ids",
+    "unigram_vocab",
 ]

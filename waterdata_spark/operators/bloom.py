@@ -22,8 +22,9 @@ sketches-module contract.
 
 Scale shape: build = one narrow projection (k positions per row) into
 one map-side-combinable ``bit_or`` groupBy bounded by ``n_bits/64``
-rows, collected as ≤ n_bits/8 bytes (2^27 bits = 16 MB — driver-safe,
-explicitly capped); check = positions computed JVM-side (the md5
+rows, collected as ≤ n_bits/8 bytes (capped at 2^28 bits = 32 MB of
+bit state — the ``_MAX_BITS`` driver-safety ceiling); check =
+positions computed JVM-side (the md5
 chain), then a vectorized numpy bit-gather per Arrow batch (the
 documented no-JVM-surface UDF exception: Spark expressions cannot
 index an 8 MB bit literal).

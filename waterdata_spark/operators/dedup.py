@@ -355,8 +355,13 @@ def dedup_against_exact(
     sliver (true members + the load-factor false-positive rate) pays
     the exact anti-join. The corpus plan is evaluated twice (pass
     branch + candidate branch) — two scans beat one corpus-wide
-    shuffle whenever overlap is the exception; persist upstream if
-    the corpus is itself an expensive derivation.
+    shuffle whenever overlap is the exception. **Correctness
+    requirement, not just cost** (ADVICE r10): the corpus plan must be
+    DETERMINISTIC across those two evaluations — a ``rand()`` column,
+    an unseeded ``sample``, or a re-read of a source that changes
+    mid-job can make the two branches disagree and silently drop or
+    duplicate rows. Persist/checkpoint such an upstream first (also
+    the cheaper choice when it is an expensive derivation).
 
     ``prefilter='bloom'`` (r10): the bit-packed serving form of the
     same gate (``operators/bloom`` — 64x denser than the counter rows,

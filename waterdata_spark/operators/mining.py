@@ -55,11 +55,12 @@ def mine_hard_negatives(
     lo: float = 0.0,
     hi: float = 1.0,
     round_dp: int = 6,
-    method: str = "exact",
+    method: str | None = None,
     index: IvfIndex | None = None,
     n_probe: int = 4,
     overfetch: int = 4,
     max_broadcast_rows: int = 10_000_000,
+    max_exact_rows: int = 1_000_000,
 ) -> DataFrame:
     """Mine up to ``k`` hard negatives per anchor.
 
@@ -76,6 +77,14 @@ def mine_hard_negatives(
     Output: ``query_id, neighbor_id, sim, rank`` with rank 1..k by
     (sim desc, neighbor_id asc) — fully deterministic.
 
+    ``method=None`` (default) resolves to the SCALE-SAFE choice
+    (VERDICT r10): ``"ivf"`` when ``index`` is supplied, else
+    ``"exact"``. The exact plan is a cross join — the documented
+    quadratic oracle baseline, not a production path — so it refuses
+    to run when the candidate side exceeds ``max_exact_rows``
+    (one bounded count; raise the bound explicitly to opt into a
+    bigger brute force, e.g. a verification probe).
+
     ``method="ivf"`` requires ``index`` (built by
     :func:`~waterdata_spark.operators.similarity.build_ivf_index` over
     the same data side) and fetches ``k * overfetch`` pre-filter
@@ -86,9 +95,19 @@ def mine_hard_negatives(
         raise ValueError(f"need lo <= hi, got {lo=} {hi=}")
     if k < 1:
         raise ValueError(f"need k >= 1, got {k=}")
+    if method is None:
+        method = "ivf" if index is not None else "exact"
     qlabel = query_label_col or label_col
 
     if method == "exact":
+        n_data = data.count()
+        if n_data > max_exact_rows:
+            raise ValueError(
+                f"method='exact' is the quadratic verification baseline and the "
+                f"candidate corpus has {n_data} rows > max_exact_rows="
+                f"{max_exact_rows}; build an IvfIndex and pass method='ivf' "
+                f"(or raise max_exact_rows to opt in explicitly)"
+            )
         d_cols = [F.col(id_col).alias("neighbor_id"), F.col("__unit").alias("__ub")]
         if label_col:
             d_cols.append(F.col(label_col).alias("__dlab"))
@@ -116,6 +135,11 @@ def mine_hard_negatives(
             k=k * overfetch,
             n_probe=n_probe,
             sim_col="__rawsim",
+            # RAW similarity: the search's own 6dp rounding composed with
+            # round_dp would double-round, flipping band/rank membership
+            # at boundaries for round_dp != 6 and breaking the documented
+            # exact == ivf equivalence (ADVICE r10) — round exactly once
+            sim_round_dp=None,
         ).select("query_id", "neighbor_id", F.round("__rawsim", round_dp).alias("sim"))
         cand = hits
         if label_col:

@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 def _hash_u(id_col: str, seed: str) -> F.Column:
     """Deterministic uniform-(0,1) value per row id: the first 15 hex
-    digits of a salted md5 (60 bits — exact in a double)."""
+    digits of a salted md5, carried in a double. NB the 60 hash bits
+    EXCEED a double's 53-bit mantissa, so distinct hashes can round to
+    equal doubles — every consumer tie-breaks on the id column, and a
+    second engine must compare the same rounded double (not the exact
+    integer) to reproduce rank boundaries (ADVICE r10)."""
     h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(float(16**15))
 
@@ -282,8 +286,12 @@ def cap_per_group(
     bounded per group by that group's row count; the cap itself
     guarantees the OUTPUT is bounded, and the input skew is the
     reason this operator exists. The input plan is evaluated twice
-    (pass branch + capped branch) — persist upstream if it is an
-    expensive derivation.
+    (pass branch + capped branch) — **it must therefore be
+    deterministic across evaluations** (ADVICE r10): a ``rand()``
+    column, unseeded sampling, or a changing source can make the two
+    branches disagree and silently drop or duplicate rows; persist or
+    checkpoint such an input first (also the cheaper choice when it
+    is an expensive derivation).
 
     ``mode='flag'`` keeps every row and adds boolean ``flag_col``
     (audit form); ``mode='remove'`` (default) drops rows over the cap.

@@ -713,11 +713,19 @@ def search_ivf_index(
     k: int = 5,
     n_probe: int = 4,
     sim_col: str | None = "similarity",
+    sim_round_dp: int | None = 6,
 ) -> DataFrame:
     """Search one query batch against a prebuilt :class:`IvfIndex`.
     Per-batch cost: one Arrow assignment pass over the QUERIES only
     (the data side is already assigned + persisted), the per-cell
-    cogroup rerank, and the rank window."""
+    cogroup rerank, and the rank window.
+
+    ``sim_round_dp``: decimal rounding applied to ``sim_col`` (default
+    6 — the engine-wide reproducible-comparison convention). Pass
+    ``None`` for the RAW float similarity — callers that apply their
+    own rounding precision need the unrounded value, since rounding an
+    already-6dp-rounded sim at a different precision can flip boundary
+    values (ADVICE r10; ``mining.mine_hard_negatives`` does this)."""
     from pyspark.sql import types as T
 
     qid = query_id_col
@@ -787,6 +795,9 @@ def search_ivf_index(
     out = cand.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
     cols = ["query_id", "neighbor_id", "rank"]
     if sim_col:
-        out = out.withColumn(sim_col, F.round(F.col("__sim"), 6))
+        sim = F.col("__sim")
+        if sim_round_dp is not None:
+            sim = F.round(sim, sim_round_dp)
+        out = out.withColumn(sim_col, sim)
         cols.append(sim_col)
     return out.select(*cols)

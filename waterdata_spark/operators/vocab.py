@@ -1,0 +1,311 @@
+"""Integer token-ID surface: the vocabulary artifact plus id-array
+encodings — the last link between a curated corpus and an actually
+TRAINABLE release (VERDICT r10 item 1). A training loader consumes
+``int32`` token ids plus the vocab file, not symbol strings; this
+module maps both tokenizer families (``operators/bpe``,
+``operators/unigram_lm``) onto that contract:
+
+- :class:`Vocab` — the piece→id artifact: a deterministic, exactly
+  JSON-round-trippable ordered piece list (id == index), special
+  tokens at the front (the SentencePiece / GPT-2 ``vocab.json``
+  convention — both public formats store exactly this mapping).
+- :func:`bpe_vocab` / :func:`unigram_vocab` — build the artifact from
+  a trained model. BPE's reachable symbol set is the base alphabet
+  (plain and ``</w>``-suffixed) plus one merged symbol per learned
+  merge — the model stores merges only, so the alphabet comes from
+  :func:`alphabet_of` (one bounded distinct aggregate over the
+  corpus). The unigram vocab is the model's own piece set.
+- :func:`encode_bpe_ids` / :func:`encode_unigram_ids` — ``array<int>``
+  document encodings (Arrow-batched, same greedy-merge / Viterbi cores
+  as the symbol encoders, with the piece→id map applied inside the
+  same UDF pass — no second scan). Out-of-vocabulary symbols map to
+  the ``<unk>`` id, so encoding never fails.
+- :func:`decode_ids` — the inverse (ids → pieces → text via the
+  family's boundary markers).
+- :func:`pack_bins_ids` — the loader-facing bins: one row per packed
+  training sequence with the CONCATENATED id array plus per-document
+  start offsets (the attention-masking prerequisite
+  ``chunking.pack_offsets`` computes at document grain).
+
+Scale shape: vocab construction is driver-side on model-bounded state
+(|alphabet| + |merges| or |pieces|); encoders broadcast the id map in
+the UDF closure (vocab-bounded — the encode_bpe precedent); the bin
+aggregation is bounded per bin by the token budget.
+
+No oracle rows: the encoders ride the tokenizer UDFs (the documented
+non-SQL class). Verification is an exact differential — the id arrays
+must equal the symbol encoders' output mapped through the vocab,
+row for row — plus encode→decode round-trips and rebuild-identical
+vocab JSON (tests/test_vocab.py).
+
+Reference parity: no counterpart in the reference engine; X4/X7
+extension surface (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from waterdata_spark.functions.text import tokens
+from waterdata_spark.operators.bpe import EOW, BPEModel, decode_symbols, encode_word
+from waterdata_spark.operators.chunking import pack_offsets
+from waterdata_spark.operators.unigram_lm import (
+    WB,
+    UnigramModel,
+    decode_pieces,
+    viterbi_word,
+)
+
+__all__ = [
+    "UNK",
+    "Vocab",
+    "alphabet_of",
+    "bpe_vocab",
+    "unigram_vocab",
+    "encode_bpe_ids",
+    "encode_unigram_ids",
+    "decode_ids",
+    "pack_bins_ids",
+]
+
+#: the out-of-vocabulary special token (always present, id within the
+#: specials block at the front of the piece list)
+UNK = "<unk>"
+
+
+@dataclass
+class Vocab:
+    """piece→id artifact: ``pieces[i]`` has id ``i``; the first
+    ``n_specials`` entries are special tokens (``<unk>`` required —
+    the OOV fallback). Exact JSON round-trip (the geometry-model
+    persistence convention); rebuilding from the same model yields the
+    identical artifact (deterministic order, test-pinned)."""
+
+    pieces: list[str]
+    n_specials: int = 1
+    _ids: dict = field(init=False, repr=False, compare=False)
+
+    def __post_init__(self) -> None:
+        if len(set(self.pieces)) != len(self.pieces):
+            raise ValueError("vocab pieces must be unique")
+        if UNK not in self.pieces[: self.n_specials]:
+            raise ValueError(f"specials must include {UNK!r}")
+        self._ids = {p: i for i, p in enumerate(self.pieces)}
+
+    def __len__(self) -> int:
+        return len(self.pieces)
+
+    @property
+    def unk_id(self) -> int:
+        return self._ids[UNK]
+
+    def id_of(self, piece: str) -> int:
+        """The piece's id, or ``unk_id`` when out-of-vocabulary."""
+        return self._ids.get(piece, self._ids[UNK])
+
+    def piece_of(self, i: int) -> str:
+        return self.pieces[i]
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps({"pieces": self.pieces, "n_specials": self.n_specials})
+
+    @staticmethod
+    def from_json(s: str) -> "Vocab":
+        import json
+
+        d = json.loads(s)
+        return Vocab(pieces=list(d["pieces"]), n_specials=int(d["n_specials"]))
+
+
+def alphabet_of(df: DataFrame, text_col: str = "text", lowercase: bool = True) -> list[str]:
+    """Sorted distinct characters across the corpus's whitespace words
+    — the BPE base-symbol alphabet. One distinct aggregate bounded by
+    the character set (hundreds to a few thousand rows at any corpus
+    size), the only distributed step of vocab construction. Matches
+    the training normalization: pass the same ``lowercase`` used for
+    :func:`~waterdata_spark.operators.bpe.train_bpe`."""
+    col = F.col(text_col)
+    if lowercase:
+        col = F.lower(col)
+    rows = (
+        df.select(F.explode(tokens(col)).alias("__w"))
+        .select(F.explode(F.split(F.col("__w"), "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["c"] for r in rows)
+
+
+def bpe_vocab(
+    model: BPEModel, alphabet: list[str], specials: tuple[str, ...] = (UNK,)
+) -> Vocab:
+    """The deterministic BPE piece list: specials, then the plain base
+    characters (sorted), then the ``</w>``-suffixed base characters
+    (sorted — every character can end a word), then one merged symbol
+    per merge in RANK order (the order the model learned them — the
+    convention public BPE vocab files use), first occurrence kept on
+    the rare duplicate (a merge can re-derive a base symbol)."""
+    pieces: list[str] = list(specials)
+    seen = set(pieces)
+    if len(seen) != len(pieces):
+        raise ValueError("duplicate special tokens")
+    for c in sorted(alphabet):
+        for p in (c, c + EOW):
+            if p not in seen:
+                seen.add(p)
+                pieces.append(p)
+    for a, b in model.merges:
+        p = a + b
+        if p not in seen:
+            seen.add(p)
+            pieces.append(p)
+    return Vocab(pieces=pieces, n_specials=len(specials))
+
+
+def unigram_vocab(
+    model: UnigramModel, specials: tuple[str, ...] = (UNK,)
+) -> Vocab:
+    """The unigram piece list: specials, then the model's pieces in
+    lexicographic order (the model's own JSON ordering — rebuilds are
+    identical)."""
+    pieces = list(specials) + sorted(model.logp)
+    return Vocab(pieces=pieces, n_specials=len(specials))
+
+
+def _encode_ids_udf(word_to_ids, out_col: str):
+    """Shared Arrow encoder shell: ``word_to_ids(word) -> list[int]``
+    runs per DISTINCT word per batch (Zipf → dict hit)."""
+
+    # no type hints: stringified annotations defeat pandas-UDF eval-type
+    # inference (encode_bpe precedent) — returnType carries the contract
+    @F.pandas_udf("array<int>")
+    def enc(texts):
+        cache: dict = {}
+
+        def one(t):
+            if t is None:
+                return None
+            out: list = []
+            for w in t.split():
+                got = cache.get(w)
+                if got is None:
+                    got = word_to_ids(w)
+                    cache[w] = got
+                out.extend(got)
+            return out
+
+        return texts.map(one)
+
+    return enc
+
+
+def encode_bpe_ids(
+    df: DataFrame,
+    model: BPEModel,
+    vocab: Vocab,
+    text_col: str = "text",
+    out_col: str = "input_ids",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Adds ``out_col: array<int>`` — the document's BPE token-id
+    sequence: the same greedy lowest-rank-first merge core as
+    ``encode_bpe``, with the piece→id map applied in the same pass
+    (exactly ``[vocab.id_of(s) for s in encode_bpe(...)]``, test-pinned
+    as the differential). OOV symbols → ``vocab.unk_id``."""
+    ranks = model.ranks
+    ids = dict(vocab._ids)
+    unk = vocab.unk_id
+
+    def word_to_ids(w: str) -> list[int]:
+        return [ids.get(s, unk) for s in encode_word(w, ranks)]
+
+    col = F.col(text_col)
+    if lowercase:
+        col = F.lower(col)
+    return df.withColumn(out_col, _encode_ids_udf(word_to_ids, out_col)(col))
+
+
+def encode_unigram_ids(
+    df: DataFrame,
+    model: UnigramModel,
+    vocab: Vocab,
+    text_col: str = "text",
+    out_col: str = "input_ids",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Adds ``out_col: array<int>`` — the Viterbi piece-id sequence
+    (== ``encode_unigram`` mapped through the vocab, test-pinned).
+    OOV pieces → ``vocab.unk_id``."""
+    logp, max_len = model.logp, model.max_piece_len
+    ids = dict(vocab._ids)
+    unk = vocab.unk_id
+
+    def word_to_ids(w: str) -> list[int]:
+        return [ids.get(s, unk) for s in viterbi_word(WB + w, logp, max_len)]
+
+    col = F.col(text_col)
+    if lowercase:
+        col = F.lower(col)
+    return df.withColumn(out_col, _encode_ids_udf(word_to_ids, out_col)(col))
+
+
+def decode_ids(ids: list[int], vocab: Vocab, family: str = "bpe") -> str:
+    """Inverse of the id encoders for one sequence: ids → pieces →
+    text via the family's word-boundary convention (``</w>`` for
+    ``'bpe'``, ``▁`` for ``'unigram'``). An ``unk_id`` decodes to the
+    literal ``<unk>`` string — lossy by construction, exactly like the
+    public tokenizers."""
+    pieces = [vocab.piece_of(i) for i in ids]
+    if family == "bpe":
+        return decode_symbols(pieces)
+    if family == "unigram":
+        return decode_pieces(pieces)
+    raise ValueError(f"unknown family {family!r}")
+
+
+def pack_bins_ids(
+    packed: DataFrame, id_col: str = "doc_id", ids_col: str = "input_ids"
+) -> DataFrame:
+    """The loader-facing training sequences: one row per bin —
+    ``stream_id, bin_id, bin_tokens``, the bin's CONCATENATED
+    ``ids_col`` (documents in placement order), ``doc_starts`` (each
+    document's start-token offset inside the concatenation — the
+    per-document attention-mask / position-reset boundaries), and
+    ``doc_ids`` (provenance, same order).
+
+    ``packed`` must be the output of ``pack_sequences`` /
+    ``pack_sequences_bfd`` run ON THE ID ARRAYS — i.e. with
+    ``text_col=ids_col, tokenizer=lambda c: F.col(c)`` — so that
+    ``n_tokens == size(ids)`` and the offsets align with the
+    concatenation (``size(input_ids) == bin_tokens`` per output row;
+    test-pinned). One grouped collect over the bin grain, bounded per
+    bin by the token budget."""
+    with_off = pack_offsets(packed, id_col)
+    docs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "offset",
+                F.col(id_col).alias("doc_id"),
+                "n_tokens",
+                F.col(ids_col).alias("ids"),
+            )
+        )
+    )
+    return (
+        with_off.groupBy("stream_id", "bin_id")
+        .agg(F.first("bin_tokens").alias("bin_tokens"), docs.alias("__docs"))
+        .select(
+            "stream_id",
+            "bin_id",
+            "bin_tokens",
+            F.flatten(F.transform("__docs", lambda s: s["ids"])).alias(ids_col),
+            F.transform("__docs", lambda s: s["offset"]).alias("doc_starts"),
+            F.transform("__docs", lambda s: s["doc_id"]).alias("doc_ids"),
+        )
+    )

@@ -3032,7 +3032,11 @@ def x18_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, lang, source,
              row_number() OVER (
                PARTITION BY CASE WHEN doc_id % 3 = 0 THEN source ELSE 'big' END
-               ORDER BY CAST('0x' || substr(md5('cap42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT),
+               -- DOUBLE, not UBIGINT: Spark's cap_per_group orders by the
+               -- 53-bit-mantissa double, so the twin must round the same
+               -- way or rank-boundary ties can diverge (ADVICE r10; the
+               -- hash25/split legs cast for the same reason)
+               ORDER BY CAST(CAST('0x' || substr(md5('cap42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) AS DOUBLE),
                         doc_id
              ) AS rn
       FROM documents

@@ -64,7 +64,11 @@ def write_training_shards(
     Returns the manifest dict. ``bytes`` is the text payload size
     (UTF-8), ``digest`` an order-independent sum of per-row
     xxhash64(id, text) — compare manifests to diff two releases
-    without reading a shard.
+    without reading a shard. ``text_col`` may be a NON-string payload
+    — e.g. the ``array<int>`` token-id column of a loader-ready
+    release (r11) — in which case bytes/digest are computed over its
+    canonical string rendering (deterministic, so manifests still
+    compare across rebuilds).
 
     ``shuffle_seed`` (r9): deterministically shuffle rows WITHIN each
     shard before writing — rows sort by xxhash64(seed, id), so the
@@ -114,15 +118,16 @@ def write_training_shards(
         .option("ignoreNullFields", True)
         .save(path)
     )
+    payload = F.col(text_col)
+    if dict(df.dtypes)[text_col] not in ("string", "binary"):
+        payload = payload.cast("string")  # canonical rendering (r11)
     stats = (
         sharded.groupBy("__shard")
         .agg(
             F.count(F.lit(1)).alias("rows"),
+            F.sum(F.coalesce(F.octet_length(payload), F.lit(0))).alias("bytes"),
             F.sum(
-                F.coalesce(F.octet_length(F.col(text_col)), F.lit(0))
-            ).alias("bytes"),
-            F.sum(
-                F.xxhash64(F.col(id_col).cast("string"), F.col(text_col)).cast(
+                F.xxhash64(F.col(id_col).cast("string"), payload).cast(
                     "decimal(38,0)"  # never overflows a LongType sum
                 )
             ).alias("digest"),
