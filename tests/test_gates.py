@@ -1,0 +1,175 @@
+"""Streaming membership-gate maintenance (streaming/gates.py):
+stream-of-batches == whole-corpus BIT-identity for both gate forms,
+checkpoint-replay no-ops, and the maintained store serving
+dedup_against_exact's prefilter with output pinned to the plain path
+(VERDICT r10 item 4 — the TestStreamingProfile playbook applied to
+the gates)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from waterdata_spark.operators.bloom import bloom_build
+from waterdata_spark.operators.sketches import count_min_build
+from waterdata_spark.streaming.gates import (
+    bloom_batch,
+    bloom_stream_sink,
+    cms_batch,
+    cms_stream_sink,
+    init_bloom_store,
+    init_cms_store,
+    read_bloom,
+    read_cms,
+)
+
+DEPTH, WIDTH = 4, 4096
+N_BITS, K = 1 << 14, 4
+
+
+def _ref(spark):
+    # the "stored corpus" digest column a crawl gate summarizes
+    return spark.range(0, 2000).select(
+        F.sha2(F.concat(F.lit("doc:"), F.col("id").cast("string")), 256).alias("h")
+    )
+
+
+class TestCmsStore:
+    def test_stream_equals_whole_corpus_bit_identical(self, spark, tmp_path):
+        ref = _ref(spark)
+        src = str(tmp_path / "src")
+        ref.repartition(5).write.parquet(src)  # 5 files -> 5 micro-batches
+        table = str(tmp_path / "cms")
+        init_cms_store(ref.limit(0), table, "h", depth=DEPTH, width=WIDTH)
+        stream = (
+            spark.readStream.schema(ref.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = cms_stream_sink(stream, table, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        got = {
+            (r["d"], r["bucket"]): r["cnt"] for r in read_cms(spark, table).collect()
+        }
+        want = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in count_min_build(
+                ref, "h", depth=DEPTH, width=WIDTH, seed="xgate"
+            ).collect()
+        }
+        assert got == want  # counter sums are associative: BIT-identical
+
+    def test_replayed_batch_is_noop(self, spark, tmp_path):
+        ref = _ref(spark)
+        table = str(tmp_path / "cms2")
+        init_cms_store(ref.limit(0), table, "h", depth=DEPTH, width=WIDTH)
+        assert cms_batch(ref, table, batch_id=0) == "v1"
+        before = {
+            (r["d"], r["bucket"]): r["cnt"] for r in read_cms(spark, table).collect()
+        }
+        assert cms_batch(ref, table, batch_id=0) is None  # replay: skip
+        after = {
+            (r["d"], r["bucket"]): r["cnt"] for r in read_cms(spark, table).collect()
+        }
+        assert before == after
+        assert cms_batch(ref, table, batch_id=1) == "v2"  # next applies
+
+    def test_uninitialized_raises(self, spark, tmp_path):
+        with pytest.raises(RuntimeError):
+            read_cms(spark, str(tmp_path / "nope"))
+        with pytest.raises(RuntimeError):
+            cms_batch(_ref(spark), str(tmp_path / "nope"), 0)
+
+    def test_store_serves_dedup_gate_exactly(self, spark, tmp_path):
+        # the maintained store IS the gate: gated output must equal the
+        # plain anti-join row-for-row (no false negatives at any state)
+        from waterdata_spark.operators.dedup import dedup_against_exact
+
+        ref = _ref(spark)
+        table = str(tmp_path / "cms3")
+        init_cms_store(ref.limit(0), table, "h", depth=DEPTH, width=WIDTH)
+        cms_batch(ref, table, batch_id=0)
+        corpus = spark.range(1500, 2500).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc:"), F.col("id").cast("string")).alias("text"),
+        )
+        reference = spark.range(0, 2000).select(
+            F.concat(F.lit("doc:"), F.col("id").cast("string")).alias("text")
+        )
+        # gate on the sha2 digest of the content column — the same
+        # encoding the store summarized
+        keyed = corpus.withColumn("__d", F.sha2("text", 256))
+        ref_keyed = reference.withColumn("__d", F.sha2("text", 256))
+        gated = dedup_against_exact(
+            keyed,
+            ref_keyed,
+            content_cols=[],
+            digest_col="__d",
+            prefilter="cms",
+            prefilter_depth=DEPTH,
+            prefilter_width=WIDTH,
+            prefilter_cms=read_cms(spark, table),
+        )
+        plain = dedup_against_exact(keyed, ref_keyed, content_cols=[], digest_col="__d")
+        got = sorted(r["doc_id"] for r in gated.collect())
+        want = sorted(r["doc_id"] for r in plain.collect())
+        assert got == want == list(range(2000, 2500))
+
+
+class TestBloomStore:
+    def test_stream_equals_whole_corpus_bit_identical(self, spark, tmp_path):
+        ref = _ref(spark)
+        src = str(tmp_path / "bsrc")
+        ref.repartition(4).write.parquet(src)
+        table = str(tmp_path / "bloom")
+        init_bloom_store(ref.limit(0), table, "h", n_bits=N_BITS, k=K)
+        stream = (
+            spark.readStream.schema(ref.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = bloom_stream_sink(stream, table, str(tmp_path / "bckpt"))
+        q.awaitTermination(120)
+        got = read_bloom(table)
+        want = bloom_build(ref, "h", n_bits=N_BITS, k=K, seed="xgate")
+        assert got.to_bytes() == want.to_bytes()  # OR is associative
+        assert (got.n_bits, got.k, got.seed) == (want.n_bits, want.k, want.seed)
+
+    def test_replayed_batch_is_noop_and_versions_monotonic(self, spark, tmp_path):
+        ref = _ref(spark)
+        table = str(tmp_path / "bloom2")
+        init_bloom_store(ref.limit(0), table, "h", n_bits=N_BITS, k=K)
+        assert bloom_batch(ref, table, batch_id=0) == "v1.bits"
+        before = read_bloom(table).to_bytes()
+        assert bloom_batch(ref, table, batch_id=0) is None
+        assert read_bloom(table).to_bytes() == before
+        assert bloom_batch(ref, table, batch_id=1) == "v2.bits"
+
+    def test_store_serves_dedup_gate_exactly(self, spark, tmp_path):
+        from waterdata_spark.operators.dedup import dedup_against_exact
+
+        ref = _ref(spark)
+        table = str(tmp_path / "bloom3")
+        init_bloom_store(ref.limit(0), table, "h", n_bits=N_BITS, k=K)
+        bloom_batch(ref, table, batch_id=0)
+        corpus = spark.range(1500, 2500).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc:"), F.col("id").cast("string")).alias("text"),
+        )
+        reference = spark.range(0, 2000).select(
+            F.concat(F.lit("doc:"), F.col("id").cast("string")).alias("text")
+        )
+        keyed = corpus.withColumn("__d", F.sha2("text", 256))
+        ref_keyed = reference.withColumn("__d", F.sha2("text", 256))
+        gated = dedup_against_exact(
+            keyed,
+            ref_keyed,
+            content_cols=[],
+            digest_col="__d",
+            prefilter="bloom",
+            prefilter_bloom=read_bloom(table),
+        )
+        plain = dedup_against_exact(keyed, ref_keyed, content_cols=[], digest_col="__d")
+        assert sorted(r["doc_id"] for r in gated.collect()) == sorted(
+            r["doc_id"] for r in plain.collect()
+        )

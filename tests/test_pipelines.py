@@ -320,6 +320,77 @@ class TestCurateCorpus:
         with _pytest.raises(ValueError, match="blocklist"):
             curate_corpus(df, url_filter={"url_col": "url"})
 
+    def test_host_cap_stage(self, spark):
+        """r11 (VERDICT r10 item 6): the per-registered-domain
+        frequency cap composes into the cascade — survivors pinned,
+        funnel audited, hostless docs never capped, and the PSL form
+        keeps sibling private-suffix subdomains apart."""
+        from waterdata_spark.functions.urls import load_psl
+        from waterdata_spark.pipelines.curate import curate_corpus
+
+        rows = (
+            [
+                (i, f"hot domain document number {i} body", "https://a.hot.example.com/p")
+                for i in range(8)
+            ]
+            + [
+                (10, "small domain first document body", "https://small.example.org/x"),
+                (11, "small domain second document body", "https://small.example.org/y"),
+                (20, "document with no url at all body", None),
+                (21, "another document with no url body", None),
+            ]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+        res = curate_corpus(
+            df,
+            exact_dedup=True,
+            host_cap={"max_docs": 3, "url_col": "url", "order_by": ["doc_id"]},
+        )
+        ids = {r["doc_id"] for r in res.df.collect()}
+        # hot.example.com -> example.com group capped to lowest 3 ids;
+        # small.example.org under its cap; BOTH hostless docs survive
+        # (never capped) even though max_docs < their count
+        assert ids == {0, 1, 2, 10, 11, 20, 21}
+        funnel = dict(res.report())
+        assert funnel["host_cap"] == 7 and funnel["exact_dedup"] == 12
+
+        # PSL grouping: user1/user2.github.io are SEPARATE registrable
+        # domains under the PSL (private suffix) — cap 2 keeps all 4;
+        # the short built-in table collapses them to github.io — cap 2
+        # keeps only 2
+        rows2 = [
+            (1, "gh page one body text", "https://user1.github.io/a"),
+            (2, "gh page two body text", "https://user1.github.io/b"),
+            (3, "gh page three body text", "https://user2.github.io/c"),
+            (4, "gh page four body text", "https://user2.github.io/d"),
+        ]
+        df2 = spark.createDataFrame(rows2, "doc_id long, text string, url string")
+        with_psl = curate_corpus(
+            df2,
+            exact_dedup=False,
+            host_cap={
+                "max_docs": 2, "url_col": "url", "order_by": ["doc_id"],
+                "psl": load_psl(),
+            },
+        )
+        assert {r["doc_id"] for r in with_psl.df.collect()} == {1, 2, 3, 4}
+        without = curate_corpus(
+            df2,
+            exact_dedup=False,
+            host_cap={"max_docs": 2, "url_col": "url", "order_by": ["doc_id"]},
+        )
+        assert {r["doc_id"] for r in without.df.collect()} == {1, 2}
+        # the window plan is semantically identical
+        win = curate_corpus(
+            df2,
+            exact_dedup=False,
+            host_cap={
+                "max_docs": 2, "url_col": "url", "order_by": ["doc_id"],
+                "plan": "window",
+            },
+        )
+        assert {r["doc_id"] for r in win.df.collect()} == {1, 2}
+
     def test_html_extract_stage(self, spark):
         """r10: html_extract is stage 0.5 (the trafilatura position) —
         pages extract to boilerplate-free text INTO text_col, nav-only

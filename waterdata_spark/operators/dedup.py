@@ -321,6 +321,7 @@ def dedup_against_exact(
     prefilter: str | None = None,
     prefilter_depth: int = 4,
     prefilter_width: int = 1 << 20,
+    prefilter_cms=None,
     prefilter_bloom=None,
     bloom_bits: int = 1 << 23,
     bloom_k: int = 4,
@@ -372,7 +373,15 @@ def dedup_against_exact(
     BloomFilter` via ``prefilter_bloom`` to amortize it across shards
     — the filter must have been built over the SAME digest encoding
     (``content_digest`` of ``content_cols``, or the ``digest_col``
-    values)."""
+    values).
+
+    ``prefilter_cms`` (r11): the counter-table analogue of
+    ``prefilter_bloom`` — a prebuilt/merged ``count_min_build`` frame
+    (e.g. the stream-maintained store ``streaming/gates.read_cms``
+    serves), built over the same digest encoding with
+    ``seed='xgate'`` and the call's ``prefilter_depth``/``width``.
+    Skips the at-call reference sketch; exactness is unchanged (no
+    false negatives at any counter state)."""
     if prefilter not in (None, "cms", "bloom"):
         raise ValueError(f"unknown prefilter {prefilter!r}")
     if digest_col is not None:
@@ -390,7 +399,11 @@ def dedup_against_exact(
             count_min_might_contain,
         )
 
-        cms = count_min_build(ref_h, key, prefilter_depth, prefilter_width, seed="xgate")
+        cms = prefilter_cms
+        if cms is None:
+            cms = count_min_build(
+                ref_h, key, prefilter_depth, prefilter_width, seed="xgate"
+            )
         flagged = count_min_might_contain(
             cms, keyed, key, prefilter_depth, prefilter_width, seed="xgate",
             out_col="__maybe",

@@ -7,7 +7,8 @@ RefinedWeb Penedo 2023 §3; GPT-3 Brown 2020 appendix A
 decontamination):
 
     normalize -> exact dedup -> boilerplate/line dedup -> span dedup
-    -> quality gate -> near-dup dedup -> eval decontamination -> PII
+    -> quality gate -> near-dup dedup -> per-domain host cap
+    -> eval decontamination -> PII
 
 Every stage is the already-tested operator; this module only
 composes, instruments, and documents the ordering rationale:
@@ -88,6 +89,7 @@ def curate_corpus(
     span_dedup: dict | None = None,
     quality_gate: dict | bool = False,
     near_dup: dict | bool = False,
+    host_cap: dict | None = None,
     decontaminate_eval: DataFrame | None = None,
     decontaminate_n: int = 13,
     redact: bool = False,
@@ -115,6 +117,24 @@ def curate_corpus(
     ``min_stopword_frac``, plus ``html_col``/``drop_empty``).
     ``drop_empty`` (default True) drops documents whose page yields no
     content block — audited as part of the stage's funnel row.
+
+    ``host_cap`` (r11, VERDICT r10 item 6) runs the C4/RefinedWeb
+    per-registered-domain frequency cap (``operators/sampling.
+    cap_per_group``): ``{"max_docs": N}`` plus ``url_col`` (default
+    ``"url"``), optional ``psl`` (a ``functions.urls.load_psl()``
+    ruleset for exact registrable-domain grouping; the short built-in
+    suffix table otherwise), and any cap_per_group kwarg (``order_by``
+    to keep the BEST N per domain, ``seed``, ``plan``, ``mode``).
+    Documents without a parseable host are NEVER capped (each forms
+    its own group). **Placement — documented choice**: the cap runs
+    LATE, after dedup and the quality gate and before
+    decontamination, so it counts SURVIVORS — the documents the model
+    would actually see. Capping at stage 0 is cheaper but spends cap
+    slots on rows later deleted by dedup/quality, systematically
+    under-filling hot domains; and dedup must precede the cap anyway
+    (duplicates would consume their host's slots). The split plan's
+    double evaluation is checkpoint-protected here exactly like
+    near_dup's internal rescans.
 
     Returns :class:`CurationResult`; the frame keeps ``id_col`` and
     ``text_col`` plus any other input columns EXCEPT through the
@@ -216,6 +236,48 @@ def curate_corpus(
 
         cur = cur.localCheckpoint(eager=audit)
         cur = mark(minhash_dedup(cur, id_col, text_col, **kwargs), "near_dup")
+
+    if host_cap is not None:
+        from waterdata_spark.operators.sampling import cap_per_group
+
+        kwargs = dict(host_cap)
+        url_col = kwargs.pop("url_col", "url")
+        max_docs = kwargs.pop("max_docs")
+        psl = kwargs.pop("psl", None)
+        plan = kwargs.pop("plan", "split")
+        if plan == "split":
+            # the split plan evaluates its input twice; an eager
+            # checkpoint keeps upstream observations single-fire and
+            # the double evaluation deterministic (the near_dup lesson
+            # + the cap_per_group determinism contract)
+            cur = cur.localCheckpoint(eager=audit)
+        if psl is not None:
+            from waterdata_spark.operators.urlfilter import registered_domains_psl
+
+            cur = registered_domains_psl(
+                cur, psl, url_col=url_col, out_col="__host_grp"
+            )
+        else:
+            from waterdata_spark.functions.urls import registered_domain, url_host
+
+            cur = cur.withColumn(
+                "__host_grp",
+                F.nullif(registered_domain(url_host(F.col(url_col))), F.lit("")),
+            )
+        # hostless documents are never capped: each forms its own group
+        grp = F.coalesce(
+            F.col("__host_grp"),
+            F.concat(F.lit("__nohost:"), F.col(id_col).cast("string")),
+        )
+        capped = cap_per_group(
+            cur.withColumn("__host_grp", grp),
+            "__host_grp",
+            max_docs,
+            id_col=id_col,
+            plan=plan,
+            **kwargs,
+        )
+        cur = mark(capped.drop("__host_grp"), "host_cap")
 
     if decontaminate_eval is not None:
         from waterdata_spark.operators.decontaminate import decontaminate

@@ -1,3 +1,13 @@
+from waterdata_spark.streaming.gates import (
+    bloom_batch,
+    bloom_stream_sink,
+    cms_batch,
+    cms_stream_sink,
+    init_bloom_store,
+    init_cms_store,
+    read_bloom,
+    read_cms,
+)
 from waterdata_spark.streaming.hygiene import (
     PreparedEvalGrams,
     decontaminate_batch,
@@ -12,9 +22,17 @@ from waterdata_spark.streaming.ops import (
 
 __all__ = [
     "PreparedEvalGrams",
+    "bloom_batch",
+    "bloom_stream_sink",
+    "cms_batch",
+    "cms_stream_sink",
     "decontaminate_batch",
     "decontaminate_stream_sink",
     "hourly_rollup_stream",
+    "init_bloom_store",
+    "init_cms_store",
+    "read_bloom",
+    "read_cms",
     "read_events_stream",
     "run_stream_to_memory",
     "sessionize_stream",

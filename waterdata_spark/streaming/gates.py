@@ -1,0 +1,227 @@
+"""Streaming membership-GATE maintenance (VERDICT r10 item 4): keep
+the cross-corpus dedup gates — the count-min counter table and the
+Bloom bit filter (``operators/sketches``, ``operators/bloom``) —
+current as shards ingest, with the same exactly-once guarantee
+``streaming/profile.py`` gives the HLL profile.
+
+Both gates are mergeable by design (counters sum; bits OR), so the
+per-micro-batch update is: build the batch's sketch, merge into the
+stored one, publish a new version, atomically swap a pointer carrying
+``(version, batch_id)``. A replayed batch (checkpoint recovery) sees
+its own batch id on the pointer and no-ops — without the guard the
+ADDITIVE merge would double-count counters (the CMS estimate would
+drift high; the Bloom OR is idempotent, but the pointer keeps the two
+stores' replay semantics identical and versions monotonic). The
+pointer contract is profile.py's: one checkpoint lineage per store —
+keep the checkpoint directory for the life of the gate.
+
+Storage: the CMS store is versioned parquet (the counter TABLE — the
+engine-reproducible row form); the Bloom store is a versioned bytes
+file plus a params sidecar (the filter is driver-bounded ≤ 32 MB by
+the bloom module's ``_MAX_BITS`` ceiling). Build parameters (depth/
+width/seed; n_bits/k/seed) are RECORDED at init and re-read per batch,
+so every update sketches with the stored configuration — a caller
+cannot silently merge mismatched sketches.
+
+Serving: :func:`read_cms` / :func:`read_bloom` feed
+``dedup_against_exact(prefilter='cms'|'bloom', prefilter_cms=...|
+prefilter_bloom=...)`` — the gate the stream maintains is exactly the
+gate the batch dedup consumes (stream-of-batches == whole-corpus
+equality is test-pinned BIT-identically: counter sums and bit ORs are
+associative, unlike the HLL estimate's documented sparse/dense
+non-identity).
+
+Reference parity: no counterpart in the reference engine; X1/X6/X8
+extension surface (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from waterdata_spark.operators.bloom import BloomFilter, bloom_build, bloom_merge
+from waterdata_spark.operators.sketches import count_min_build, count_min_merge
+from waterdata_spark.streaming.profile import _POINTER, _read_pointer
+
+__all__ = [
+    "init_cms_store",
+    "read_cms",
+    "cms_batch",
+    "cms_stream_sink",
+    "init_bloom_store",
+    "read_bloom",
+    "bloom_batch",
+    "bloom_stream_sink",
+]
+
+_PARAMS = "_PARAMS.json"
+
+
+def _write_pointer(table_dir: str, version: str, batch_id: int) -> None:
+    tmp = os.path.join(table_dir, f"{_POINTER}.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"{version}|{batch_id}")
+    os.replace(tmp, os.path.join(table_dir, _POINTER))
+
+
+def _write_params(table_dir: str, params: dict) -> None:
+    with open(os.path.join(table_dir, _PARAMS), "w") as f:
+        json.dump(params, f, sort_keys=True)
+
+
+def _read_params(table_dir: str) -> dict:
+    with open(os.path.join(table_dir, _PARAMS)) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------- CMS
+
+
+def init_cms_store(
+    df: DataFrame,
+    table_dir: str,
+    col: str,
+    depth: int = 4,
+    width: int = 1 << 20,
+    seed: str = "xgate",
+) -> None:
+    """Seed version 0 from a (possibly empty) frame — e.g. the digest
+    column of the corpus as of stream start, or ``df.limit(0)`` for an
+    empty gate. ``seed`` defaults to ``'xgate'`` — the seed
+    ``dedup_against_exact``'s cms prefilter hashes with, so the stored
+    gate serves it directly."""
+    os.makedirs(table_dir, exist_ok=True)
+    _write_params(
+        table_dir, {"kind": "cms", "col": col, "depth": depth, "width": width, "seed": seed}
+    )
+    sk = count_min_build(df, col, depth=depth, width=width, seed=seed)
+    sk.write.mode("overwrite").parquet(os.path.join(table_dir, "v0"))
+    _write_pointer(table_dir, "v0", -1)
+
+
+def read_cms(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The stored counter table (``d, bucket, cnt``) — pass as
+    ``prefilter_cms`` (with the stored params) to the batch gate."""
+    state = _read_pointer(table_dir)
+    if state is None:
+        raise RuntimeError(f"cms store not initialized: {table_dir}")
+    return spark.read.parquet(os.path.join(table_dir, state[0]))
+
+
+def cms_batch(batch_df: DataFrame, table_dir: str, batch_id: int) -> str | None:
+    """One merge step (the foreachBatch body, callable directly — the
+    replay test does). Returns the new version, or None when
+    ``batch_id`` was already applied (checkpoint-replay no-op). The
+    batch sketches with the STORED (col, depth, width, seed)."""
+    spark = batch_df.sparkSession
+    state = _read_pointer(table_dir)
+    if state is None:
+        raise RuntimeError(f"cms store not initialized: {table_dir} (call init_cms_store)")
+    version, last_batch = state
+    if batch_id == last_batch:
+        return None
+    p = _read_params(table_dir)
+    stored = spark.read.parquet(os.path.join(table_dir, version))
+    fresh = count_min_build(
+        batch_df, p["col"], depth=p["depth"], width=p["width"], seed=p["seed"]
+    )
+    merged = count_min_merge(stored, fresh)
+    next_version = f"v{int(version.lstrip('v')) + 1}"
+    merged.write.mode("overwrite").parquet(os.path.join(table_dir, next_version))
+    _write_pointer(table_dir, next_version, batch_id)
+    return next_version
+
+
+def cms_stream_sink(stream: DataFrame, table_dir: str, checkpoint_dir: str):
+    """Start an ``availableNow`` foreachBatch query maintaining the
+    stored CMS gate from an ingest stream (the stream's rows carry the
+    stored ``col``). Returns the StreamingQuery (caller awaits)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        cms_batch(batch_df, table_dir, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# -------------------------------------------------------------- Bloom
+
+
+def init_bloom_store(
+    df: DataFrame,
+    table_dir: str,
+    col: str,
+    n_bits: int = 1 << 23,
+    k: int = 4,
+    seed: str = "xgate",
+) -> None:
+    """Seed version 0. ``seed`` defaults to ``'xgate'`` so the stored
+    filter serves ``dedup_against_exact(prefilter='bloom',
+    prefilter_bloom=read_bloom(...))`` directly."""
+    os.makedirs(table_dir, exist_ok=True)
+    _write_params(
+        table_dir, {"kind": "bloom", "col": col, "n_bits": n_bits, "k": k, "seed": seed}
+    )
+    bf = bloom_build(df, col, n_bits=n_bits, k=k, seed=seed)
+    with open(os.path.join(table_dir, "v0.bits"), "wb") as f:
+        f.write(bf.to_bytes())
+    _write_pointer(table_dir, "v0.bits", -1)
+
+
+def read_bloom(table_dir: str) -> BloomFilter:
+    """The stored filter — pass as ``prefilter_bloom``."""
+    state = _read_pointer(table_dir)
+    if state is None:
+        raise RuntimeError(f"bloom store not initialized: {table_dir}")
+    p = _read_params(table_dir)
+    with open(os.path.join(table_dir, state[0]), "rb") as f:
+        raw = f.read()
+    return BloomFilter.from_bytes(raw, p["n_bits"], p["k"], p["seed"])
+
+
+def bloom_batch(batch_df: DataFrame, table_dir: str, batch_id: int) -> str | None:
+    """One OR-merge step; None when ``batch_id`` was already applied.
+    (The OR itself is idempotent — the guard keeps versions monotonic
+    and the replay contract identical to the CMS/profile stores.)"""
+    state = _read_pointer(table_dir)
+    if state is None:
+        raise RuntimeError(
+            f"bloom store not initialized: {table_dir} (call init_bloom_store)"
+        )
+    version, last_batch = state
+    if batch_id == last_batch:
+        return None
+    p = _read_params(table_dir)
+    stored = read_bloom(table_dir)
+    fresh = bloom_build(
+        batch_df, p["col"], n_bits=p["n_bits"], k=p["k"], seed=p["seed"]
+    )
+    merged = bloom_merge(stored, fresh)
+    n = int(version.split(".")[0].lstrip("v")) + 1
+    next_version = f"v{n}.bits"
+    with open(os.path.join(table_dir, next_version), "wb") as f:
+        f.write(merged.to_bytes())
+    _write_pointer(table_dir, next_version, batch_id)
+    return next_version
+
+
+def bloom_stream_sink(stream: DataFrame, table_dir: str, checkpoint_dir: str):
+    """Start an ``availableNow`` foreachBatch query maintaining the
+    stored Bloom gate from an ingest stream."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_batch(batch_df, table_dir, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
