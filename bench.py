@@ -272,6 +272,11 @@ def _run_suite(
             "after": sent_series[-1],
             "series": sent_series,
             "drift": drift,
+            # r11 (VERDICT r10 item 3): the committed load trace — the
+            # host's 1-min load average at suite end. On a 32-core box
+            # a drift with load >> 32 is foreign contention ON RECORD,
+            # not a guess; a drift at low load points at the JVM itself.
+            "load1": round(os.getloadavg()[0], 1),
         },
         # threshold stays 1.15: measured noise floor of this kernel
         # NEXT TO AN IDLE SPARK JVM is ~1.09-1.10 across 8-13 samples
@@ -283,7 +288,9 @@ def _run_suite(
     }
 
 
-def _spawn_block(sf_dir: str, names: list[str] | None = None) -> dict | None:
+def _spawn_block(
+    sf_dir: str, names: list[str] | None = None, max_retries: int = 3
+) -> dict | None:
     """Run one scale block in a FRESH JVM (child process). A long-lived
     local-mode JVM accumulates heap fragmentation and storage-manager
     state that inflated q06@sf10 2.5x vs a clean process (13.1s in the
@@ -318,21 +325,36 @@ def _spawn_block(sf_dir: str, names: list[str] | None = None) -> dict | None:
     block = run_once()
     # r10 (VERDICT r9 item 4): retry-once was not enough on this host —
     # r8 and r9 together shipped ZERO sentinel-clean driver blocks. Retry
-    # until the block is clean (drift <= 1.15), capped at 3 retries; keep
-    # the attempt with the lowest sentinel drift and count the retries.
+    # until the block is clean (drift <= 1.15), capped at max_retries;
+    # keep the attempt with the lowest sentinel drift and count the
+    # retries. r11 (VERDICT r10 item 3): sf1 runs with a RAISED cap (6 —
+    # three rounds of contended sf1 blocks at cap 3) and every attempt's
+    # (drift, load1) is committed as load_trace, so a still-contended
+    # block ships the evidence that no clean window existed.
     retries = 0
-    while block and block.get("contended") and retries < 3:
+    trace = []
+    if block:
+        trace.append(
+            [block["sentinel"]["drift"], block["sentinel"].get("load1")]
+        )
+    while block and block.get("contended") and retries < max_retries:
         retries += 1
         print(
             f"# {sf_dir}: contended (drift {block['sentinel']['drift']}), "
-            f"retry {retries}/3",
+            f"retry {retries}/{max_retries}",
             file=sys.stderr,
         )
         retry = run_once()
+        if retry:
+            trace.append(
+                [retry["sentinel"]["drift"], retry["sentinel"].get("load1")]
+            )
         if retry and retry["sentinel"]["drift"] < block["sentinel"]["drift"]:
             block = retry
     if block is not None and retries:
         block["retried"] = retries
+        if block.get("contended"):
+            block["load_trace"] = trace  # the no-clean-window evidence
     return block
 
 
@@ -423,7 +445,7 @@ def main() -> None:
         # residue shows up in the child's sentinel otherwise
         os.sync()
         if have_sf1:
-            sf1 = _spawn_block(sf1_dir)
+            sf1 = _spawn_block(sf1_dir, max_retries=6)
             if sf1:
                 sf1["scale_ratio"] = {
                     k: round(sf1["queries"][k] / max(suite["queries"][k], 0.05), 2)

@@ -894,6 +894,75 @@ class TestTrainingShards:
                 order_by=["score"], shuffle_seed="s",
             )
 
+    def test_append_matches_one_shot_union(self, spark, tmp_path):
+        """append_training_shards (r11): the additive manifest after
+        base + append must be IDENTICAL to a one-shot write of the
+        union (rows/bytes/digest are plain sums), every appended row
+        reads back from the shard its id hashes to, and appending to a
+        release without a manifest raises."""
+        from waterdata_spark.sources.shards import (
+            append_training_shards,
+            read_training_shards,
+            write_training_shards,
+        )
+
+        base = spark.createDataFrame(
+            [(i, f"document number {i} with some words") for i in range(200)],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(i, f"document number {i} with some words") for i in range(200, 290)],
+            "doc_id long, text string",
+        )
+        out = str(tmp_path / "incr")
+        write_training_shards(base, out, n_shards=8)
+        man = append_training_shards(batch, out)
+        oneshot = write_training_shards(
+            base.unionByName(batch), str(tmp_path / "oneshot"), n_shards=8
+        )
+        assert man == oneshot  # additive == one-shot, shard for shard
+        back = read_training_shards(spark, out)
+        assert {r["doc_id"] for r in back.collect()} == set(range(290))
+        # appended rows land in the shard their id hashed to at release
+        # time: partition pruning still finds them
+        from waterdata_spark.sources.shards import with_shard
+
+        k = {
+            r["doc_id"]: r["__shard"]
+            for r in with_shard(batch, "doc_id", 8).collect()
+        }[250]
+        one = read_training_shards(spark, out, shards=[k])
+        assert 250 in {r["doc_id"] for r in one.collect()}
+        with pytest.raises(FileNotFoundError):
+            append_training_shards(batch, str(tmp_path / "nope"))
+
+    def test_append_non_string_payload(self, spark, tmp_path):
+        """id-array releases append too: text_col rides the manifest,
+        digest/bytes use the canonical rendering (r11)."""
+        from waterdata_spark.sources.shards import (
+            append_training_shards,
+            write_training_shards,
+        )
+
+        base = spark.createDataFrame(
+            [(i, list(range(i % 5 + 1))) for i in range(60)],
+            "doc_id long, input_ids array<int>",
+        )
+        batch = spark.createDataFrame(
+            [(i, [1, 2, 3]) for i in range(60, 80)],
+            "doc_id long, input_ids array<int>",
+        )
+        out = str(tmp_path / "ids_incr")
+        write_training_shards(base, out, text_col="input_ids", n_shards=4)
+        man = append_training_shards(batch, out)
+        oneshot = write_training_shards(
+            base.unionByName(batch),
+            str(tmp_path / "ids_oneshot"),
+            text_col="input_ids",
+            n_shards=4,
+        )
+        assert man == oneshot
+
     def test_assignment_deterministic_under_partitioning(self, spark, tmp_path):
         from waterdata_spark.sources.shards import with_shard
 

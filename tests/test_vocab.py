@@ -115,6 +115,66 @@ class TestIdDifferential:
         with pytest.raises(ValueError):
             decode_ids([0], vocab, "nope")
 
+    def test_bos_eos_boundaries(self, spark, docs, bpe):
+        from waterdata_spark.operators.vocab import BOS, EOS, alphabet_of, bpe_vocab
+
+        model, _ = bpe
+        vocab = bpe_vocab(model, alphabet_of(docs), specials=(UNK, BOS, EOS))
+        out = encode_bpe_ids(
+            docs, model, vocab, bos=BOS, eos=EOS
+        ).select("text", "input_ids")
+        for r in out.collect():
+            ids = r["input_ids"]
+            assert ids[0] == vocab.id_of(BOS) and ids[-1] == vocab.id_of(EOS)
+            # skip_specials drops the boundaries, round trip survives
+            norm = " ".join(r["text"].lower().split())
+            assert decode_ids(ids, vocab, "bpe", skip_specials=True) == norm
+        # an undeclared boundary name raises rather than encoding <unk>
+        _, plain_vocab = bpe
+        with pytest.raises(ValueError, match="special"):
+            encode_bpe_ids(docs, model, plain_vocab, eos=EOS)
+
+
+class TestTokenIdStats:
+    def test_matches_python_counts(self, spark, docs, bpe):
+        from waterdata_spark.operators.vocab import token_id_stats
+
+        model, vocab = bpe
+        enc = encode_bpe_ids(
+            docs.withColumn("grp", (F.col("doc_id") % 2).cast("int")),
+            model,
+            vocab,
+        ).persist()
+        rows = enc.collect()
+        unk = vocab.unk_id
+        want_tokens = sum(len(r["input_ids"]) for r in rows)
+        want_unk = sum(r["input_ids"].count(unk) for r in rows)
+        want_bytes = sum(len(r["text"].encode()) for r in rows)
+        [got] = token_id_stats(enc, vocab, text_col="text").collect()
+        assert got["n_docs"] == len(rows)
+        assert got["n_tokens"] == want_tokens
+        assert got["n_unk"] == want_unk
+        assert got["n_bytes"] == want_bytes
+        assert got["oov_rate"] == want_unk / want_tokens
+        assert abs(
+            got["tokens_per_100_bytes"] - want_tokens * 100.0 / want_bytes
+        ) < 1e-9
+        # grouped grain: per-group sums re-add to the corpus totals
+        per = token_id_stats(enc, vocab, by="grp").collect()
+        assert sum(r["n_tokens"] for r in per) == want_tokens
+        assert sum(r["n_docs"] for r in per) == len(rows)
+        enc.unpersist()
+
+    def test_oov_visible(self, spark, bpe):
+        from waterdata_spark.operators.vocab import token_id_stats
+
+        model, vocab = bpe
+        oov = spark.createDataFrame([(1, "ÿþÿþ")], "doc_id long, text string")
+        [got] = token_id_stats(
+            encode_bpe_ids(oov, model, vocab), vocab
+        ).collect()
+        assert got["n_unk"] > 0 and got["oov_rate"] > 0
+
 
 class TestPackBinsIds:
     @pytest.mark.parametrize("packer", ["cumsum", "bfd"])

@@ -61,19 +61,27 @@ from waterdata_spark.operators.unigram_lm import (
 
 __all__ = [
     "UNK",
+    "BOS",
+    "EOS",
     "Vocab",
+    "alphabet_frame",
     "alphabet_of",
     "bpe_vocab",
     "unigram_vocab",
     "encode_bpe_ids",
     "encode_unigram_ids",
     "decode_ids",
+    "token_id_stats",
     "pack_bins_ids",
 ]
 
 #: the out-of-vocabulary special token (always present, id within the
 #: specials block at the front of the piece list)
 UNK = "<unk>"
+#: conventional sequence-boundary specials — pass them in ``specials``
+#: at vocab build time to use ``bos``/``eos`` in the encoders
+BOS = "<bos>"
+EOS = "<eos>"
 
 
 @dataclass
@@ -122,6 +130,24 @@ class Vocab:
         return Vocab(pieces=list(d["pieces"]), n_specials=int(d["n_specials"]))
 
 
+def alphabet_frame(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """Distinct characters across the corpus's whitespace words as a
+    one-column frame ``(c)`` — the distributed core of
+    :func:`alphabet_of` (exposed separately so the aggregate is
+    oracle-checkable: x04's 'alpha' leg)."""
+    col = F.col(text_col)
+    if lowercase:
+        col = F.lower(col)
+    return (
+        df.select(F.explode(tokens(col)).alias("__w"))
+        .select(F.explode(F.split(F.col("__w"), "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+    )
+
+
 def alphabet_of(df: DataFrame, text_col: str = "text", lowercase: bool = True) -> list[str]:
     """Sorted distinct characters across the corpus's whitespace words
     — the BPE base-symbol alphabet. One distinct aggregate bounded by
@@ -129,17 +155,9 @@ def alphabet_of(df: DataFrame, text_col: str = "text", lowercase: bool = True) -
     size), the only distributed step of vocab construction. Matches
     the training normalization: pass the same ``lowercase`` used for
     :func:`~waterdata_spark.operators.bpe.train_bpe`."""
-    col = F.col(text_col)
-    if lowercase:
-        col = F.lower(col)
-    rows = (
-        df.select(F.explode(tokens(col)).alias("__w"))
-        .select(F.explode(F.split(F.col("__w"), "")).alias("c"))
-        .filter(F.col("c") != "")
-        .distinct()
-        .collect()
+    return sorted(
+        r["c"] for r in alphabet_frame(df, text_col, lowercase).collect()
     )
-    return sorted(r["c"] for r in rows)
 
 
 def bpe_vocab(
@@ -178,9 +196,27 @@ def unigram_vocab(
     return Vocab(pieces=pieces, n_specials=len(specials))
 
 
-def _encode_ids_udf(word_to_ids, out_col: str):
+def _boundary_ids(
+    vocab: Vocab, bos: str | None, eos: str | None
+) -> tuple[list[int], list[int]]:
+    """Resolve bos/eos special-token names to id prefixes/suffixes;
+    each must be a declared special (a typo silently encoding as
+    ``<unk>`` would corrupt every sequence)."""
+    out = []
+    for name in (bos, eos):
+        if name is None:
+            out.append([])
+            continue
+        if name not in vocab.pieces[: vocab.n_specials]:
+            raise ValueError(f"{name!r} is not a declared special token")
+        out.append([vocab.id_of(name)])
+    return out[0], out[1]
+
+
+def _encode_ids_udf(word_to_ids, prefix: list[int], suffix: list[int]):
     """Shared Arrow encoder shell: ``word_to_ids(word) -> list[int]``
-    runs per DISTINCT word per batch (Zipf → dict hit)."""
+    runs per DISTINCT word per batch (Zipf → dict hit); ``prefix``/
+    ``suffix`` are the bos/eos ids wrapped around each document."""
 
     # no type hints: stringified annotations defeat pandas-UDF eval-type
     # inference (encode_bpe precedent) — returnType carries the contract
@@ -191,13 +227,14 @@ def _encode_ids_udf(word_to_ids, out_col: str):
         def one(t):
             if t is None:
                 return None
-            out: list = []
+            out: list = list(prefix)
             for w in t.split():
                 got = cache.get(w)
                 if got is None:
                     got = word_to_ids(w)
                     cache[w] = got
                 out.extend(got)
+            out.extend(suffix)
             return out
 
         return texts.map(one)
@@ -212,15 +249,23 @@ def encode_bpe_ids(
     text_col: str = "text",
     out_col: str = "input_ids",
     lowercase: bool = True,
+    bos: str | None = None,
+    eos: str | None = None,
 ) -> DataFrame:
     """Adds ``out_col: array<int>`` — the document's BPE token-id
     sequence: the same greedy lowest-rank-first merge core as
     ``encode_bpe``, with the piece→id map applied in the same pass
     (exactly ``[vocab.id_of(s) for s in encode_bpe(...)]``, test-pinned
-    as the differential). OOV symbols → ``vocab.unk_id``."""
+    as the differential). OOV symbols → ``vocab.unk_id``.
+
+    ``bos``/``eos``: names of DECLARED special tokens (build the vocab
+    with ``specials=(UNK, BOS, EOS)``) prepended/appended per document
+    — the sequence boundaries a packed training run separates documents
+    with; undeclared names raise rather than encode as ``<unk>``."""
     ranks = model.ranks
     ids = dict(vocab._ids)
     unk = vocab.unk_id
+    prefix, suffix = _boundary_ids(vocab, bos, eos)
 
     def word_to_ids(w: str) -> list[int]:
         return [ids.get(s, unk) for s in encode_word(w, ranks)]
@@ -228,7 +273,7 @@ def encode_bpe_ids(
     col = F.col(text_col)
     if lowercase:
         col = F.lower(col)
-    return df.withColumn(out_col, _encode_ids_udf(word_to_ids, out_col)(col))
+    return df.withColumn(out_col, _encode_ids_udf(word_to_ids, prefix, suffix)(col))
 
 
 def encode_unigram_ids(
@@ -238,13 +283,17 @@ def encode_unigram_ids(
     text_col: str = "text",
     out_col: str = "input_ids",
     lowercase: bool = True,
+    bos: str | None = None,
+    eos: str | None = None,
 ) -> DataFrame:
     """Adds ``out_col: array<int>`` — the Viterbi piece-id sequence
     (== ``encode_unigram`` mapped through the vocab, test-pinned).
-    OOV pieces → ``vocab.unk_id``."""
+    OOV pieces → ``vocab.unk_id``. ``bos``/``eos`` as in
+    :func:`encode_bpe_ids`."""
     logp, max_len = model.logp, model.max_piece_len
     ids = dict(vocab._ids)
     unk = vocab.unk_id
+    prefix, suffix = _boundary_ids(vocab, bos, eos)
 
     def word_to_ids(w: str) -> list[int]:
         return [ids.get(s, unk) for s in viterbi_word(WB + w, logp, max_len)]
@@ -252,21 +301,79 @@ def encode_unigram_ids(
     col = F.col(text_col)
     if lowercase:
         col = F.lower(col)
-    return df.withColumn(out_col, _encode_ids_udf(word_to_ids, out_col)(col))
+    return df.withColumn(out_col, _encode_ids_udf(word_to_ids, prefix, suffix)(col))
 
 
-def decode_ids(ids: list[int], vocab: Vocab, family: str = "bpe") -> str:
+def decode_ids(
+    ids: list[int],
+    vocab: Vocab,
+    family: str = "bpe",
+    skip_specials: bool = False,
+) -> str:
     """Inverse of the id encoders for one sequence: ids → pieces →
     text via the family's word-boundary convention (``</w>`` for
     ``'bpe'``, ``▁`` for ``'unigram'``). An ``unk_id`` decodes to the
     literal ``<unk>`` string — lossy by construction, exactly like the
-    public tokenizers."""
+    public tokenizers. ``skip_specials`` drops boundary specials
+    (bos/eos etc.) but NEVER ``<unk>`` — lost content stays visible."""
+    if skip_specials:
+        unk = vocab.unk_id
+        ids = [i for i in ids if i >= vocab.n_specials or i == unk]
     pieces = [vocab.piece_of(i) for i in ids]
     if family == "bpe":
         return decode_symbols(pieces)
     if family == "unigram":
         return decode_pieces(pieces)
     raise ValueError(f"unknown family {family!r}")
+
+
+def token_id_stats(
+    df: DataFrame,
+    vocab: Vocab,
+    ids_col: str = "input_ids",
+    text_col: str | None = None,
+    by: str | None = None,
+) -> DataFrame:
+    """Tokenizer-coverage datasheet over an encoded corpus: ONE
+    aggregate over the id arrays (pure JVM — the ids already exist, no
+    re-tokenize) returning ``n_docs, n_tokens, n_unk, oov_rate`` plus,
+    when ``text_col`` is given, ``n_bytes`` and ``tokens_per_100_bytes``
+    (tokenizer "fertility" — the compression a budget planner needs).
+    ``by`` adds a grouping column (per-language/per-source grain —
+    output bounded by group cardinality). A rising ``oov_rate`` is the
+    operational signal that the shipped vocab no longer covers the
+    corpus (new script/domain) and the tokenizer needs retraining."""
+    unk = vocab.unk_id
+    toks = F.size(F.col(ids_col)).cast("long")
+    unks = F.size(
+        F.filter(F.col(ids_col), lambda x: x == F.lit(unk))
+    ).cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+        F.sum(unks).alias("n_unk"),
+    ]
+    if text_col is not None:
+        aggs.append(
+            F.sum(F.coalesce(F.octet_length(F.col(text_col)), F.lit(0))).alias(
+                "n_bytes"
+            )
+        )
+    grouped = df.groupBy(by) if by else df.groupBy()
+    out = grouped.agg(*aggs).withColumn(
+        "oov_rate",
+        F.when(F.col("n_tokens") > 0, F.col("n_unk") / F.col("n_tokens")).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    if text_col is not None:
+        out = out.withColumn(
+            "tokens_per_100_bytes",
+            F.when(
+                F.col("n_bytes") > 0, F.col("n_tokens") * 100.0 / F.col("n_bytes")
+            ).otherwise(F.lit(0.0)),
+        )
+    return out
 
 
 def pack_bins_ids(

@@ -715,6 +715,10 @@ def _lang_score_sql(lang: str) -> str:
       SELECT k.word, MIN(b.cnt) AS est
       FROM cmsk k JOIN cmsb b ON k.j = b.j AND k.bucket = b.bucket
       GROUP BY 1
+    ),
+    alpha AS (
+      SELECT DISTINCT substring(word, CAST(i AS INT), 1) AS ch
+      FROM (SELECT word, unnest(range(1, len(word) + 1)) AS i FROM wc)
     )
     SELECT 'lang' AS mode, CAST(doc_id AS VARCHAR) AS key, lang_given,
            s_en, s_es, s_fr, s_de, s_zh,
@@ -739,6 +743,11 @@ def _lang_score_sql(lang: str) -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
     FROM cmse
+    UNION ALL
+    SELECT 'alpha', ch, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM alpha
     """,
     doc="X4 language-ID heuristic: whole-token stopword-marker counts per "
     "language, argmax with fixed priority tie-break. Deterministic and "
@@ -760,7 +769,13 @@ def _lang_score_sql(lang: str) -> str:
     "test-pinned) and queried back for every vocabulary word; the twin "
     "rebuilds the identical counter table in SQL, so every estimate is "
     "hash-checked. Merge==whole and never-underestimate are pinned in "
-    "tests/test_sketches.py.",
+    "tests/test_sketches.py. "
+    "r11 fifth leg 'alpha': the token-ID vocab artifact's ONE "
+    "distributed input — operators/vocab.alphabet_frame, the distinct "
+    "characters across the corpus's words that form bpe_vocab's base "
+    "symbol rows — hash-checked character-for-character (the id "
+    "MAPPING itself is driver-side + exact-differential-pinned in "
+    "tests/test_vocab.py; this leg pins what it is built FROM).",
     tags=["text", "llm"],
 )
 def x04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
@@ -828,8 +843,22 @@ def x04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
         *[F.lit(None).cast("long").alias(c) for c in ["s_es", "s_fr", "s_de", "s_zh"]],
         F.lit(None).cast("string").alias("lang_pred"),
     )
+    # 'alpha' leg (r11): the vocab artifact's distributed input — the
+    # distinct-character aggregate bpe_vocab builds base symbols from
+    from waterdata_spark.operators.vocab import alphabet_frame
+
+    alpha_leg = alphabet_frame(d, "text").select(
+        F.lit("alpha").alias("mode"),
+        F.col("c").alias("key"),
+        F.lit(None).cast("string").alias("lang_given"),
+        *[F.lit(None).cast("long").alias(c) for c in ["s_en", "s_es", "s_fr", "s_de", "s_zh"]],
+        F.lit(None).cast("string").alias("lang_pred"),
+    )
     return (
-        lang_leg.unionByName(wc_leg).unionByName(seed_leg).unionByName(cms_leg)
+        lang_leg.unionByName(wc_leg)
+        .unionByName(seed_leg)
+        .unionByName(cms_leg)
+        .unionByName(alpha_leg)
     )
 
 

@@ -7,9 +7,19 @@ from waterdata_spark.sources.layout import (
     write_zordered,
     zorder_value,
 )
+from waterdata_spark.sources.shards import (
+    append_training_shards,
+    read_training_shards,
+    with_shard,
+    write_training_shards,
+)
 from waterdata_spark.sources.sink import checkpoint_parquet, write_csv, write_parquet
 
 __all__ = [
+    "append_training_shards",
+    "read_training_shards",
+    "with_shard",
+    "write_training_shards",
     "read_csv",
     "read_csv_multi",
     "read_excel_sheet",

@@ -139,6 +139,7 @@ def write_training_shards(
         "format": fmt,
         "salt": salt,
         "id_col": id_col,
+        "text_col": text_col,
         "shuffle_seed": shuffle_seed,
         "curriculum": order_by is not None,
         "total_rows": int(sum(r["rows"] for r in stats)),
@@ -151,9 +152,84 @@ def write_training_shards(
             for r in stats
         },
     }
-    with open(os.path.join(path, MANIFEST), "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    _write_manifest(path, manifest)
     return manifest
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    """Atomic manifest publish (tmp + rename): a reader never sees a
+    torn file, and an append that dies mid-write leaves the previous
+    manifest intact."""
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+
+
+def append_training_shards(df: DataFrame, path: str) -> dict:
+    """Incrementally APPEND a batch to an existing release (r11): the
+    100 TB ingest path — a new crawl shard lands in the same layout
+    without rewriting the corpus. Shard parameters (n_shards, salt,
+    id_col, text_col, format) come from the STORED manifest, so every
+    appended row goes to the shard its id hashed to at release time
+    (deterministic assignment is what makes append possible at all),
+    and the manifest updates ADDITIVELY: per-shard rows/bytes/digest
+    are plain sums, so the appended manifest is IDENTICAL to the
+    manifest a one-shot write of the union would produce (test-pinned)
+    — two releases still compare shard-by-shard without reading data.
+
+    Semantics notes: within-shard ORDER applies per write (appended
+    files carry their own order; the digest certifies content, not
+    order — the existing contract); appending rows whose ids already
+    exist duplicates them (dedup against the stored corpus first —
+    ``dedup_against_exact`` with a maintained gate is the companion
+    path); the manifest write is atomic (tmp + rename), and a crash
+    between the data write and the manifest write leaves the manifest
+    behind the data — re-run the append with the same batch only after
+    reconciling (this function is NOT a transactional sink; wrap it in
+    a (version, batch_id) pointer like ``streaming/gates`` for
+    exactly-once ingest)."""
+    man = json.load(open(os.path.join(path, MANIFEST)))
+    n_shards, salt = int(man["n_shards"]), man["salt"]
+    id_col, fmt = man["id_col"], man["format"]
+    text_col = man.get("text_col", "text")
+    sharded = with_shard(df, id_col, n_shards, salt)
+    (
+        sharded.repartition(n_shards, "__shard")
+        .write.partitionBy("__shard")
+        .mode("append")
+        .format(fmt)
+        .option("ignoreNullFields", True)
+        .save(path)
+    )
+    payload = F.col(text_col)
+    if dict(df.dtypes)[text_col] not in ("string", "binary"):
+        payload = payload.cast("string")
+    stats = (
+        sharded.groupBy("__shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.coalesce(F.octet_length(payload), F.lit(0))).alias("bytes"),
+            F.sum(
+                F.xxhash64(F.col(id_col).cast("string"), payload).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("digest"),
+        )
+        .collect()
+    )
+    shards = {int(k): dict(v) for k, v in man["shards"].items()}
+    for r in stats:
+        cur = shards.setdefault(
+            int(r["__shard"]), {"rows": 0, "bytes": 0, "digest": 0}
+        )
+        cur["rows"] += int(r["rows"])
+        cur["bytes"] += int(r["bytes"])
+        cur["digest"] += int(r["digest"])
+    man["shards"] = shards
+    man["total_rows"] = int(sum(s["rows"] for s in shards.values()))
+    _write_manifest(path, man)
+    return man
 
 
 def read_training_shards(
