@@ -1,0 +1,175 @@
+"""End-to-end incremental ingest (streaming/ingest.py): stream of
+micro-batches == one-shot ingest, cross-batch and within-batch dedup,
+replay idempotence at every sub-store, and the staged exactly-once
+release append (r11)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from waterdata_spark.sources.shards import (
+    MANIFEST,
+    append_training_shards,
+    read_training_shards,
+    write_training_shards,
+)
+from waterdata_spark.streaming.ingest import (
+    ingest_batch,
+    ingest_stream_sink,
+    init_ingest,
+    read_digests,
+)
+
+
+def _docs(spark, lo, hi, dup_of=()):
+    rows = [(i, f"document body number {i} with words") for i in range(lo, hi)]
+    rows += [(10_000 + j, f"document body number {d} with words") for j, d in enumerate(dup_of)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _dirs(tmp_path, name):
+    base = tmp_path / name
+    return str(base / "release"), str(base / "digests"), str(base / "gate")
+
+
+class TestIngestBatch:
+    def test_cross_batch_and_within_batch_dedup(self, spark, tmp_path):
+        rel, dig, gate = _dirs(tmp_path, "a")
+        init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
+        # batch 0: 30 docs, one within-batch dup (id 10_000 dups doc 3)
+        n0 = ingest_batch(_docs(spark, 0, 30, dup_of=[3]), 0, rel, dig, gate, cms_width=4096)
+        assert n0 == 30
+        # batch 1: 10 new docs + 5 cross-batch dups of batch 0 content
+        n1 = ingest_batch(
+            _docs(spark, 30, 40, dup_of=[1, 2, 3, 4, 5]), 1, rel, dig, gate, cms_width=4096
+        )
+        assert n1 == 10
+        back = read_training_shards(
+            spark, rel, schema="doc_id long, text string"
+        )
+        texts = [r["text"] for r in back.collect()]
+        assert len(texts) == 40 and len(set(texts)) == 40  # no dup content
+        man = json.load(open(os.path.join(rel, MANIFEST)))
+        assert man["total_rows"] == 40 and man["last_append_batch"] == 1
+        assert read_digests(spark, dig).count() == 40
+
+    def test_replay_is_noop_everywhere(self, spark, tmp_path):
+        rel, dig, gate = _dirs(tmp_path, "b")
+        init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
+        b0 = _docs(spark, 0, 25)
+        assert ingest_batch(b0, 0, rel, dig, gate, cms_width=4096) == 25
+        man_before = json.load(open(os.path.join(rel, MANIFEST)))
+        dig_before = sorted(
+            r[0] for r in read_digests(spark, dig).collect()
+        )
+        # checkpoint-recovery redelivery of the SAME batch id
+        assert ingest_batch(b0, 0, rel, dig, gate, cms_width=4096) == 25
+        man_after = json.load(open(os.path.join(rel, MANIFEST)))
+        assert man_after == man_before  # release untouched (pointer)
+        assert sorted(r[0] for r in read_digests(spark, dig).collect()) == dig_before
+        back = read_training_shards(spark, rel, schema="doc_id long, text string")
+        assert back.count() == 25  # no duplicate rows in the data files
+
+    def test_ingest_twice_equals_ingest_once(self, spark, tmp_path):
+        # the headline law: re-ingesting the same crawl (as NEW batch
+        # ids) adds nothing
+        rel, dig, gate = _dirs(tmp_path, "c")
+        init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
+        b = _docs(spark, 0, 20)
+        assert ingest_batch(b, 0, rel, dig, gate, cms_width=4096) == 20
+        assert ingest_batch(b, 1, rel, dig, gate, cms_width=4096) == 0
+        man = json.load(open(os.path.join(rel, MANIFEST)))
+        assert man["total_rows"] == 20
+
+
+class TestIngestStream:
+    def test_stream_equals_batch_union(self, spark, tmp_path):
+        rel, dig, gate = _dirs(tmp_path, "s")
+        init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
+        docs = _docs(spark, 0, 60, dup_of=[1, 2, 3])
+        src = str(tmp_path / "src")
+        docs.repartition(5).write.parquet(src)  # 5 files -> 5 batches
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = ingest_stream_sink(
+            stream, rel, dig, gate, str(tmp_path / "ckpt"), cms_width=4096
+        )
+        q.awaitTermination(180)
+        back = read_training_shards(spark, rel, schema="doc_id long, text string")
+        texts = [r["text"] for r in back.collect()]
+        assert len(texts) == 60 and len(set(texts)) == 60
+        man = json.load(open(os.path.join(rel, MANIFEST)))
+        assert man["total_rows"] == 60
+        assert read_digests(spark, dig).count() == 60
+
+
+class TestStagedAppend:
+    def test_batch_guard_and_staging_cleanup(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+        )
+        out = str(tmp_path / "rel")
+        write_training_shards(df, out, n_shards=4)
+        batch = spark.createDataFrame(
+            [(100 + i, f"new {i}") for i in range(10)], "doc_id long, text string"
+        )
+        m1 = append_training_shards(batch, out, batch_id=0)
+        assert m1["last_append_batch"] == 0 and m1["total_rows"] == 50
+        assert not [d for d in os.listdir(out) if d.startswith("_staging")]
+        # replay: manifest, data, and staging all untouched
+        m2 = append_training_shards(batch, out, batch_id=0)
+        assert m2 == m1
+        back = read_training_shards(spark, out, schema="doc_id long, text string")
+        assert back.count() == 50
+
+    def test_resume_after_partial_move(self, spark, tmp_path):
+        """Simulated crash mid-move: stage manually, move one file,
+        then run the append — it must resume the remaining moves and
+        produce the same release as an uninterrupted append."""
+        import glob
+        import shutil
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+        )
+        out = str(tmp_path / "rel2")
+        write_training_shards(df, out, n_shards=4)
+        batch = spark.createDataFrame(
+            [(100 + i, f"new {i}") for i in range(12)], "doc_id long, text string"
+        )
+        # stage batch 0 by hand (what the real append does first)
+        from waterdata_spark.sources.shards import with_shard
+
+        staging = os.path.join(out, "_staging_batch_0")
+        (
+            with_shard(batch, "doc_id", 4)
+            .repartition(4, "__shard")
+            .write.partitionBy("__shard")
+            .mode("overwrite")
+            .format("json")
+            .option("ignoreNullFields", True)
+            .save(staging)
+        )
+        # "crash" after one file moved
+        src = sorted(glob.glob(os.path.join(staging, "__shard=*", "part-*")))[0]
+        rel_part = os.path.relpath(src, staging)
+        os.makedirs(os.path.join(out, os.path.dirname(rel_part)), exist_ok=True)
+        os.replace(src, os.path.join(out, rel_part))
+        # replayed append resumes: no restage (SUCCESS present), moves
+        # the rest, updates the manifest once
+        man = append_training_shards(batch, out, batch_id=0)
+        assert man["total_rows"] == 52
+        back = read_training_shards(spark, out, schema="doc_id long, text string")
+        assert back.count() == 52
+        assert {r["doc_id"] for r in back.collect()} == set(range(40)) | {
+            100 + i for i in range(12)
+        }
+        assert not os.path.isdir(staging)
+        shutil.rmtree(out, ignore_errors=True)

@@ -166,7 +166,9 @@ def _write_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(path, MANIFEST))
 
 
-def append_training_shards(df: DataFrame, path: str) -> dict:
+def append_training_shards(
+    df: DataFrame, path: str, batch_id: int | None = None
+) -> dict:
     """Incrementally APPEND a batch to an existing release (r11): the
     100 TB ingest path — a new crawl shard lands in the same layout
     without rewriting the corpus. Shard parameters (n_shards, salt,
@@ -178,30 +180,75 @@ def append_training_shards(df: DataFrame, path: str) -> dict:
     manifest a one-shot write of the union would produce (test-pinned)
     — two releases still compare shard-by-shard without reading data.
 
-    Semantics notes: within-shard ORDER applies per write (appended
-    files carry their own order; the digest certifies content, not
-    order — the existing contract); appending rows whose ids already
-    exist duplicates them (dedup against the stored corpus first —
-    ``dedup_against_exact`` with a maintained gate is the companion
-    path); the manifest write is atomic (tmp + rename), and a crash
-    between the data write and the manifest write leaves the manifest
-    behind the data — re-run the append with the same batch only after
-    reconciling (this function is NOT a transactional sink; wrap it in
-    a (version, batch_id) pointer like ``streaming/gates`` for
-    exactly-once ingest)."""
+    ``batch_id`` (the foreachBatch id) arms the EXACTLY-ONCE path for
+    streaming ingest (single writer per release):
+
+    - a batch whose id equals the manifest's ``last_append_batch``
+      no-ops (the replay guard — manifest writes are atomic renames);
+    - the data write is STAGED: the batch lands in a staging directory
+      first (idempotent overwrite until its ``_SUCCESS`` marker
+      exists), then each part file MOVES into its shard directory by
+      atomic rename. A crash replays cleanly from any point: torn
+      staging rewrites, finished staging resumes the remaining moves
+      (a moved file is gone from staging, so nothing moves twice),
+      an applied manifest skips straight to cleanup.
+
+    Without ``batch_id`` the write is a plain append (no staging, no
+    guard) — fine for interactive batch use; a replayed/duplicate call
+    then duplicates rows. Either way, appending rows whose ids already
+    exist in the release duplicates them — dedup against the stored
+    corpus first (``dedup_against_exact`` with a maintained
+    ``streaming/gates`` store; ``streaming/ingest`` composes exactly
+    this). Within-shard ORDER applies per write (appended files carry
+    their own order; the digest certifies content, not order)."""
     man = json.load(open(os.path.join(path, MANIFEST)))
+    # JSON round-trips shard keys as strings; normalize to ints so the
+    # no-op replay branch and the applied branch return identical dicts
+    man["shards"] = {int(k): dict(v) for k, v in man["shards"].items()}
     n_shards, salt = int(man["n_shards"]), man["salt"]
     id_col, fmt = man["id_col"], man["format"]
     text_col = man.get("text_col", "text")
+    staging = os.path.join(path, f"_staging_batch_{batch_id}")
+    if batch_id is not None and man.get("last_append_batch") == batch_id:
+        # replay of an applied batch: finish any leftover cleanup, no-op
+        if os.path.isdir(staging):
+            import shutil
+
+            shutil.rmtree(staging)
+        return man
     sharded = with_shard(df, id_col, n_shards, salt)
-    (
-        sharded.repartition(n_shards, "__shard")
-        .write.partitionBy("__shard")
-        .mode("append")
-        .format(fmt)
-        .option("ignoreNullFields", True)
-        .save(path)
-    )
+    laid_out = sharded.repartition(n_shards, "__shard")
+    if batch_id is None:
+        (
+            laid_out.write.partitionBy("__shard")
+            .mode("append")
+            .format(fmt)
+            .option("ignoreNullFields", True)
+            .save(path)
+        )
+    else:
+        import glob
+        import shutil
+
+        if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+            # torn or absent staging: (re)write it whole — idempotent
+            (
+                laid_out.write.partitionBy("__shard")
+                .mode("overwrite")
+                .format(fmt)
+                .option("ignoreNullFields", True)
+                .save(staging)
+            )
+        # move part files into the live shard dirs: each rename is
+        # atomic and removes its source, so a replay resumes with
+        # whatever remains — nothing moves twice
+        for src in glob.glob(os.path.join(staging, "__shard=*", "part-*")):
+            if src.endswith(".crc"):
+                continue
+            rel = os.path.relpath(src, staging)
+            dst = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
     payload = F.col(text_col)
     if dict(df.dtypes)[text_col] not in ("string", "binary"):
         payload = payload.cast("string")
@@ -218,7 +265,7 @@ def append_training_shards(df: DataFrame, path: str) -> dict:
         )
         .collect()
     )
-    shards = {int(k): dict(v) for k, v in man["shards"].items()}
+    shards = man["shards"]
     for r in stats:
         cur = shards.setdefault(
             int(r["__shard"]), {"rows": 0, "bytes": 0, "digest": 0}
@@ -228,7 +275,13 @@ def append_training_shards(df: DataFrame, path: str) -> dict:
         cur["digest"] += int(r["digest"])
     man["shards"] = shards
     man["total_rows"] = int(sum(s["rows"] for s in shards.values()))
+    if batch_id is not None:
+        man["last_append_batch"] = batch_id
     _write_manifest(path, man)
+    if batch_id is not None and os.path.isdir(staging):
+        import shutil
+
+        shutil.rmtree(staging)
     return man
 
 

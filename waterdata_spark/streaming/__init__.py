@@ -8,6 +8,12 @@ from waterdata_spark.streaming.gates import (
     read_bloom,
     read_cms,
 )
+from waterdata_spark.streaming.ingest import (
+    ingest_batch,
+    ingest_stream_sink,
+    init_ingest,
+    read_digests,
+)
 from waterdata_spark.streaming.hygiene import (
     PreparedEvalGrams,
     decontaminate_batch,
@@ -29,6 +35,10 @@ __all__ = [
     "decontaminate_batch",
     "decontaminate_stream_sink",
     "hourly_rollup_stream",
+    "ingest_batch",
+    "ingest_stream_sink",
+    "init_ingest",
+    "read_digests",
     "init_bloom_store",
     "init_cms_store",
     "read_bloom",

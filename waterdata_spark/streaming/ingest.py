@@ -1,0 +1,219 @@
+"""End-to-end incremental corpus ingest (r11): the composition the
+r10/r11 incremental pieces exist for — a crawl stream lands in a
+LIVE RELEASE, deduplicated against everything already ingested, with
+every maintained artifact updated exactly-once per micro-batch:
+
+    batch → within-batch exact dedup → cross-corpus exact dedup
+    (digest anti-join, CMS-gated so unseen rows skip it)
+    → append_training_shards (staged, batch-pointer-guarded)
+    → digest store append → CMS gate merge
+
+Replay safety is PER SUB-STORE, each with its own idempotence guard,
+so a crash at any point resumes cleanly on Structured Streaming's
+redelivery of the uncommitted batch:
+
+- the release append uses ``append_training_shards(batch_id=...)`` —
+  staged data files moved by atomic rename, manifest
+  ``last_append_batch`` as the replay guard;
+- the digest store is append-only parquet partitioned by batch
+  (``batch=N/`` rewritten whole on replay — idempotent overwrite);
+- the CMS gate uses ``streaming/gates.cms_batch``'s (version,
+  batch_id) pointer.
+
+A replayed batch therefore re-runs only the sub-steps that had not
+completed, and each of those is idempotent. Single writer per release
+(the Structured Streaming model — one query owns one checkpoint).
+
+The dedup semantics are EXACT: the CMS gate only routes rows (no
+false negatives — sketches.py contract); membership truth is the
+digest anti-join against the stored digest set, which this sink
+maintains as fixed-width sha2 rows (the content never rides the
+check). Rows surviving both dedups are what lands in the release, so
+ingesting the same crawl twice yields the same corpus as ingesting it
+once (test-pinned).
+
+Reference parity: no counterpart in the reference engine; the
+composition of X1 (cross-corpus dedup) + X7 (release) + X6/X8
+(incremental maintenance) — SURVEY §2.9.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from waterdata_spark.operators.dedup import (
+    content_digest,
+    dedup_against_exact,
+    exact_dedup,
+)
+from waterdata_spark.sources.shards import append_training_shards
+from waterdata_spark.streaming.gates import cms_batch, init_cms_store, read_cms
+
+__all__ = ["init_ingest", "ingest_batch", "ingest_stream_sink", "read_digests"]
+
+_DIGEST_COL = "__ingest_digest"
+
+
+def init_ingest(
+    spark: SparkSession,
+    release_dir: str,
+    digest_dir: str,
+    gate_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+    fmt: str = "json",
+    cms_depth: int = 4,
+    cms_width: int = 1 << 20,
+) -> None:
+    """Create the three stores empty: a zero-row release (manifest
+    records the layout parameters every append reuses), an empty
+    digest store, an empty CMS gate. Schema for the release comes from
+    a caller-shaped empty frame on first append (JSONL/parquet are
+    schema-on-write per file), so init only needs the column NAMES."""
+    from waterdata_spark.sources.shards import _write_manifest
+
+    os.makedirs(release_dir, exist_ok=True)
+    _write_manifest(
+        release_dir,
+        {
+            "n_shards": n_shards,
+            "format": fmt,
+            "salt": "shard42",
+            "id_col": id_col,
+            "text_col": text_col,
+            "shuffle_seed": None,
+            "curriculum": False,
+            "total_rows": 0,
+            "shards": {},
+        },
+    )
+    os.makedirs(digest_dir, exist_ok=True)
+    init_cms_store(
+        spark.createDataFrame([], f"{_DIGEST_COL} string"),
+        gate_dir,
+        _DIGEST_COL,
+        depth=cms_depth,
+        width=cms_width,
+    )
+
+
+def read_digests(
+    spark: SparkSession, digest_dir: str, exclude_batch: int | None = None
+) -> DataFrame:
+    """The stored digest set (one sha2 string column) across all
+    applied batches; empty frame when nothing has been ingested.
+    ``exclude_batch`` drops that batch's own directory — the REPLAY
+    guard :func:`ingest_batch` needs: on redelivery after a crash the
+    batch's digests may already be stored, and reading them back would
+    make the batch look all-duplicate and overwrite its digest
+    directory with an empty frame (found in design review — the
+    survivor set must be a pure function of the state BEFORE the
+    batch)."""
+    batches = [
+        d
+        for d in os.listdir(digest_dir)
+        if d.startswith("batch=") and d != f"batch={exclude_batch}"
+    ]
+    if not batches:
+        return spark.createDataFrame([], f"{_DIGEST_COL} string")
+    return spark.read.parquet(*[os.path.join(digest_dir, b) for b in batches])
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    release_dir: str,
+    digest_dir: str,
+    gate_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cms_depth: int = 4,
+    cms_width: int = 1 << 20,
+) -> int:
+    """One ingest step (the foreachBatch body, callable directly — the
+    replay tests do). Returns the number of NEW documents that landed
+    in the release (0 for an all-duplicate batch; a replayed batch
+    recomputes the same survivor set and each sub-store no-ops).
+
+    Batches must apply IN ORDER (Structured Streaming guarantees this
+    — a batch commits before the next starts; direct callers must keep
+    the same discipline): the gate's no-false-negative guarantee for
+    batch M relies on batch N < M having completed its gate update."""
+    spark = batch_df.sparkSession
+    # within-batch dedup first, then the digest column ONCE — every
+    # later step (anti-join, gate, store, sketch) rides the fixed
+    # width digest, never the text. Persist: three sub-stores consume
+    # this frame and the upstream (a streaming batch) must evaluate
+    # deterministically across them (the split-plan contract).
+    keyed = exact_dedup(batch_df, [text_col], id_col).withColumn(
+        _DIGEST_COL, content_digest([text_col])
+    )
+    stored = read_digests(spark, digest_dir, exclude_batch=batch_id)
+    gate = read_cms(spark, gate_dir)
+    new = dedup_against_exact(
+        keyed,
+        stored,
+        content_cols=[],
+        digest_col=_DIGEST_COL,
+        prefilter="cms",
+        prefilter_cms=gate,
+        prefilter_depth=cms_depth,
+        prefilter_width=cms_width,
+    ).persist()
+    try:
+        n_new = new.count()
+        # release append: staged + manifest-pointer-guarded
+        append_training_shards(
+            new.drop(_DIGEST_COL), release_dir, batch_id=batch_id
+        )
+        # digest store: whole-batch-directory overwrite == idempotent
+        new.select(_DIGEST_COL).write.mode("overwrite").parquet(
+            os.path.join(digest_dir, f"batch={batch_id}")
+        )
+        # CMS gate: its own (version, batch_id) pointer skips replays
+        cms_batch(new.select(_DIGEST_COL), gate_dir, batch_id)
+    finally:
+        new.unpersist()
+    return n_new
+
+
+def ingest_stream_sink(
+    stream: DataFrame,
+    release_dir: str,
+    digest_dir: str,
+    gate_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cms_depth: int = 4,
+    cms_width: int = 1 << 20,
+):
+    """Start an ``availableNow`` foreachBatch query running
+    :func:`ingest_batch` per micro-batch. Returns the StreamingQuery
+    (caller awaits termination). Keep ONE checkpoint per release for
+    its whole life — batch ids restart with a fresh checkpoint and
+    the replay guards key on them."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(
+            batch_df,
+            batch_id,
+            release_dir,
+            digest_dir,
+            gate_dir,
+            id_col=id_col,
+            text_col=text_col,
+            cms_depth=cms_depth,
+            cms_width=cms_width,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
