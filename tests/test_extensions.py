@@ -2557,6 +2557,68 @@ class TestNaiveBayes:
         assert a == b
 
 
+class TestPrSweep:
+    """Threshold sweep for classifier operating points
+    (operators/classify.pr_sweep, r11): exact differential vs naive
+    per-threshold counting on REAL LR scores, one-scan/bounded plan,
+    null exclusion."""
+
+    def test_exact_differential_on_real_scores(self, spark):
+        from tests.conftest import SF_SMOKE
+        from waterdata_spark.operators.classify import lr_score, lr_train, pr_sweep
+        from waterdata_spark.schemas import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        train = docs.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("y"), "text"
+        )
+        model = lr_train(train, n_buckets=4096, hash_fn="md5", n_iter=2)
+        test = docs.filter(F.col("doc_id") % 3 != 0).withColumn(
+            "y", (F.col("lang") == "en").cast("int")
+        )
+        scored = lr_score(test, model).persist()
+        ts = [0.2, 0.4, 0.5, 0.6, 0.8]
+        got = {
+            r["threshold"]: (r["tp"], r["fp"], r["fn"], r["tn"])
+            for r in pr_sweep(scored, "lr_prob", "y", ts).collect()
+        }
+        rows = [(r["lr_prob"], r["y"]) for r in scored.collect()]
+        scored.unpersist()
+        assert set(got) == set(ts)
+        for t in ts:
+            tp = sum(1 for s, y in rows if s >= t and y == 1)
+            fp = sum(1 for s, y in rows if s >= t and y == 0)
+            fn = sum(1 for s, y in rows if s < t and y == 1)
+            tn = sum(1 for s, y in rows if s < t and y == 0)
+            assert got[t] == (tp, fp, fn, tn), t
+        # the rule is monotone: raising t never gains tp or fp
+        ordered = [got[t] for t in sorted(ts)]
+        assert all(a[0] >= b[0] and a[1] >= b[1] for a, b in zip(ordered, ordered[1:]))
+
+    def test_null_exclusion_and_single_scan(self, spark):
+        from waterdata_spark.operators.classify import pr_sweep
+
+        df = spark.createDataFrame(
+            [(0.9, 1), (0.4, 0), (None, 1), (0.7, None), (0.1, 0)],
+            "s double, y int",
+        )
+        out = pr_sweep(df, "s", "y", [0.5])
+        [r] = out.collect()
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 0, 0, 2)
+        # one corpus scan for the whole sweep: the totals come from the
+        # bounded counts frame, not a second pass
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("LocalTableScan") - plan.count(
+            "LocalTableScan <empty>"
+        ) <= 3  # corpus once + threshold frame + totals reuse (cached)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            pr_sweep(df, "s", "y", [])
+
+
 class TestLogisticRegression:
     """Binary LR over hashed-token features (operators/classify.py, r9) —
     the iterated-aggregation sibling of NB; the x28 'lr' oracle leg

@@ -259,6 +259,85 @@ class TestPackingBfd:
         }
 
 
+class TestBatchByLength:
+    @pytest.fixture()
+    def corpus(self, spark):
+        import random
+
+        r = random.Random(7)
+        rows = [(i, " ".join("w" for _ in range(r.randint(1, 60)))) for i in range(400)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_batches_sized_sorted_and_deterministic(self, spark, corpus):
+        from collections import defaultdict
+
+        from waterdata_spark.operators.chunking import batch_by_length
+
+        out = batch_by_length(corpus, batch_size=8, n_streams=4).collect()
+        assert len(out) == 400
+        batches = defaultdict(list)
+        for r in out:
+            batches[(r["stream_id"], r["batch_id"])].append(r)
+        for (sid, bid), rows in batches.items():
+            assert len(rows) <= 8
+            assert max(r["n_tokens"] for r in rows) == rows[0]["batch_max_tokens"]
+            assert all(r["batch_max_tokens"] == rows[0]["batch_max_tokens"] for r in rows)
+        # only the LAST batch of a stream may be short
+        for sid in {s for s, _ in batches}:
+            bids = sorted(b for s, b in batches if s == sid)
+            for b in bids[:-1]:
+                assert len(batches[(sid, b)]) == 8
+        # within a stream, batch ids follow the global length order:
+        # every doc in batch b is >= every doc in batch b+1
+        for sid in {s for s, _ in batches}:
+            bids = sorted(b for s, b in batches if s == sid)
+            for a, b in zip(bids, bids[1:]):
+                lo = min(r["n_tokens"] for r in batches[(sid, a)])
+                hi = max(r["n_tokens"] for r in batches[(sid, b)])
+                assert lo >= hi
+        # deterministic under repartitioning
+        again = {
+            r["doc_id"]: (r["stream_id"], r["batch_id"])
+            for r in batch_by_length(
+                corpus.repartition(7), batch_size=8, n_streams=4
+            ).collect()
+        }
+        for r in out:
+            assert again[r["doc_id"]] == (r["stream_id"], r["batch_id"])
+
+    def test_length_batching_cuts_padding_vs_arrival_order(self, spark, corpus):
+        # the operator's reason to exist: padding waste must beat
+        # batching in arrival (id) order on the same streams
+        from waterdata_spark.operators.chunking import batch_by_length
+
+        out = batch_by_length(corpus, batch_size=8, n_streams=4)
+        waste = out.agg(
+            F.sum(F.col("batch_max_tokens") - F.col("n_tokens"))
+        ).first()[0]
+        naive = (
+            out.select("doc_id", "n_tokens", "stream_id")
+            .withColumn(
+                "batch_id",
+                F.expr(
+                    "(row_number() over (partition by stream_id order by doc_id) - 1) div 8"
+                ),
+            )
+            .withColumn(
+                "m",
+                F.expr("max(n_tokens) over (partition by stream_id, batch_id)"),
+            )
+            .agg(F.sum(F.col("m") - F.col("n_tokens")))
+            .first()[0]
+        )
+        assert waste < naive * 0.5  # at least 2x less padding
+
+    def test_validation(self, spark, corpus):
+        from waterdata_spark.operators.chunking import batch_by_length
+
+        with pytest.raises(ValueError):
+            batch_by_length(corpus, batch_size=0)
+
+
 class TestSentenceChunking:
     def test_sentences_never_cut_and_budget_respected(self, spark):
         from waterdata_spark.operators.chunking import chunk_documents_sentences

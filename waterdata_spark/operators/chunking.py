@@ -1,11 +1,17 @@
-"""Training-data shaping: token-bounded document chunking and
-fixed-budget sequence packing (LLM-pipeline surface beyond the
-reference's own operators; companion to functions/text.py X4).
+"""Training-data shaping: token-bounded document chunking (token-exact
+and sentence-preserving), fixed-budget sequence packing (running-sum
+minimum-bin form and capacity-respecting best-fit-decreasing form),
+within-bin document offsets, and the loader-facing bin manifest
+(LLM-pipeline surface beyond the reference's own operators; companion
+to functions/text.py X4 and the token-id tail in operators/vocab.py).
 
-Both operators are pure JVM expression pipelines — sequence/slice/
-explode/window — no Python UDFs, so they scale like any other
-aggregation: one narrow pass for chunking, one bounded shuffle for
-packing.
+Everything except the BFD packer is pure JVM expression pipelines —
+sequence/slice/explode/window — no Python UDFs: one narrow pass for
+chunking, one bounded shuffle for packing. The BFD packer's in-stream
+best-fit placement is inherently sequential (the documented non-SQL
+class); it runs Arrow-batched per stream over an (id, n_tokens,
+stream_id) projection so document payloads never enter the pandas
+group.
 """
 
 from __future__ import annotations
@@ -254,6 +260,58 @@ def pack_sequences_bfd(
     )
     return prepared.join(assignments, id_col).select(
         *prepared.columns, "bin_id", "bin_tokens"
+    )
+
+
+def batch_by_length(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 32,
+    n_streams: int = DEFAULT_PACK_STREAMS,
+    tokenizer=tokens,
+    stream_hash=None,
+) -> DataFrame:
+    """Length-bucketed batching (r11): assign documents to
+    fixed-COUNT batches of SIMILAR token length — the padding-waste
+    minimizer for inference/eval/embedding jobs, where a batch pads to
+    its longest member (packing minimizes TOKENS per sequence; this
+    minimizes PADDING per fixed-size batch — the other half of the
+    serving story). Adds ``n_tokens``, ``stream_id``, ``batch_id`` and
+    ``batch_max_tokens`` (the batch's padded length — per-row padding
+    waste is ``batch_max_tokens - n_tokens``).
+
+    Same determinism/scale shape as :func:`pack_sequences`: documents
+    hash into ``n_streams`` content-hash streams (identical on any
+    cluster size), each stream sorts by (n_tokens DESC, id ASC) and
+    cuts every ``batch_size`` rows — neighbors in the sorted order
+    have the closest lengths, so each batch is near-uniform. One
+    shuffle + two windows over the stream partitioning. The last batch
+    of a stream may be short (< batch_size); ``tokenizer`` as in
+    :func:`pack_sequences` (pass ``text_col=ids_col,
+    tokenizer=lambda c: F.col(c)`` to budget in token ids)."""
+    if batch_size < 1:
+        raise ValueError(f"need batch_size >= 1, got {batch_size}")
+    if stream_hash is None:
+        stream_hash = lambda c: F.xxhash64(F.col(c).cast("string"))  # noqa: E731
+    w = Window.partitionBy("stream_id").orderBy(
+        F.col("n_tokens").desc(), F.col(id_col).asc()
+    )
+    out = (
+        df.withColumn("n_tokens", F.size(tokenizer(text_col)).cast("long"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "stream_id",
+            F.pmod(stream_hash(id_col), F.lit(n_streams)).cast("int"),
+        )
+        .withColumn("__rn", F.row_number().over(w) - 1)
+        # integer `div`, not `/`+cast: the engine-wide epoch-ns lesson
+        .withColumn("batch_id", F.expr(f"__rn div {int(batch_size)}").cast("long"))
+        .drop("__rn")
+    )
+    wb = Window.partitionBy("stream_id", "batch_id")
+    return out.withColumn(
+        "batch_max_tokens", F.max("n_tokens").over(wb).cast("long")
     )
 
 

@@ -538,3 +538,82 @@ def lr_python(
             weight_dp,
         )
     return weights, bias
+
+
+def pr_sweep(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Operating-point sweep for a trained quality/domain classifier
+    (r11): for each candidate threshold t, the EXACT confusion counts
+    of the rule ``predict positive iff score >= t`` against a boolean/
+     0-1 ``label_col`` — ``(threshold, tp, fp, fn, tn)``, one row per
+    threshold. This is how a published pipeline picks its
+    keep-threshold (GPT-3 appendix A trains the LR quality classifier,
+    then chooses the document-keep operating point from exactly this
+    precision/recall trade); precision/recall/F1 are one arithmetic
+    step on the integer counts — shipped as counts so the row is
+    engine-exact (floats would hash-differ).
+
+    Scale shape: ONE narrow scan bucketizes each row by how many
+    thresholds its score clears (the rule is monotone in t, so a row's
+    entire sweep membership is one integer) into a
+    ``(bucket, label) -> count`` aggregate bounded by
+    ``(|thresholds|+1) x 2`` rows; the per-threshold counts are then
+    suffix sums over that tiny frame (a bounded non-equi join of the
+    |T|-row threshold frame against it — never a corpus-wide pass per
+    threshold; the naive form scans the corpus |T| times). NULL
+    scores/labels are excluded (counted rows only).
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = sorted(set(float(t) for t in thresholds))
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    # bucket = number of thresholds the score clears; clears ts[:i]
+    arr = F.array(*[F.lit(t) for t in ts])
+    bucket = F.size(F.filter(arr, lambda t: s >= t))
+    counts = (
+        scored.filter(s.isNotNull() & y.isNotNull())
+        .select(bucket.alias("__k"), y.alias("__y"))
+        .groupBy("__k", "__y")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    spark = scored.sparkSession
+    tdf = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(ts)], "__rank int, threshold double"
+    )
+    # a row with bucket k clears thresholds ranked 1..k, so threshold
+    # rank r's positive-prediction set is every bucket k >= r
+    counts = counts.persist()  # tiny ((|T|+1) x 2 rows); scanned twice below
+    joined = F.broadcast(tdf).join(counts, F.col("__k") >= F.col("__rank"), "left")
+    per_t = joined.groupBy("__rank", "threshold").agg(
+        F.sum(F.when(F.col("__y") == 1, F.col("__n")).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("__y") == 0, F.col("__n")).otherwise(0)).alias("fp"),
+    )
+    # totals from the SAME bounded counts frame — the corpus is scanned
+    # exactly once for the whole sweep
+    totals = counts.agg(
+        F.sum(F.when(F.col("__y") == 1, F.col("__n")).otherwise(0)).alias("__pos"),
+        F.sum("__n").alias("__all"),
+    )
+    return (
+        per_t.crossJoin(F.broadcast(totals))
+        .select(
+            "threshold",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            F.coalesce(F.col("fp"), F.lit(0)).cast("long").alias("fp"),
+            (F.col("__pos") - F.coalesce(F.col("tp"), F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+            (
+                F.col("__all")
+                - F.col("__pos")
+                - F.coalesce(F.col("fp"), F.lit(0))
+            )
+            .cast("long")
+            .alias("tn"),
+        )
+    )
