@@ -2991,14 +2991,25 @@ def _portable_stream_hash(c: str) -> F.Column:
       SELECT doc_id, n_tokens, stream_id,
              CAST(floor((cum - n_tokens) / 128.0) AS BIGINT) AS bin_id
       FROM c
+    ), bb AS (
+      SELECT doc_id, n_tokens, stream_id,
+             CAST((ROW_NUMBER() OVER (
+               PARTITION BY stream_id
+               ORDER BY n_tokens DESC, doc_id ASC) - 1) // 16 AS BIGINT) AS batch_id
+      FROM c
     )
-    SELECT doc_id, n_tokens, stream_id, bin_id,
+    SELECT 'pack' AS mode, doc_id, n_tokens, stream_id, bin_id,
            CAST(SUM(n_tokens) OVER (PARTITION BY stream_id, bin_id) AS BIGINT) AS bin_tokens,
            CAST(COALESCE(SUM(n_tokens) OVER (
              PARTITION BY stream_id, bin_id
              ORDER BY n_tokens DESC, doc_id ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
     FROM b
+    UNION ALL
+    SELECT 'batch', doc_id, n_tokens, stream_id, batch_id,
+           CAST(MAX(n_tokens) OVER (PARTITION BY stream_id, batch_id) AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM bb
     """,
     doc="Fixed-budget sequence packing (operators/chunking.pack_sequences): "
     "documents hash-partitioned into 8 content-hash streams, each stream "
@@ -3011,11 +3022,21 @@ def _portable_stream_hash(c: str) -> F.Column:
     "bin, the loader contract for packing WITHOUT cross-document "
     "attention contamination (per-document masks/position resets need "
     "document starts); hash-checked per row against the twin's "
-    "within-bin prior-token window sum.",
+    "within-bin prior-token window sum. r11 second leg 'batch': "
+    "chunking.batch_by_length — length-bucketed FIXED-COUNT batching "
+    "(the padding-waste minimizer for serving/eval: per-stream length "
+    "sort, cut every 16 rows) on the same portable streams; bin_id "
+    "carries the batch id and bin_tokens the batch's padded length "
+    "(max tokens), every row hash-checked against the twin's "
+    "row_number-div window.",
     tags=["llm", "shaping"],
 )
 def x18_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
-    from waterdata_spark.operators.chunking import pack_offsets, pack_sequences
+    from waterdata_spark.operators.chunking import (
+        batch_by_length,
+        pack_offsets,
+        pack_sequences,
+    )
 
     d = load_table(spark, sf, "documents")
     out = pack_sequences(
@@ -3026,9 +3047,29 @@ def x18_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         n_streams=8,
         stream_hash=_portable_stream_hash,
     )
-    return pack_offsets(out).select(
-        "doc_id", "n_tokens", "stream_id", "bin_id", "bin_tokens", "offset"
+    pack_leg = pack_offsets(out).select(
+        F.lit("pack").alias("mode"),
+        "doc_id", "n_tokens", "stream_id", "bin_id", "bin_tokens", "offset",
     )
+    # 'batch' leg (r11): length-bucketed batching on the same portable
+    # streams — batch_id rides bin_id, padded length rides bin_tokens
+    batch_leg = batch_by_length(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        batch_size=16,
+        n_streams=8,
+        stream_hash=_portable_stream_hash,
+    ).select(
+        F.lit("batch").alias("mode"),
+        "doc_id",
+        "n_tokens",
+        "stream_id",
+        F.col("batch_id").alias("bin_id"),
+        F.col("batch_max_tokens").alias("bin_tokens"),
+        F.lit(None).cast("long").alias("offset"),
+    )
+    return pack_leg.unionByName(batch_leg)
 
 
 @query(
