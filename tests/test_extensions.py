@@ -2601,8 +2601,9 @@ class TestPrSweep:
         from waterdata_spark.operators.classify import pr_sweep
 
         df = spark.createDataFrame(
-            [(0.9, 1), (0.4, 0), (None, 1), (0.7, None), (0.1, 0)],
-            "s double, y int",
+            [(0.9, 1), (0.4, 0), (None, 1), (0.7, None), (0.1, 0),
+             (float("nan"), 0)],  # NaN clears every threshold in Spark
+            "s double, y int",     # ordering — must be excluded (r11)
         )
         out = pr_sweep(df, "s", "y", [0.5])
         [r] = out.collect()

@@ -80,6 +80,20 @@ class TestCmsStore:
         with pytest.raises(RuntimeError):
             cms_batch(_ref(spark), str(tmp_path / "nope"), 0)
 
+    def test_superseded_versions_pruned(self, spark, tmp_path):
+        # r11 review catch: per-micro-batch full copies must not
+        # accumulate — at most current + one grace version stay on disk
+        import os
+
+        ref = _ref(spark)
+        table = str(tmp_path / "cmsp")
+        init_cms_store(ref.limit(0), table, "h", depth=DEPTH, width=WIDTH)
+        for b in range(4):
+            cms_batch(ref.limit(100 * (b + 1)), table, batch_id=b)
+        vers = [d for d in os.listdir(table) if d.startswith("v")]
+        assert sorted(vers) == ["v3", "v4"]
+        assert read_cms(spark, table).count() > 0  # pointer still serves
+
     def test_store_serves_dedup_gate_exactly(self, spark, tmp_path):
         # the maintained store IS the gate: gated output must equal the
         # plain anti-join row-for-row (no false negatives at any state)
@@ -136,6 +150,8 @@ class TestBloomStore:
         assert (got.n_bits, got.k, got.seed) == (want.n_bits, want.k, want.seed)
 
     def test_replayed_batch_is_noop_and_versions_monotonic(self, spark, tmp_path):
+        import os
+
         ref = _ref(spark)
         table = str(tmp_path / "bloom2")
         init_bloom_store(ref.limit(0), table, "h", n_bits=N_BITS, k=K)
@@ -144,6 +160,9 @@ class TestBloomStore:
         assert bloom_batch(ref, table, batch_id=0) is None
         assert read_bloom(table).to_bytes() == before
         assert bloom_batch(ref, table, batch_id=1) == "v2.bits"
+        assert bloom_batch(ref, table, batch_id=2) == "v3.bits"
+        vers = [d for d in os.listdir(table) if d.endswith(".bits")]
+        assert sorted(vers) == ["v2.bits", "v3.bits"]  # pruned (r11)
 
     def test_store_serves_dedup_gate_exactly(self, spark, tmp_path):
         from waterdata_spark.operators.dedup import dedup_against_exact

@@ -41,11 +41,11 @@ class TestIngestBatch:
         rel, dig, gate = _dirs(tmp_path, "a")
         init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
         # batch 0: 30 docs, one within-batch dup (id 10_000 dups doc 3)
-        n0 = ingest_batch(_docs(spark, 0, 30, dup_of=[3]), 0, rel, dig, gate, cms_width=4096)
+        n0 = ingest_batch(_docs(spark, 0, 30, dup_of=[3]), 0, rel, dig, gate)
         assert n0 == 30
         # batch 1: 10 new docs + 5 cross-batch dups of batch 0 content
         n1 = ingest_batch(
-            _docs(spark, 30, 40, dup_of=[1, 2, 3, 4, 5]), 1, rel, dig, gate, cms_width=4096
+            _docs(spark, 30, 40, dup_of=[1, 2, 3, 4, 5]), 1, rel, dig, gate
         )
         assert n1 == 10
         back = read_training_shards(
@@ -61,13 +61,13 @@ class TestIngestBatch:
         rel, dig, gate = _dirs(tmp_path, "b")
         init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
         b0 = _docs(spark, 0, 25)
-        assert ingest_batch(b0, 0, rel, dig, gate, cms_width=4096) == 25
+        assert ingest_batch(b0, 0, rel, dig, gate) == 25
         man_before = json.load(open(os.path.join(rel, MANIFEST)))
         dig_before = sorted(
             r[0] for r in read_digests(spark, dig).collect()
         )
         # checkpoint-recovery redelivery of the SAME batch id
-        assert ingest_batch(b0, 0, rel, dig, gate, cms_width=4096) == 25
+        assert ingest_batch(b0, 0, rel, dig, gate) == 25
         man_after = json.load(open(os.path.join(rel, MANIFEST)))
         assert man_after == man_before  # release untouched (pointer)
         assert sorted(r[0] for r in read_digests(spark, dig).collect()) == dig_before
@@ -80,8 +80,8 @@ class TestIngestBatch:
         rel, dig, gate = _dirs(tmp_path, "c")
         init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
         b = _docs(spark, 0, 20)
-        assert ingest_batch(b, 0, rel, dig, gate, cms_width=4096) == 20
-        assert ingest_batch(b, 1, rel, dig, gate, cms_width=4096) == 0
+        assert ingest_batch(b, 0, rel, dig, gate) == 20
+        assert ingest_batch(b, 1, rel, dig, gate) == 0
         man = json.load(open(os.path.join(rel, MANIFEST)))
         assert man["total_rows"] == 20
 
@@ -98,9 +98,7 @@ class TestIngestStream:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = ingest_stream_sink(
-            stream, rel, dig, gate, str(tmp_path / "ckpt"), cms_width=4096
-        )
+        q = ingest_stream_sink(stream, rel, dig, gate, str(tmp_path / "ckpt"))
         q.awaitTermination(180)
         back = read_training_shards(spark, rel, schema="doc_id long, text string")
         texts = [r["text"] for r in back.collect()]

@@ -64,9 +64,9 @@ def _block(spark, sf_dir: str, work: str) -> dict:
         )
         init_ingest(spark, rel, dig, gate, n_shards=16, cms_width=CMS_W)
         # untimed: seed the stored corpus in one bulk batch
-        ingest_batch(docs, 0, rel, dig, gate, cms_width=CMS_W)
+        ingest_batch(docs, 0, rel, dig, gate)
         t0 = time.time()
-        n_new = ingest_batch(batch, 1, rel, dig, gate, cms_width=CMS_W)
+        n_new = ingest_batch(batch, 1, rel, dig, gate)
         runs.append(round(time.time() - t0, 3))
         shutil.rmtree(base, ignore_errors=True)
         gc.collect()

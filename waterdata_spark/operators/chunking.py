@@ -206,6 +206,16 @@ def pack_sequences_bfd(
     sorted capacity list. ``id_col`` must be unique (it is the join-
     back key; duplicate ids would also make the deterministic
     (n_tokens DESC, id ASC) visit order ambiguous).
+
+    The input plan is evaluated twice (the slim packing leg + the
+    join's payload leg) — **it must therefore be deterministic across
+    evaluations** (the split-plan correctness contract cap_per_group
+    and dedup_against_exact document): a ``rand()`` column, unseeded
+    sampling, or a changing source can make the legs disagree and
+    silently drop rows at the inner join; persist/checkpoint such an
+    input first. The tokenizer runs ONCE (in the slim leg — the join
+    carries its n_tokens back), so the second evaluation is a plain
+    payload scan.
     """
     import bisect
 
@@ -214,15 +224,15 @@ def pack_sequences_bfd(
     if stream_hash is None:
         stream_hash = lambda c: F.xxhash64(F.col(c).cast("string"))  # noqa: E731
 
-    prepared = (
+    slim = (
         df.withColumn("n_tokens", F.size(tokenizer(text_col)).cast("long"))
         .filter(F.col("n_tokens") > 0)
         .withColumn(
             "stream_id",
             F.pmod(stream_hash(id_col), F.lit(n_streams)).cast("int"),
         )
+        .select(id_col, "n_tokens", "stream_id")
     )
-    slim = prepared.select(id_col, "n_tokens", "stream_id")
     out_schema = slim.withColumn("bin_id", F.lit(0).cast("long")).withColumn(
         "bin_tokens", F.lit(0).cast("long")
     ).schema
@@ -253,13 +263,12 @@ def pack_sequences_bfd(
         pdf["bin_tokens"] = pdf.groupby("bin_id")["n_tokens"].transform("sum")
         return pdf
 
-    assignments = (
-        slim.groupBy("stream_id")
-        .applyInPandas(_pack, out_schema)
-        .select(id_col, "bin_id", "bin_tokens")
-    )
-    return prepared.join(assignments, id_col).select(
-        *prepared.columns, "bin_id", "bin_tokens"
+    # n_tokens/stream_id ride BACK from the assignments (computed once
+    # in the slim leg) — the payload leg never re-runs the tokenizer
+    assignments = slim.groupBy("stream_id").applyInPandas(_pack, out_schema)
+    base = df.drop("n_tokens", "stream_id")
+    return base.join(assignments, id_col).select(
+        *base.columns, "n_tokens", "stream_id", "bin_id", "bin_tokens"
     )
 
 

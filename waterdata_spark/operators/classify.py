@@ -564,8 +564,11 @@ def pr_sweep(
     ``(|thresholds|+1) x 2`` rows; the per-threshold counts are then
     suffix sums over that tiny frame (a bounded non-equi join of the
     |T|-row threshold frame against it — never a corpus-wide pass per
-    threshold; the naive form scans the corpus |T| times). NULL
-    scores/labels are excluded (counted rows only).
+    threshold; the naive form scans the corpus |T| times). NULL and
+    NaN scores and NULL labels are excluded (counted rows only — a
+    NaN is not NULL and Spark orders it ABOVE every double, so without
+    the explicit guard a 0/0-produced NaN score would count as
+    clearing every threshold; r11 review catch).
     """
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
@@ -576,7 +579,7 @@ def pr_sweep(
     arr = F.array(*[F.lit(t) for t in ts])
     bucket = F.size(F.filter(arr, lambda t: s >= t))
     counts = (
-        scored.filter(s.isNotNull() & y.isNotNull())
+        scored.filter(s.isNotNull() & ~F.isnan(s) & y.isNotNull())
         .select(bucket.alias("__k"), y.alias("__y"))
         .groupBy("__k", "__y")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -587,7 +590,9 @@ def pr_sweep(
     )
     # a row with bucket k clears thresholds ranked 1..k, so threshold
     # rank r's positive-prediction set is every bucket k >= r
-    counts = counts.persist()  # tiny ((|T|+1) x 2 rows); scanned twice below
+    # tiny ((|T|+1) x 2 rows), scanned twice below; registered so the
+    # previous sweep's cache releases (the module's cachereg convention)
+    counts = cachereg.register("classify.pr_sweep", counts.persist())
     joined = F.broadcast(tdf).join(counts, F.col("__k") >= F.col("__rank"), "left")
     per_t = joined.groupBy("__rank", "threshold").agg(
         F.sum(F.when(F.col("__y") == 1, F.col("__n")).otherwise(0)).alias("tp"),

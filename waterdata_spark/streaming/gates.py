@@ -77,6 +77,34 @@ def _read_params(table_dir: str) -> dict:
         return json.load(f)
 
 
+def _prune_versions(table_dir: str, keep: int = 2) -> None:
+    """Remove superseded gate versions, keeping the newest ``keep``
+    (current + one generation of grace for a reader that resolved the
+    pointer just before the swap). Unlike the low-frequency profile
+    store, the gates update per MICRO-BATCH on the hot ingest path —
+    without pruning a long-running stream keeps every full copy of
+    the counter table / bit file forever (r11 review catch). Safe
+    because all readers go through the pointer (the module contract)
+    and the store is single-writer."""
+    import re
+    import shutil
+
+    entries = []
+    for name in os.listdir(table_dir):
+        m = re.fullmatch(r"v(\d+)(\.bits)?", name)
+        if m:
+            entries.append((int(m.group(1)), name))
+    for _, name in sorted(entries)[:-keep]:
+        path = os.path.join(table_dir, name)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+
+
 # ---------------------------------------------------------------- CMS
 
 
@@ -132,6 +160,7 @@ def cms_batch(batch_df: DataFrame, table_dir: str, batch_id: int) -> str | None:
     next_version = f"v{int(version.lstrip('v')) + 1}"
     merged.write.mode("overwrite").parquet(os.path.join(table_dir, next_version))
     _write_pointer(table_dir, next_version, batch_id)
+    _prune_versions(table_dir)
     return next_version
 
 
@@ -209,6 +238,7 @@ def bloom_batch(batch_df: DataFrame, table_dir: str, batch_id: int) -> str | Non
     with open(os.path.join(table_dir, next_version), "wb") as f:
         f.write(merged.to_bytes())
     _write_pointer(table_dir, next_version, batch_id)
+    _prune_versions(table_dir)
     return next_version
 
 

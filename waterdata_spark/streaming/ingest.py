@@ -131,26 +131,46 @@ def ingest_batch(
     gate_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    cms_depth: int = 4,
-    cms_width: int = 1 << 20,
 ) -> int:
     """One ingest step (the foreachBatch body, callable directly — the
     replay tests do). Returns the number of NEW documents that landed
     in the release (0 for an all-duplicate batch; a replayed batch
     recomputes the same survivor set and each sub-store no-ops).
 
+    The gate is SERVED with the parameters recorded in the gate store
+    at :func:`init_ingest` time — never caller-supplied ones (r11
+    review catch: probing a depth×width counter table with a different
+    width looks up absent buckets, flags every row "definitely new",
+    skips the exact anti-join, and silently duplicates the corpus;
+    reading ``_PARAMS.json`` makes that mismatch impossible).
+
     Batches must apply IN ORDER (Structured Streaming guarantees this
     — a batch commits before the next starts; direct callers must keep
     the same discipline): the gate's no-false-negative guarantee for
     batch M relies on batch N < M having completed its gate update."""
+    from waterdata_spark.streaming.gates import _read_params
+
     spark = batch_df.sparkSession
-    # within-batch dedup first, then the digest column ONCE — every
-    # later step (anti-join, gate, store, sketch) rides the fixed
-    # width digest, never the text. Persist: three sub-stores consume
-    # this frame and the upstream (a streaming batch) must evaluate
-    # deterministically across them (the split-plan contract).
-    keyed = exact_dedup(batch_df, [text_col], id_col).withColumn(
-        _DIGEST_COL, content_digest([text_col])
+    gate_params = _read_params(gate_dir)
+    if gate_params.get("seed") != "xgate":
+        # dedup_against_exact's prefilter hashes with the fixed 'xgate'
+        # seed; a store built under another seed cannot serve it
+        raise ValueError(
+            f"gate store seed {gate_params.get('seed')!r} != 'xgate' — "
+            "init the ingest gate with the default seed"
+        )
+    # the digest column ONCE, then within-batch dedup ON it — every
+    # later step (dedup election, anti-join, gate, store, sketch)
+    # rides the fixed-width digest; the text is never re-hashed
+    # (content_digest's documented digest-once pattern). Persist:
+    # three sub-stores consume this frame and the upstream (a
+    # streaming batch) must evaluate deterministically across them
+    # (the split-plan contract).
+    keyed = exact_dedup(
+        batch_df.withColumn(_DIGEST_COL, content_digest([text_col])),
+        [],
+        id_col,
+        digest_col=_DIGEST_COL,
     )
     stored = read_digests(spark, digest_dir, exclude_batch=batch_id)
     gate = read_cms(spark, gate_dir)
@@ -161,8 +181,8 @@ def ingest_batch(
         digest_col=_DIGEST_COL,
         prefilter="cms",
         prefilter_cms=gate,
-        prefilter_depth=cms_depth,
-        prefilter_width=cms_width,
+        prefilter_depth=gate_params["depth"],
+        prefilter_width=gate_params["width"],
     ).persist()
     try:
         n_new = new.count()
@@ -189,14 +209,13 @@ def ingest_stream_sink(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    cms_depth: int = 4,
-    cms_width: int = 1 << 20,
 ):
     """Start an ``availableNow`` foreachBatch query running
-    :func:`ingest_batch` per micro-batch. Returns the StreamingQuery
-    (caller awaits termination). Keep ONE checkpoint per release for
-    its whole life — batch ids restart with a fresh checkpoint and
-    the replay guards key on them."""
+    :func:`ingest_batch` per micro-batch (gate parameters come from
+    the gate store itself — see :func:`ingest_batch`). Returns the
+    StreamingQuery (caller awaits termination). Keep ONE checkpoint
+    per release for its whole life — batch ids restart with a fresh
+    checkpoint and the replay guards key on them."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(
@@ -207,8 +226,6 @@ def ingest_stream_sink(
             gate_dir,
             id_col=id_col,
             text_col=text_col,
-            cms_depth=cms_depth,
-            cms_width=cms_width,
         )
 
     return (
