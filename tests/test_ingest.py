@@ -86,6 +86,38 @@ class TestIngestBatch:
         assert man["total_rows"] == 20
 
 
+class TestPrepareHook:
+    def test_curation_runs_per_batch(self, spark, tmp_path):
+        """The prepare hook curates each batch before dedup: gated-out
+        docs never reach the release, the digest store, or the gate."""
+        from waterdata_spark.functions.text import GOPHER_THRESHOLDS
+        from waterdata_spark.pipelines.curate import curate_corpus
+
+        rel, dig, gate = _dirs(tmp_path, "p")
+        init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
+        # only the word-count band is restrictive; every other default
+        # band is opened wide so the test pins the hook's plumbing, not
+        # Gopher's thresholds
+        bands = {k: (-1e18, 1e18) for k in GOPHER_THRESHOLDS}
+        bands["n_words"] = (20, 1e9)
+        good = [
+            (i, " ".join(f"token{i}x{j}" for j in range(25))) for i in range(10)
+        ]
+        bad = [(100 + i, "too short") for i in range(5)]  # gated out
+        batch = spark.createDataFrame(good + bad, "doc_id long, text string")
+        n = ingest_batch(
+            batch, 0, rel, dig, gate,
+            prepare=lambda b: curate_corpus(
+                b, quality_gate={"thresholds": bands}, audit=False
+            ).df,
+        )
+        assert n == 10
+        back = read_training_shards(spark, rel, schema="doc_id long, text string")
+        ids = {r["doc_id"] for r in back.collect()}
+        assert ids == set(range(10))  # gated docs never reached any store
+        assert read_digests(spark, dig).count() == 10
+
+
 class TestIngestStream:
     def test_stream_equals_batch_union(self, spark, tmp_path):
         rel, dig, gate = _dirs(tmp_path, "s")

@@ -131,11 +131,21 @@ def ingest_batch(
     gate_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prepare=None,
 ) -> int:
     """One ingest step (the foreachBatch body, callable directly — the
     replay tests do). Returns the number of NEW documents that landed
     in the release (0 for an all-duplicate batch; a replayed batch
     recomputes the same survivor set and each sub-store no-ops).
+
+    ``prepare``: optional ``DataFrame -> DataFrame`` applied to the
+    batch BEFORE dedup — the curation hook (e.g. ``lambda b:
+    curate_corpus(b, quality_gate={}, audit=False).df`` runs the
+    stateless cascade stages per micro-batch, so only curated
+    survivors reach the corpus). It must be DETERMINISTIC (the
+    replayed batch must reproduce the same survivor set) and
+    stateless per batch; corpus-wide stages (boilerplate thresholds,
+    near-dup across batches) belong in a batch re-curation, not here.
 
     The gate is SERVED with the parameters recorded in the gate store
     at :func:`init_ingest` time — never caller-supplied ones (r11
@@ -159,6 +169,8 @@ def ingest_batch(
             f"gate store seed {gate_params.get('seed')!r} != 'xgate' — "
             "init the ingest gate with the default seed"
         )
+    if prepare is not None:
+        batch_df = prepare(batch_df)
     # the digest column ONCE, then within-batch dedup ON it — every
     # later step (dedup election, anti-join, gate, store, sketch)
     # rides the fixed-width digest; the text is never re-hashed
@@ -209,13 +221,15 @@ def ingest_stream_sink(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prepare=None,
 ):
     """Start an ``availableNow`` foreachBatch query running
     :func:`ingest_batch` per micro-batch (gate parameters come from
-    the gate store itself — see :func:`ingest_batch`). Returns the
-    StreamingQuery (caller awaits termination). Keep ONE checkpoint
-    per release for its whole life — batch ids restart with a fresh
-    checkpoint and the replay guards key on them."""
+    the gate store itself; ``prepare`` is the per-batch curation hook
+    — see :func:`ingest_batch`). Returns the StreamingQuery (caller
+    awaits termination). Keep ONE checkpoint per release for its
+    whole life — batch ids restart with a fresh checkpoint and the
+    replay guards key on them."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(
@@ -226,6 +240,7 @@ def ingest_stream_sink(
             gate_dir,
             id_col=id_col,
             text_col=text_col,
+            prepare=prepare,
         )
 
     return (
