@@ -86,6 +86,34 @@ class TestIngestBatch:
         assert man["total_rows"] == 20
 
 
+class TestCompaction:
+    def test_compact_preserves_membership_and_folds_dirs(self, spark, tmp_path):
+        from waterdata_spark.streaming.ingest import compact_digests
+
+        rel, dig, gate = _dirs(tmp_path, "k")
+        init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
+        for b in range(3):
+            ingest_batch(_docs(spark, 20 * b, 20 * (b + 1)), b, rel, dig, gate)
+        before = sorted(r[0] for r in read_digests(spark, dig).collect())
+        base = compact_digests(spark, dig)
+        assert base == "base_v0"
+        assert not [d for d in os.listdir(dig) if d.startswith("batch=")]
+        after = sorted(r[0] for r in read_digests(spark, dig).collect())
+        assert after == before
+        # cross-corpus dedup still works against the compacted base
+        n = ingest_batch(
+            _docs(spark, 60, 70, dup_of=[1, 25, 45]), 3, rel, dig, gate
+        )
+        assert n == 10
+        # second compaction folds base + the new batch dir
+        assert compact_digests(spark, dig) == "base_v1"
+        assert read_digests(spark, dig).count() == 70
+        empty = tmp_path / "empty-nothing"
+        empty.mkdir()
+        with pytest.raises(RuntimeError):
+            compact_digests(spark, str(empty))
+
+
 class TestPrepareHook:
     def test_curation_runs_per_batch(self, spark, tmp_path):
         """The prepare hook curates each batch before dedup: gated-out

@@ -9,6 +9,7 @@ from waterdata_spark.streaming.gates import (
     read_cms,
 )
 from waterdata_spark.streaming.ingest import (
+    compact_digests,
     ingest_batch,
     ingest_stream_sink,
     init_ingest,
@@ -32,6 +33,7 @@ __all__ = [
     "bloom_stream_sink",
     "cms_batch",
     "cms_stream_sink",
+    "compact_digests",
     "decontaminate_batch",
     "decontaminate_stream_sink",
     "hourly_rollup_stream",

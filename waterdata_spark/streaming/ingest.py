@@ -52,7 +52,13 @@ from waterdata_spark.operators.dedup import (
 from waterdata_spark.sources.shards import append_training_shards
 from waterdata_spark.streaming.gates import cms_batch, init_cms_store, read_cms
 
-__all__ = ["init_ingest", "ingest_batch", "ingest_stream_sink", "read_digests"]
+__all__ = [
+    "compact_digests",
+    "ingest_batch",
+    "ingest_stream_sink",
+    "init_ingest",
+    "read_digests",
+]
 
 _DIGEST_COL = "__ingest_digest"
 
@@ -104,8 +110,9 @@ def init_ingest(
 def read_digests(
     spark: SparkSession, digest_dir: str, exclude_batch: int | None = None
 ) -> DataFrame:
-    """The stored digest set (one sha2 string column) across all
-    applied batches; empty frame when nothing has been ingested.
+    """The stored digest set (one sha2 string column): the compacted
+    base (if :func:`compact_digests` has run) plus all per-batch
+    directories; empty frame when nothing has been ingested.
     ``exclude_batch`` drops that batch's own directory — the REPLAY
     guard :func:`ingest_batch` needs: on redelivery after a crash the
     batch's digests may already be stored, and reading them back would
@@ -113,14 +120,68 @@ def read_digests(
     directory with an empty frame (found in design review — the
     survivor set must be a pure function of the state BEFORE the
     batch)."""
-    batches = [
+    parts = [
         d
         for d in os.listdir(digest_dir)
         if d.startswith("batch=") and d != f"batch={exclude_batch}"
     ]
-    if not batches:
+    base = _read_compact_pointer(digest_dir)
+    if base is not None:
+        parts.append(base)
+    if not parts:
         return spark.createDataFrame([], f"{_DIGEST_COL} string")
-    return spark.read.parquet(*[os.path.join(digest_dir, b) for b in batches])
+    return spark.read.parquet(*[os.path.join(digest_dir, b) for b in parts])
+
+
+_COMPACT = "_COMPACT"
+
+
+def _read_compact_pointer(digest_dir: str) -> str | None:
+    ptr = os.path.join(digest_dir, _COMPACT)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return f.read().strip()
+
+
+def compact_digests(spark: SparkSession, digest_dir: str) -> str:
+    """Fold the per-batch digest directories into one compacted base
+    (r11): a live ingest accumulates one directory (with one-or-more
+    small files) per micro-batch — after thousands of batches the
+    stored-digest scan every :func:`ingest_batch` pays is dominated by
+    file-open overhead, not rows. Run this periodically (it is a
+    MAINTENANCE action, not part of the batch path): it writes
+    base ∪ batches as a new base version, atomically swaps the
+    ``_COMPACT`` pointer, then removes the folded inputs.
+
+    Crash-safe in the direction that matters: the pointer swap is an
+    atomic rename, and a crash BEFORE the old directories are removed
+    leaves some digests present in both the new base and a batch
+    directory — duplicate rows in the stored SET, which the anti-join
+    semantics tolerate (membership is unchanged); the next compaction
+    folds the leftovers away. Run from ONE process, not concurrently
+    with an in-flight ingest batch (single-writer, like the stores)."""
+    import shutil
+
+    old_base = _read_compact_pointer(digest_dir)
+    batches = sorted(
+        d for d in os.listdir(digest_dir) if d.startswith("batch=")
+    )
+    parts = list(batches) + ([old_base] if old_base else [])
+    if not parts:
+        raise RuntimeError(f"nothing to compact in {digest_dir}")
+    merged = spark.read.parquet(*[os.path.join(digest_dir, p) for p in parts])
+    n = int(old_base.split("_v")[1]) + 1 if old_base else 0
+    new_base = f"base_v{n}"
+    merged.write.mode("overwrite").parquet(os.path.join(digest_dir, new_base))
+    tmp = os.path.join(digest_dir, _COMPACT + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(new_base)
+    os.replace(tmp, os.path.join(digest_dir, _COMPACT))
+    for p in parts:
+        if p != new_base:
+            shutil.rmtree(os.path.join(digest_dir, p), ignore_errors=True)
+    return new_base
 
 
 def ingest_batch(
