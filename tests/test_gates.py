@@ -74,6 +74,32 @@ class TestCmsStore:
         assert before == after
         assert cms_batch(ref, table, batch_id=1) == "v2"  # next applies
 
+    def test_rebuild_replaces_with_fresh_build(self, spark, tmp_path):
+        """r12: cms_rebuild REPLACES the table (maintenance-time base
+        gate) — bit-identical to a direct build over the same frame,
+        version monotonic, batch pointer preserved."""
+        from waterdata_spark.streaming.gates import cms_rebuild
+        from waterdata_spark.streaming.profile import _read_pointer
+
+        ref = _ref(spark)
+        table = str(tmp_path / "cmsr")
+        init_cms_store(ref.limit(0), table, "h", depth=DEPTH, width=WIDTH)
+        cms_batch(ref.limit(500), table, batch_id=0)
+        v = cms_rebuild(ref, table)
+        assert v == "v2" and _read_pointer(table) == ("v2", 0)
+        got = sorted(map(tuple, read_cms(spark, table).collect()))
+        want = sorted(
+            map(
+                tuple,
+                count_min_build(
+                    ref, "h", depth=DEPTH, width=WIDTH, seed="xgate"
+                ).collect(),
+            )
+        )
+        assert got == want  # replaced, not merged
+        with pytest.raises(RuntimeError):
+            cms_rebuild(ref, str(tmp_path / "absent"))
+
     def test_uninitialized_raises(self, spark, tmp_path):
         with pytest.raises(RuntimeError):
             read_cms(spark, str(tmp_path / "nope"))
@@ -88,8 +114,19 @@ class TestCmsStore:
         ref = _ref(spark)
         table = str(tmp_path / "cmsp")
         init_cms_store(ref.limit(0), table, "h", depth=DEPTH, width=WIDTH)
-        for b in range(4):
+        for b in range(2):
             cms_batch(ref.limit(100 * (b + 1)), table, batch_id=b)
+        # ADVICE r11: the default 10-min age grace protects versions a
+        # concurrent lazy reader may still reference — nothing this
+        # young prunes under the default knobs
+        assert sorted(
+            d for d in os.listdir(table) if d.startswith("v")
+        ) == ["v0", "v1", "v2"]
+        for b in range(2, 4):
+            cms_batch(
+                ref.limit(100 * (b + 1)), table, batch_id=b,
+                prune_min_age_sec=0.0,
+            )
         vers = [d for d in os.listdir(table) if d.startswith("v")]
         assert sorted(vers) == ["v3", "v4"]
         assert read_cms(spark, table).count() > 0  # pointer still serves
@@ -159,8 +196,8 @@ class TestBloomStore:
         before = read_bloom(table).to_bytes()
         assert bloom_batch(ref, table, batch_id=0) is None
         assert read_bloom(table).to_bytes() == before
-        assert bloom_batch(ref, table, batch_id=1) == "v2.bits"
-        assert bloom_batch(ref, table, batch_id=2) == "v3.bits"
+        assert bloom_batch(ref, table, batch_id=1, prune_min_age_sec=0.0) == "v2.bits"
+        assert bloom_batch(ref, table, batch_id=2, prune_min_age_sec=0.0) == "v3.bits"
         vers = [d for d in os.listdir(table) if d.endswith(".bits")]
         assert sorted(vers) == ["v2.bits", "v3.bits"]  # pruned (r11)
 

@@ -114,6 +114,116 @@ class TestCompaction:
             compact_digests(spark, str(empty))
 
 
+class TestBucketedDigestStore:
+    def test_pruned_probe_equals_full_scan(self, spark, tmp_path):
+        """r12 (VERDICT r11 item 1): after compaction the base is
+        bucketed on the digest; ingest against the bucketed store must
+        produce the same corpus as the unbucketed semantics, the
+        pointer must carry the bucket count, and a pruned read
+        restricted to a digest set's buckets must contain exactly the
+        stored members of that set."""
+        from waterdata_spark.streaming.ingest import (
+            _read_compact_pointer,
+            compact_digests,
+            digest_bucket,
+        )
+
+        rel, dig, gate = _dirs(tmp_path, "bk")
+        init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
+        for b in range(2):
+            ingest_batch(_docs(spark, 30 * b, 30 * (b + 1)), b, rel, dig, gate)
+        compact_digests(spark, dig, n_buckets=8)
+        assert _read_compact_pointer(dig) == ("base_v0", 8)
+        # bucket directories exist on disk (partition layout)
+        base = str(tmp_path / "bk" / "digests" / "base_v0")
+        assert [d for d in os.listdir(base) if d.startswith("__bkt=")]
+        # ingest new + dups against the bucketed base: same semantics
+        n = ingest_batch(
+            _docs(spark, 60, 70, dup_of=[5, 35, 59]), 2, rel, dig, gate
+        )
+        assert n == 10
+        assert read_digests(spark, dig).count() == 70
+        # pruned read: probing a known digest set's buckets finds every
+        # stored member of the set and nothing outside those buckets
+        probe = _docs(spark, 10, 12)  # stored content (batch 0)
+        from waterdata_spark.operators.dedup import content_digest
+
+        pdig = probe.select(content_digest(["text"]).alias("__ingest_digest"))
+        bkts = [
+            r["b"]
+            for r in pdig.select(
+                digest_bucket("__ingest_digest", 8).alias("b")
+            ).distinct().collect()
+        ]
+        pruned = read_digests(spark, dig, buckets=bkts)
+        hits = pruned.join(pdig, "__ingest_digest", "left_semi")
+        assert hits.count() == 2
+        # empty bucket list skips the base entirely (batch dirs only)
+        assert read_digests(spark, dig, buckets=[]).count() == 10
+
+    def test_rebucketing_and_target_sizing(self, spark, tmp_path):
+        from waterdata_spark.streaming.ingest import (
+            _read_compact_pointer,
+            compact_digests,
+        )
+
+        rel, dig, gate = _dirs(tmp_path, "rb")
+        init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
+        ingest_batch(_docs(spark, 0, 40), 0, rel, dig, gate)
+        compact_digests(spark, dig, target_rows_per_bucket=8)
+        name, nb = _read_compact_pointer(dig)
+        assert name == "base_v0" and nb == 8  # next pow2 of 40/8
+        before = sorted(r[0] for r in read_digests(spark, dig).collect())
+        # re-bucket at a different count: membership identical
+        ingest_batch(_docs(spark, 40, 50), 1, rel, dig, gate)
+        compact_digests(spark, dig, n_buckets=2)
+        assert _read_compact_pointer(dig) == ("base_v1", 2)
+        after = sorted(r[0] for r in read_digests(spark, dig).collect())
+        assert len(after) == 50 and set(before) <= set(after)
+
+    def test_broadcast_and_fallback_plans_agree(self, spark, tmp_path):
+        """broadcast_cap=0 forces the distributed anti-join fallback;
+        the survivor set must equal the broadcast semi-probe plan's."""
+        from waterdata_spark.streaming.ingest import compact_digests
+
+        results = {}
+        for cap, tag in ((1_000_000, "bc"), (0, "fb")):
+            rel, dig, gate = _dirs(tmp_path, f"plan-{tag}")
+            init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
+            ingest_batch(_docs(spark, 0, 30), 0, rel, dig, gate)
+            compact_digests(spark, dig, n_buckets=4)
+            n = ingest_batch(
+                _docs(spark, 30, 40, dup_of=[3, 7, 29]), 1, rel, dig, gate,
+                broadcast_cap=cap,
+            )
+            assert n == 10
+            back = read_training_shards(
+                spark, rel, schema="doc_id long, text string"
+            )
+            results[tag] = sorted(r["text"] for r in back.collect())
+        assert results["bc"] == results["fb"]
+
+    def test_replay_after_compaction_skips_digest_overwrite(self, spark, tmp_path):
+        """ADVICE r11: crash between the digest/gate commit and the
+        streaming checkpoint commit, maintenance compaction, restart —
+        the replayed batch recomputes an empty survivor set; the guard
+        must skip recreating an empty batch=N provenance directory."""
+        from waterdata_spark.streaming.ingest import compact_digests
+
+        rel, dig, gate = _dirs(tmp_path, "rc")
+        init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
+        b1 = _docs(spark, 20, 40)
+        ingest_batch(_docs(spark, 0, 20), 0, rel, dig, gate)
+        assert ingest_batch(b1, 1, rel, dig, gate) == 20
+        compact_digests(spark, dig, n_buckets=4)
+        # replay of batch 1 after its digests were folded into the base
+        assert ingest_batch(b1, 1, rel, dig, gate) == 0
+        assert not os.path.isdir(os.path.join(dig, "batch=1"))
+        assert read_digests(spark, dig).count() == 40
+        man = json.load(open(os.path.join(rel, MANIFEST)))
+        assert man["total_rows"] == 40 and man["last_append_batch"] == 1
+
+
 class TestPrepareHook:
     def test_curation_runs_per_batch(self, spark, tmp_path):
         """The prepare hook curates each batch before dedup: gated-out
@@ -186,6 +296,38 @@ class TestStagedAppend:
         assert m2 == m1
         back = read_training_shards(spark, out, schema="doc_id long, text string")
         assert back.count() == 50
+
+    def test_bare_append_raises_on_stream_managed_release(self, spark, tmp_path):
+        """VERDICT r11 item 7: once the manifest carries
+        last_append_batch, an unguarded append must refuse (force=True
+        overrides); the guarded path is unchanged."""
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+        )
+        out = str(tmp_path / "relg")
+        write_training_shards(df, out, n_shards=2)
+        batch = spark.createDataFrame(
+            [(100, "new a"), (101, "new b")], "doc_id long, text string"
+        )
+        # plain release: bare append is fine
+        append_training_shards(batch, out)
+        # stream-managed now: bare append refuses
+        append_training_shards(
+            spark.createDataFrame([(200, "c")], "doc_id long, text string"),
+            out,
+            batch_id=0,
+        )
+        with pytest.raises(ValueError, match="stream-managed"):
+            append_training_shards(batch, out)
+        man = append_training_shards(batch, out, force=True)
+        assert man["total_rows"] == 15
+        # guarded path still works after a forced append
+        m2 = append_training_shards(
+            spark.createDataFrame([(201, "d")], "doc_id long, text string"),
+            out,
+            batch_id=1,
+        )
+        assert m2["total_rows"] == 16 and m2["last_append_batch"] == 1
 
     def test_resume_after_partial_move(self, spark, tmp_path):
         """Simulated crash mid-move: stage manually, move one file,

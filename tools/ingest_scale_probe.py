@@ -33,9 +33,13 @@ REPEATS = int(os.environ.get("INGEST_PROBE_REPEATS", "3"))
 CMS_W = 1 << 20
 
 
-def _block(spark, sf_dir: str, work: str) -> dict:
+def _block(spark, sf_dir: str, work: str, bucketed: bool = True) -> dict:
     from waterdata_spark.schemas import load_table
-    from waterdata_spark.streaming.ingest import ingest_batch, init_ingest
+    from waterdata_spark.streaming.ingest import (
+        compact_digests,
+        ingest_batch,
+        init_ingest,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_base = docs.count()
@@ -65,6 +69,18 @@ def _block(spark, sf_dir: str, work: str) -> dict:
         init_ingest(spark, rel, dig, gate, n_shards=16, cms_width=CMS_W)
         # untimed: seed the stored corpus in one bulk batch
         ingest_batch(docs, 0, rel, dig, gate)
+        if bucketed:
+            # untimed MAINTENANCE: compact into a bucketed base with
+            # rows-per-bucket FIXED across the decades (r12). Target
+            # 1024 — the bucket-count experiment (SCALING.md r12 entry)
+            # measured that finer buckets regress at THIS corpus size
+            # (per-file open overhead swamps the row pruning: B=4096
+            # cost 13s/batch vs 3.7s at B=256 on 500k stored rows);
+            # pruning wins the candidate-bounded regime only when each
+            # bucket is a real file (~64 MB), i.e. at billions of rows.
+            compact_digests(
+                spark, dig, target_rows_per_bucket=1024, gate_dir=gate
+            )
         t0 = time.time()
         n_new = ingest_batch(batch, 1, rel, dig, gate)
         runs.append(round(time.time() - t0, 3))
@@ -96,12 +112,17 @@ def main() -> None:
     spark = get_spark("ingest-scale-probe")
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
-    out = {"metric": "ingest_scale_probe", "repeats": REPEATS}
-    out["sf0.1"] = _block(spark, sf01, os.path.join(work, "a"))
+    bucketed = os.environ.get("INGEST_PROBE_BUCKETED", "1") != "0"
+    out = {
+        "metric": "ingest_scale_probe",
+        "repeats": REPEATS,
+        "bucketed": bucketed,
+    }
+    out["sf0.1"] = _block(spark, sf01, os.path.join(work, "a"), bucketed)
     assert ensure_scaled(spark, sf01, sf1, factor=10)
-    out["sf1"] = _block(spark, sf1, os.path.join(work, "b"))
+    out["sf1"] = _block(spark, sf1, os.path.join(work, "b"), bucketed)
     if ensure_scaled(spark, sf1, sf10, factor=10):
-        out["sf10"] = _block(spark, sf10, os.path.join(work, "c"))
+        out["sf10"] = _block(spark, sf10, os.path.join(work, "c"), bucketed)
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
 

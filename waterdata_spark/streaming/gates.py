@@ -50,6 +50,7 @@ __all__ = [
     "init_cms_store",
     "read_cms",
     "cms_batch",
+    "cms_rebuild",
     "cms_stream_sink",
     "init_bloom_store",
     "read_bloom",
@@ -77,25 +78,45 @@ def _read_params(table_dir: str) -> dict:
         return json.load(f)
 
 
-def _prune_versions(table_dir: str, keep: int = 2) -> None:
+def _prune_versions(
+    table_dir: str, keep: int = 2, min_age_sec: float = 600.0
+) -> None:
     """Remove superseded gate versions, keeping the newest ``keep``
-    (current + one generation of grace for a reader that resolved the
-    pointer just before the swap). Unlike the low-frequency profile
-    store, the gates update per MICRO-BATCH on the hot ingest path —
-    without pruning a long-running stream keeps every full copy of
-    the counter table / bit file forever (r11 review catch). Safe
-    because all readers go through the pointer (the module contract)
-    and the store is single-writer."""
+    AND any version younger than ``min_age_sec`` (by mtime). Unlike
+    the low-frequency profile store, the gates update per MICRO-BATCH
+    on the hot ingest path — without pruning a long-running stream
+    keeps every full copy of the counter table / bit file forever
+    (r11 review catch).
+
+    Why the age grace and not just a generation count (ADVICE r11):
+    ``read_cms`` returns a LAZY frame over the pointed-at version —
+    a long batch job (e.g. a ``dedup_against_exact`` serving run
+    concurrent with the hot stream) can still be scanning v{n} many
+    micro-batches after the pointer moved on, and a count-based
+    grace of one generation would delete the directory mid-scan. The
+    age floor gives such readers ``min_age_sec`` to finish or
+    persist; jobs expected to run longer than that must
+    ``persist()``/materialize the gate frame immediately after
+    ``read_cms`` (documented there). Safe because all readers go
+    through the pointer (the module contract) and the store is
+    single-writer."""
     import re
     import shutil
+    import time
 
     entries = []
     for name in os.listdir(table_dir):
         m = re.fullmatch(r"v(\d+)(\.bits)?", name)
         if m:
             entries.append((int(m.group(1)), name))
+    now = time.time()
     for _, name in sorted(entries)[:-keep]:
         path = os.path.join(table_dir, name)
+        try:
+            if now - os.path.getmtime(path) < min_age_sec:
+                continue  # a lazy reader may still hold a reference
+        except OSError:
+            continue
         if os.path.isdir(path):
             shutil.rmtree(path, ignore_errors=True)
         else:
@@ -132,18 +153,34 @@ def init_cms_store(
 
 def read_cms(spark: SparkSession, table_dir: str) -> DataFrame:
     """The stored counter table (``d, bucket, cnt``) — pass as
-    ``prefilter_cms`` (with the stored params) to the batch gate."""
+    ``prefilter_cms`` (with the stored params) to the batch gate.
+
+    The frame is LAZY over the pointed-at version directory. A serving
+    job running concurrently with the hot ingest stream has
+    ``prune_min_age_sec`` (default 10 min) before the writer may prune
+    that version out from under it — a job that can run longer must
+    ``persist()`` + materialize the frame immediately after this call,
+    or the writer must raise its prune knobs (ADVICE r11)."""
     state = _read_pointer(table_dir)
     if state is None:
         raise RuntimeError(f"cms store not initialized: {table_dir}")
     return spark.read.parquet(os.path.join(table_dir, state[0]))
 
 
-def cms_batch(batch_df: DataFrame, table_dir: str, batch_id: int) -> str | None:
+def cms_batch(
+    batch_df: DataFrame,
+    table_dir: str,
+    batch_id: int,
+    prune_keep: int = 2,
+    prune_min_age_sec: float = 600.0,
+) -> str | None:
     """One merge step (the foreachBatch body, callable directly — the
     replay test does). Returns the new version, or None when
     ``batch_id`` was already applied (checkpoint-replay no-op). The
-    batch sketches with the STORED (col, depth, width, seed)."""
+    batch sketches with the STORED (col, depth, width, seed).
+    ``prune_keep``/``prune_min_age_sec`` pass to
+    :func:`_prune_versions` — raise them when long-running serving
+    jobs read the store lazily (ADVICE r11)."""
     spark = batch_df.sparkSession
     state = _read_pointer(table_dir)
     if state is None:
@@ -160,7 +197,39 @@ def cms_batch(batch_df: DataFrame, table_dir: str, batch_id: int) -> str | None:
     next_version = f"v{int(version.lstrip('v')) + 1}"
     merged.write.mode("overwrite").parquet(os.path.join(table_dir, next_version))
     _write_pointer(table_dir, next_version, batch_id)
-    _prune_versions(table_dir)
+    _prune_versions(table_dir, keep=prune_keep, min_age_sec=prune_min_age_sec)
+    return next_version
+
+
+def cms_rebuild(
+    df: DataFrame,
+    table_dir: str,
+    prune_keep: int = 2,
+    prune_min_age_sec: float = 600.0,
+) -> str:
+    """REPLACE the stored counter table with a fresh build over ``df``
+    (stored params — col/depth/width/seed are re-read, a caller cannot
+    rebuild with a mismatched config). The maintenance-time companion
+    to :func:`cms_batch` (r12): a store that serves as a
+    COMPACTED-BASE gate is rebuilt here at compaction time, off the
+    per-batch hot path — the hot path then never pays the
+    sketch-table merge+rewrite (profiled at sf10 as the largest
+    per-batch term). New version, atomic pointer swap; the pointer's
+    batch id is preserved (rebuilds are maintenance actions outside
+    the batch lineage). Callers sequencing a base swap must rebuild
+    the gate FIRST — a gate briefly covering a superset only costs
+    false positives; covering a subset would silently duplicate."""
+    spark = df.sparkSession
+    state = _read_pointer(table_dir)
+    if state is None:
+        raise RuntimeError(f"cms store not initialized: {table_dir} (call init_cms_store)")
+    version, last_batch = state
+    p = _read_params(table_dir)
+    sk = count_min_build(df, p["col"], depth=p["depth"], width=p["width"], seed=p["seed"])
+    next_version = f"v{int(version.lstrip('v')) + 1}"
+    sk.write.mode("overwrite").parquet(os.path.join(table_dir, next_version))
+    _write_pointer(table_dir, next_version, last_batch)
+    _prune_versions(table_dir, keep=prune_keep, min_age_sec=prune_min_age_sec)
     return next_version
 
 
@@ -215,10 +284,17 @@ def read_bloom(table_dir: str) -> BloomFilter:
     return BloomFilter.from_bytes(raw, p["n_bits"], p["k"], p["seed"])
 
 
-def bloom_batch(batch_df: DataFrame, table_dir: str, batch_id: int) -> str | None:
+def bloom_batch(
+    batch_df: DataFrame,
+    table_dir: str,
+    batch_id: int,
+    prune_keep: int = 2,
+    prune_min_age_sec: float = 600.0,
+) -> str | None:
     """One OR-merge step; None when ``batch_id`` was already applied.
     (The OR itself is idempotent — the guard keeps versions monotonic
-    and the replay contract identical to the CMS/profile stores.)"""
+    and the replay contract identical to the CMS/profile stores.)
+    Prune knobs as in :func:`cms_batch`."""
     state = _read_pointer(table_dir)
     if state is None:
         raise RuntimeError(
@@ -238,7 +314,7 @@ def bloom_batch(batch_df: DataFrame, table_dir: str, batch_id: int) -> str | Non
     with open(os.path.join(table_dir, next_version), "wb") as f:
         f.write(merged.to_bytes())
     _write_pointer(table_dir, next_version, batch_id)
-    _prune_versions(table_dir)
+    _prune_versions(table_dir, keep=prune_keep, min_age_sec=prune_min_age_sec)
     return next_version
 
 

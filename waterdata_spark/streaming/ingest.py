@@ -4,9 +4,11 @@ LIVE RELEASE, deduplicated against everything already ingested, with
 every maintained artifact updated exactly-once per micro-batch:
 
     batch → within-batch exact dedup → cross-corpus exact dedup
-    (digest anti-join, CMS-gated so unseen rows skip it)
+    (exact anti-join vs the recent L0 digest directories, then a
+    CMS-gated candidate-bounded probe of the compacted base)
+    → optional near-dup stage (streaming/neardup.py)
     → append_training_shards (staged, batch-pointer-guarded)
-    → digest store append → CMS gate merge
+    → digest store append
 
 Replay safety is PER SUB-STORE, each with its own idempotence guard,
 so a crash at any point resumes cleanly on Structured Streaming's
@@ -17,8 +19,9 @@ redelivery of the uncommitted batch:
   ``last_append_batch`` as the replay guard;
 - the digest store is append-only parquet partitioned by batch
   (``batch=N/`` rewritten whole on replay — idempotent overwrite);
-- the CMS gate uses ``streaming/gates.cms_batch``'s (version,
-  batch_id) pointer.
+- the CMS gate is a MAINTENANCE artifact (r12): rebuilt by
+  :func:`compact_digests` to cover exactly the compacted base, never
+  written on the hot path — per-batch replay cannot touch it.
 
 A replayed batch therefore re-runs only the sub-steps that had not
 completed, and each of those is idempotent. Single writer per release
@@ -41,19 +44,16 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from waterdata_spark.operators.dedup import (
-    content_digest,
-    dedup_against_exact,
-    exact_dedup,
-)
+from waterdata_spark.operators.dedup import content_digest, exact_dedup
 from waterdata_spark.sources.shards import append_training_shards
-from waterdata_spark.streaming.gates import cms_batch, init_cms_store, read_cms
+from waterdata_spark.streaming.gates import init_cms_store, read_cms
 
 __all__ = [
     "compact_digests",
+    "digest_bucket",
     "ingest_batch",
     "ingest_stream_sink",
     "init_ingest",
@@ -61,6 +61,16 @@ __all__ = [
 ]
 
 _DIGEST_COL = "__ingest_digest"
+_BKT = "__bkt"
+
+
+def digest_bucket(digest: Column | str, n_buckets: int) -> Column:
+    """The digest's bucket id in ``[0, n_buckets)`` — a pure function
+    of the digest (``pmod(xxhash64(digest), n_buckets)``), so two equal
+    digests ALWAYS share a bucket: pruning a stored-digest scan to the
+    probe rows' buckets can never miss a membership hit."""
+    return F.pmod(F.xxhash64(F.col(digest) if isinstance(digest, str) else digest),
+                  F.lit(n_buckets)).cast("int")
 
 
 def init_ingest(
@@ -98,6 +108,14 @@ def init_ingest(
         },
     )
     os.makedirs(digest_dir, exist_ok=True)
+    # the digest store records its gate's location (r12) so
+    # compact_digests can keep gate-coverage ⊇ base automatically —
+    # a compaction that forgot the gate would leave it under-covering
+    # the new base and silently duplicate the corpus
+    with open(os.path.join(digest_dir, "_PARAMS.json"), "w") as f:
+        import json as _json
+
+        _json.dump({"kind": "digests", "gate_dir": gate_dir}, f, sort_keys=True)
     init_cms_store(
         spark.createDataFrame([], f"{_DIGEST_COL} string"),
         gate_dir,
@@ -108,7 +126,10 @@ def init_ingest(
 
 
 def read_digests(
-    spark: SparkSession, digest_dir: str, exclude_batch: int | None = None
+    spark: SparkSession,
+    digest_dir: str,
+    exclude_batch: int | None = None,
+    buckets: list[int] | None = None,
 ) -> DataFrame:
     """The stored digest set (one sha2 string column): the compacted
     base (if :func:`compact_digests` has run) plus all per-batch
@@ -119,32 +140,99 @@ def read_digests(
     make the batch look all-duplicate and overwrite its digest
     directory with an empty frame (found in design review — the
     survivor set must be a pure function of the state BEFORE the
-    batch)."""
+    batch).
+
+    ``buckets`` (r12 — the VERDICT r11 scan-floor fix): restrict the
+    COMPACTED BASE to those ``digest_bucket`` partition directories.
+    Membership probes for a known digest set S prune to S's buckets
+    losslessly (:func:`digest_bucket` is a pure function of the
+    digest), so the per-batch scan is bounded by
+    ``|S's buckets| × rows-per-bucket`` instead of the whole stored
+    set. Only the base prunes — the recent per-batch directories are
+    small (bounded by ingest volume since the last compaction, the
+    operational compaction cadence) and are always read whole, which
+    also keeps correctness independent of any historical bucket-count
+    change (the LSM discipline: pruned compacted levels, full L0).
+    ``buckets=[]`` with a bucketed base skips the base entirely."""
+    frames = []
+    l0 = _read_batch_digests(spark, digest_dir, exclude_batch)
+    if l0 is not None:
+        frames.append(l0)
+    base = _read_base_digests(spark, digest_dir, buckets)
+    if base is not None:
+        frames.append(base)
+    if not frames:
+        return spark.createDataFrame([], f"{_DIGEST_COL} string")
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
+
+
+def _read_batch_digests(
+    spark: SparkSession, digest_dir: str, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """The L0 component: all per-batch digest directories (None when
+    there are none)."""
     parts = [
         d
         for d in os.listdir(digest_dir)
         if d.startswith("batch=") and d != f"batch={exclude_batch}"
     ]
-    base = _read_compact_pointer(digest_dir)
-    if base is not None:
-        parts.append(base)
     if not parts:
-        return spark.createDataFrame([], f"{_DIGEST_COL} string")
-    return spark.read.parquet(*[os.path.join(digest_dir, b) for b in parts])
+        return None
+    return spark.read.parquet(
+        *[os.path.join(digest_dir, b) for b in parts]
+    ).select(_DIGEST_COL)
+
+
+def _read_base_digests(
+    spark: SparkSession, digest_dir: str, buckets: list[int] | None = None
+) -> DataFrame | None:
+    """The compacted-base component, bucket-pruned when ``buckets`` is
+    given (None when no base exists or every bucket is pruned)."""
+    state = _read_compact_pointer(digest_dir)
+    if state is None:
+        return None
+    base, n_buckets = state
+    if n_buckets is None or buckets is None:
+        # unbucketed legacy base, or caller wants the whole set
+        bdf = spark.read.parquet(os.path.join(digest_dir, base))
+    elif not buckets:
+        return None  # nothing to probe — the base contributes nothing
+    else:
+        # partition pruning: the filter on the partition column prunes
+        # unlisted bucket directories from the scan
+        bdf = spark.read.parquet(os.path.join(digest_dir, base)).filter(
+            F.col(_BKT).isin([int(b) for b in buckets])
+        )
+    return bdf.select(_DIGEST_COL)
 
 
 _COMPACT = "_COMPACT"
 
 
-def _read_compact_pointer(digest_dir: str) -> str | None:
+def _read_compact_pointer(digest_dir: str) -> tuple[str, int | None] | None:
+    """(base dir name, bucket count) — bucket count None for a legacy
+    unbucketed base (pre-r12 pointer carried the name only)."""
     ptr = os.path.join(digest_dir, _COMPACT)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as f:
-        return f.read().strip()
+        raw = f.read().strip()
+    if "|" in raw:
+        name, nb = raw.split("|", 1)
+        return name, int(nb)
+    return raw, None
 
 
-def compact_digests(spark: SparkSession, digest_dir: str) -> str:
+def compact_digests(
+    spark: SparkSession,
+    digest_dir: str,
+    n_buckets: int | None = None,
+    target_rows_per_bucket: int | None = None,
+    gate_dir: str | None = None,
+) -> str:
     """Fold the per-batch digest directories into one compacted base
     (r11): a live ingest accumulates one directory (with one-or-more
     small files) per micro-batch — after thousands of batches the
@@ -154,29 +242,117 @@ def compact_digests(spark: SparkSession, digest_dir: str) -> str:
     base ∪ batches as a new base version, atomically swaps the
     ``_COMPACT`` pointer, then removes the folded inputs.
 
+    The base is BUCKETED on the digest (r12 — VERDICT r11 item 1):
+    partition directories keyed by :func:`digest_bucket`, so
+    :func:`ingest_batch`'s membership probe prunes its scan to the
+    candidate rows' buckets instead of reading every stored digest per
+    micro-batch. Bucket count: ``n_buckets`` explicitly, else sized
+    from ``target_rows_per_bucket`` (next power of two of
+    total/target), else the previous base's count carried forward
+    (initial default 64). Sizing rule: pruning pays when the bucket
+    count exceeds the typical PER-BATCH CANDIDATE count (gate-flagged
+    rows, not batch size), and each bucket should still hold enough
+    rows for a sane parquet file — re-bucketing as the store grows is
+    just the next compaction with a new target. The bucket count rides
+    the pointer (``base_vN|B``), so data and layout swap atomically
+    together.
+
+    The CMS gate is REBUILT here (r12) from the new base content,
+    BEFORE the base pointer swap — gate-coverage ⊇ base at every
+    instant (a crash between rebuild and swap leaves a superset gate:
+    false positives only). ``gate_dir`` defaults to the location
+    recorded by :func:`init_ingest` in the store's ``_PARAMS.json``;
+    passing neither on a store that has a gate would leave the gate
+    under-covering and silently duplicate the corpus.
+
     Crash-safe in the direction that matters: the pointer swap is an
     atomic rename, and a crash BEFORE the old directories are removed
     leaves some digests present in both the new base and a batch
     directory — duplicate rows in the stored SET, which the anti-join
     semantics tolerate (membership is unchanged); the next compaction
     folds the leftovers away. Run from ONE process, not concurrently
-    with an in-flight ingest batch (single-writer, like the stores)."""
+    with an in-flight ingest batch (single-writer, like the stores) —
+    and NOT between a crash and the stream's restart either (ADVICE
+    r11): folding an uncommitted batch's digest directory into the
+    base before the replay makes the replayed batch recompute an empty
+    survivor set — membership stays correct and the release append is
+    pointer-guarded, but the batch's per-batch provenance directory is
+    gone and :func:`ingest_batch` returns 0 instead of the original
+    count (the replay guard in :func:`ingest_batch` skips the
+    digest-directory overwrite in exactly this state, so the digests
+    themselves are never lost)."""
     import shutil
 
-    old_base = _read_compact_pointer(digest_dir)
+    if gate_dir is None:
+        params_path = os.path.join(digest_dir, "_PARAMS.json")
+        if os.path.exists(params_path):
+            import json as _json
+
+            with open(params_path) as f:
+                gate_dir = _json.load(f).get("gate_dir")
+    old = _read_compact_pointer(digest_dir)
+    old_base, old_nb = old if old else (None, None)
     batches = sorted(
         d for d in os.listdir(digest_dir) if d.startswith("batch=")
     )
     parts = list(batches) + ([old_base] if old_base else [])
     if not parts:
         raise RuntimeError(f"nothing to compact in {digest_dir}")
-    merged = spark.read.parquet(*[os.path.join(digest_dir, p) for p in parts])
+    # the (bucketed) old base and the (flat) batch directories have
+    # conflicting partition structures — read them separately and union
+    frames = []
+    if batches:
+        frames.append(
+            spark.read.parquet(*[os.path.join(digest_dir, b) for b in batches])
+            .select(_DIGEST_COL)
+        )
+    if old_base:
+        frames.append(
+            spark.read.parquet(os.path.join(digest_dir, old_base)).select(_DIGEST_COL)
+        )
+    merged = frames[0]
+    for f_ in frames[1:]:
+        merged = merged.unionByName(f_)
+    if n_buckets is None:
+        if target_rows_per_bucket is not None:
+            total = merged.count()
+            nb = 1
+            while nb * target_rows_per_bucket < total:
+                nb *= 2
+            n_buckets = nb
+        else:
+            n_buckets = old_nb or 64
     n = int(old_base.split("_v")[1]) + 1 if old_base else 0
     new_base = f"base_v{n}"
-    merged.write.mode("overwrite").parquet(os.path.join(digest_dir, new_base))
+    (
+        merged.withColumn(_BKT, digest_bucket(_DIGEST_COL, n_buckets))
+        # one exchange on the bucket id -> one file per bucket directory
+        # (the sources/bucketed.py file-explosion lesson); task count is
+        # capped — a task holding several buckets still writes one file
+        # per bucket it holds
+        .repartition(min(n_buckets, 256), _BKT)
+        .write.partitionBy(_BKT)
+        .mode("overwrite")
+        .parquet(os.path.join(digest_dir, new_base))
+    )
+    if gate_dir is not None:
+        # rebuild the base gate BEFORE swapping the base pointer (r12):
+        # the gate must cover AT LEAST the base it serves — a crash
+        # between this rebuild and the pointer swap leaves the gate
+        # covering a superset (the folded batches are still L0), which
+        # only costs false positives; the reverse order would leave a
+        # gate missing base digests and silently duplicate the corpus.
+        from waterdata_spark.streaming.gates import cms_rebuild
+
+        cms_rebuild(
+            spark.read.parquet(os.path.join(digest_dir, new_base)).select(
+                _DIGEST_COL
+            ),
+            gate_dir,
+        )
     tmp = os.path.join(digest_dir, _COMPACT + ".tmp")
     with open(tmp, "w") as f:
-        f.write(new_base)
+        f.write(f"{new_base}|{n_buckets}")
     os.replace(tmp, os.path.join(digest_dir, _COMPACT))
     for p in parts:
         if p != new_base:
@@ -193,6 +369,9 @@ def ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     prepare=None,
+    broadcast_cap: int = 1_000_000,
+    neardup_dir: str | None = None,
+    release_schema=None,
 ) -> int:
     """One ingest step (the foreachBatch body, callable directly — the
     replay tests do). Returns the number of NEW documents that landed
@@ -217,15 +396,59 @@ def ingest_batch(
 
     Batches must apply IN ORDER (Structured Streaming guarantees this
     — a batch commits before the next starts; direct callers must keep
-    the same discipline): the gate's no-false-negative guarantee for
-    batch M relies on batch N < M having completed its gate update."""
+    the same discipline): batch M's L0 probe relies on batch N < M
+    having committed its digest directory.
+
+    ``neardup_dir`` (r12, VERDICT r11 item 2): an
+    :func:`~waterdata_spark.streaming.neardup.init_neardup` store —
+    exact-new documents that NEAR-duplicate anything already ingested
+    are dropped too (the full ``dedup_against`` cascade; candidate
+    reference text comes from the release itself, shard-pruned; pass
+    ``release_schema`` so the JSONL fetch skips schema inference).
+    Within-batch near-dups both land (the batch operator's semantics
+    per batch) — run ``minhash_dedup`` in ``prepare`` to also dedup
+    inside each batch. ``broadcast_cap`` bounds the candidate/band
+    frames the membership probes may broadcast before falling back to
+    distributed joins.
+
+    Cross-corpus membership plan (r12 — the VERDICT r11 scan-floor
+    fix; exact semantics — every stored duplicate is dropped, equality
+    with the plain anti-join test-pinned). The stored digest set has
+    two components with different physics, probed differently:
+
+    - **L0** (per-batch directories since the last compaction): small
+      and bounded by the compaction cadence — the WHOLE batch
+      anti-joins it exactly (no gate, no pruning needed).
+    - **compacted base** (the bulk of the corpus): the CMS gate —
+      rebuilt at compaction time to cover exactly the base, and
+      NEVER updated on the hot path (r12: the per-batch sketch
+      merge+rewrite profiled as the largest per-batch term at sf10)
+      — splits the L0 survivors into a pass-through sliver and the
+      CANDIDATE sliver (true dups + the gate's false-positive rate).
+      Only candidates consult the base, and that probe is (1) PRUNED
+      to the candidates' ``digest_bucket`` partition directories (a
+      bounded distinct-bucket collect decides which) and (2)
+      SHUFFLE-FREE: the candidate digests broadcast into a semi-join
+      against the pruned base (hits ≤ candidate count) and the hits
+      broadcast back into the anti-join — the base is scanned once,
+      candidate-bounded, and never exchanged. Above ``broadcast_cap``
+      candidates the plan falls back to the plain distributed
+      anti-join on the (still pruned) base.
+
+    Correctness of the stale-between-compactions gate: the gate must
+    cover AT LEAST the base it serves (false positives only cost the
+    exact probe). :func:`compact_digests` rebuilds the gate from the
+    new base content BEFORE swapping the base pointer, so at every
+    instant gate-coverage ⊇ base; digests newer than the base live in
+    L0, which is probed exactly."""
+    from waterdata_spark.operators.sketches import count_min_might_contain
     from waterdata_spark.streaming.gates import _read_params
 
     spark = batch_df.sparkSession
     gate_params = _read_params(gate_dir)
     if gate_params.get("seed") != "xgate":
-        # dedup_against_exact's prefilter hashes with the fixed 'xgate'
-        # seed; a store built under another seed cannot serve it
+        # the cms prefilter hashes with the fixed 'xgate' seed; a store
+        # built under another seed cannot serve it
         raise ValueError(
             f"gate store seed {gate_params.get('seed')!r} != 'xgate' — "
             "init the ingest gate with the default seed"
@@ -236,7 +459,7 @@ def ingest_batch(
     # later step (dedup election, anti-join, gate, store, sketch)
     # rides the fixed-width digest; the text is never re-hashed
     # (content_digest's documented digest-once pattern). Persist:
-    # three sub-stores consume this frame and the upstream (a
+    # several sub-steps consume this frame and the upstream (a
     # streaming batch) must evaluate deterministically across them
     # (the split-plan contract).
     keyed = exact_dedup(
@@ -244,33 +467,121 @@ def ingest_batch(
         [],
         id_col,
         digest_col=_DIGEST_COL,
-    )
-    stored = read_digests(spark, digest_dir, exclude_batch=batch_id)
-    gate = read_cms(spark, gate_dir)
-    new = dedup_against_exact(
-        keyed,
-        stored,
-        content_cols=[],
-        digest_col=_DIGEST_COL,
-        prefilter="cms",
-        prefilter_cms=gate,
-        prefilter_depth=gate_params["depth"],
-        prefilter_width=gate_params["width"],
     ).persist()
+    new = cands = None
     try:
+        # L0: exact anti-join against the recent per-batch directories
+        l0 = _read_batch_digests(spark, digest_dir, exclude_batch=batch_id)
+        after_l0 = keyed if l0 is None else keyed.join(
+            l0, _DIGEST_COL, "left_anti"
+        )
+        state = _read_compact_pointer(digest_dir)
+        if state is None:
+            # no compacted base yet — L0 was the whole stored set
+            new = after_l0.persist()
+        else:
+            gate = read_cms(spark, gate_dir)
+            flagged = count_min_might_contain(
+                gate, after_l0, _DIGEST_COL,
+                gate_params["depth"], gate_params["width"], seed="xgate",
+                out_col="__maybe",
+            )
+            passed = flagged.filter(~F.col("__maybe")).drop("__maybe")
+            cands = flagged.filter(F.col("__maybe")).drop("__maybe").persist()
+            n_cand = cands.count()
+            if n_cand == 0:
+                # nothing flagged — every L0 survivor is new to the base
+                new = after_l0.persist()
+            else:
+                buckets = None
+                if state[1] is not None:
+                    # bounded collect: at most min(n_cand, n_buckets) ints
+                    buckets = [
+                        r["b"]
+                        for r in cands.select(
+                            digest_bucket(_DIGEST_COL, state[1]).alias("b")
+                        ).distinct().collect()
+                    ]
+                base = _read_base_digests(spark, digest_dir, buckets=buckets)
+                if base is None:  # defensive: pointer raced away mid-batch
+                    base = spark.createDataFrame([], f"{_DIGEST_COL} string")
+                if n_cand <= broadcast_cap:
+                    hits = base.join(
+                        F.broadcast(cands.select(_DIGEST_COL)),
+                        _DIGEST_COL,
+                        "left_semi",
+                    )
+                    new = passed.unionByName(
+                        cands.join(F.broadcast(hits), _DIGEST_COL, "left_anti")
+                    ).persist()
+                else:
+                    new = passed.unionByName(
+                        cands.join(base, _DIGEST_COL, "left_anti")
+                    ).persist()
+        if neardup_dir is not None:
+            # optional NEAR-dup stage (r12, VERDICT r11 item 2): drop
+            # exact-new documents that near-duplicate anything already
+            # ingested, against the stream-maintained band store
+            # (streaming/neardup.py — the full dedup_against cascade;
+            # candidate reference text comes from the release itself,
+            # shard-pruned). `new` is persisted, so the cascade's
+            # multiple evaluations see one deterministic frame.
+            from waterdata_spark.streaming.neardup import flag_near_stored
+
+            flagged = flag_near_stored(
+                new,
+                neardup_dir,
+                release_dir,
+                id_col=id_col,
+                text_col=text_col,
+                exclude_batch=batch_id,
+                release_schema=release_schema,
+                broadcast_cap=broadcast_cap,
+            )
+            exact_new = new
+            new = new.join(flagged, id_col, "left_anti").persist()
+            new.count()  # materialize off the persisted parent first
+            exact_new.unpersist()
         n_new = new.count()
+        # replay-after-compaction guard (ADVICE r11): if a maintenance
+        # compaction folded this batch's digest directory into the base
+        # between a crash and the stream restart, the recomputed
+        # survivor set is empty while the manifest already records the
+        # batch — overwriting batch=N with an empty frame would erase
+        # the per-batch provenance for nothing (membership lives in the
+        # base). Skip the digest/gate writes in exactly that state.
+        import json as _json
+
+        from waterdata_spark.sources.shards import MANIFEST
+
+        with open(os.path.join(release_dir, MANIFEST)) as fh:
+            already_applied = _json.load(fh).get("last_append_batch") == batch_id
         # release append: staged + manifest-pointer-guarded
         append_training_shards(
             new.drop(_DIGEST_COL), release_dir, batch_id=batch_id
         )
-        # digest store: whole-batch-directory overwrite == idempotent
-        new.select(_DIGEST_COL).write.mode("overwrite").parquet(
-            os.path.join(digest_dir, f"batch={batch_id}")
-        )
-        # CMS gate: its own (version, batch_id) pointer skips replays
-        cms_batch(new.select(_DIGEST_COL), gate_dir, batch_id)
+        if not (n_new == 0 and already_applied):
+            # digest store: whole-batch-directory overwrite == idempotent.
+            # NOTE (r12): the CMS gate is NOT touched here — it covers
+            # the compacted base only and is rebuilt by compact_digests
+            # (the sketch merge+rewrite was the largest profiled
+            # per-batch term); this batch's digests are L0 until the
+            # next compaction and are probed exactly.
+            new.select(_DIGEST_COL).write.mode("overwrite").parquet(
+                os.path.join(digest_dir, f"batch={batch_id}")
+            )
+            if neardup_dir is not None:
+                # band store: whole-directory overwrite + gate pointer —
+                # the same idempotence pair as the digest store
+                from waterdata_spark.streaming.neardup import neardup_store_batch
+
+                neardup_store_batch(
+                    new, batch_id, neardup_dir, id_col=id_col, text_col=text_col
+                )
     finally:
-        new.unpersist()
+        for frame in (new, cands, keyed):
+            if frame is not None:
+                frame.unpersist()
     return n_new
 
 
