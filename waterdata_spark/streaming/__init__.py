@@ -2,6 +2,7 @@ from waterdata_spark.streaming.gates import (
     bloom_batch,
     bloom_stream_sink,
     cms_batch,
+    cms_rebuild,
     cms_stream_sink,
     init_bloom_store,
     init_cms_store,
@@ -10,10 +11,18 @@ from waterdata_spark.streaming.gates import (
 )
 from waterdata_spark.streaming.ingest import (
     compact_digests,
+    digest_bucket,
     ingest_batch,
     ingest_stream_sink,
     init_ingest,
     read_digests,
+)
+from waterdata_spark.streaming.neardup import (
+    compact_bands,
+    flag_near_stored,
+    init_neardup,
+    neardup_store_batch,
+    read_bands,
 )
 from waterdata_spark.streaming.hygiene import (
     PreparedEvalGrams,
@@ -32,8 +41,15 @@ __all__ = [
     "bloom_batch",
     "bloom_stream_sink",
     "cms_batch",
+    "cms_rebuild",
     "cms_stream_sink",
+    "compact_bands",
     "compact_digests",
+    "digest_bucket",
+    "flag_near_stored",
+    "init_neardup",
+    "neardup_store_batch",
+    "read_bands",
     "decontaminate_batch",
     "decontaminate_stream_sink",
     "hourly_rollup_stream",
