@@ -135,6 +135,109 @@ class TestIdDifferential:
             encode_bpe_ids(docs, model, plain_vocab, eos=EOS)
 
 
+class TestByteFallback:
+    """r12 (VERDICT r11 item 3): the OOV-free encoding mode — unknown
+    characters decompose to UTF-8 byte pieces (the GPT-2/SentencePiece
+    byte_fallback convention): oov_rate ≡ 0 on adversarial corpora,
+    exact encode→decode round-trip, differential vs a pure-Python
+    byte-fallback reference."""
+
+    ADVERSARIAL = [
+        (1, "café naïve über straße"),
+        (2, "日本語 テスト 中文"),
+        (3, "emoji \U0001f600\U0001f680 mix42"),
+        (4, "русский עברית"),
+        (5, "plain ascii words"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def adversarial(self, spark):
+        return spark.createDataFrame(self.ADVERSARIAL, "doc_id long, text string")
+
+    def test_vocab_layout_and_json(self, docs, bpe):
+        from waterdata_spark.operators.bpe import EOW
+        from waterdata_spark.operators.vocab import BYTE_PIECES
+
+        model, _ = bpe
+        v = bpe_vocab(model, alphabet_of(docs), byte_fallback=True)
+        assert tuple(v.pieces[v.n_specials : v.n_specials + 256]) == BYTE_PIECES
+        assert v.pieces[v.n_specials + 256] == EOW  # the boundary piece
+        again = Vocab.from_json(v.to_json())
+        assert again == v and again.byte_fallback
+        # layout violation is rejected at construction
+        with pytest.raises(ValueError, match="byte pieces"):
+            Vocab(pieces=[UNK, "a", "b"], byte_fallback=True)
+        # a vocab without the bare </w> piece cannot serve the encoder
+        broken = Vocab(
+            pieces=[UNK, *BYTE_PIECES], n_specials=1, byte_fallback=True
+        )
+        with pytest.raises(ValueError, match="</w>"):
+            encode_bpe_ids(docs, model, broken)
+
+    def test_oov_rate_zero_and_round_trip_bpe(self, adversarial, docs, bpe):
+        from waterdata_spark.operators.vocab import token_id_stats
+
+        model, _ = bpe
+        v = bpe_vocab(model, alphabet_of(docs), byte_fallback=True)
+        enc = encode_bpe_ids(adversarial, model, v)
+        [stats] = token_id_stats(enc, v).collect()
+        assert stats["n_unk"] == 0 and stats["oov_rate"] == 0.0
+        for r in enc.collect():
+            norm = " ".join(r["text"].lower().split())
+            assert decode_ids(r["input_ids"], v, "bpe") == norm
+
+    def test_oov_rate_zero_and_round_trip_unigram(self, adversarial, unigram):
+        from waterdata_spark.operators.vocab import token_id_stats
+
+        model, _ = unigram
+        v = unigram_vocab(model, byte_fallback=True)
+        enc = encode_unigram_ids(adversarial, model, v)
+        [stats] = token_id_stats(enc, v).collect()
+        assert stats["n_unk"] == 0 and stats["oov_rate"] == 0.0
+        for r in enc.collect():
+            norm = " ".join(r["text"].lower().split())
+            assert decode_ids(r["input_ids"], v, "unigram") == norm
+
+    def test_differential_vs_pure_python(self, adversarial, docs, bpe):
+        """Independent pure-Python byte-fallback encoder (direct from
+        the layout contract: in-vocab symbol -> its id; OOV word-final
+        symbol -> bytes + bare-</w> id; other OOV -> bytes) must equal
+        the distributed encoder row for row."""
+        from waterdata_spark.operators.bpe import EOW, encode_word
+
+        model, _ = bpe
+        v = bpe_vocab(model, alphabet_of(docs), byte_fallback=True)
+        ranks = model.ranks
+        base = v.byte_id_base
+
+        def py_encode(text):
+            out = []
+            for w in text.lower().split():
+                for s in encode_word(w, ranks):
+                    if s in v._ids:
+                        out.append(v._ids[s])
+                    elif s.endswith(EOW) and len(s) > len(EOW):
+                        out += [base + b for b in s[: -len(EOW)].encode("utf-8")]
+                        out.append(v._ids[EOW])
+                    else:
+                        out += [base + b for b in s.encode("utf-8")]
+            return out
+
+        for r in encode_bpe_ids(adversarial, model, v).collect():
+            assert r["input_ids"] == py_encode(r["text"])
+
+    def test_in_vocab_text_uses_no_byte_pieces(self, docs, bpe):
+        """Corpus text (the vocab's own alphabet) must encode without
+        any byte decomposition — fallback touches only true OOV."""
+        model, _ = bpe
+        v = bpe_vocab(model, alphabet_of(docs), byte_fallback=True)
+        base = v.byte_id_base
+        rows = encode_bpe_ids(docs, model, v).select("input_ids").collect()
+        assert rows and all(
+            not any(base <= i < base + 256 for i in r["input_ids"]) for r in rows
+        )
+
+
 class TestTokenIdStats:
     def test_matches_python_counts(self, spark, docs, bpe):
         from waterdata_spark.operators.vocab import token_id_stats

@@ -19,7 +19,9 @@ module maps both tokenizer families (``operators/bpe``,
   document encodings (Arrow-batched, same greedy-merge / Viterbi cores
   as the symbol encoders, with the piece→id map applied inside the
   same UDF pass — no second scan). Out-of-vocabulary symbols map to
-  the ``<unk>`` id, so encoding never fails.
+  the ``<unk>`` id, so encoding never fails — or, with a
+  ``byte_fallback`` vocab (r12), decompose to their UTF-8 byte pieces
+  so encoding is LOSSLESS (``oov_rate ≡ 0`` on any input).
 - :func:`decode_ids` — the inverse (ids → pieces → text via the
   family's boundary markers).
 - :func:`pack_bins_ids` — the loader-facing bins: one row per packed
@@ -63,6 +65,7 @@ __all__ = [
     "UNK",
     "BOS",
     "EOS",
+    "BYTE_PIECES",
     "Vocab",
     "alphabet_frame",
     "alphabet_of",
@@ -83,6 +86,15 @@ UNK = "<unk>"
 BOS = "<bos>"
 EOS = "<eos>"
 
+#: the 256 byte pieces of byte-fallback mode (r12, VERDICT r11 item 3)
+#: — the SentencePiece ``byte_fallback`` / GPT-2 byte-level convention:
+#: with these in the vocab, an out-of-vocabulary symbol decomposes to
+#: its UTF-8 bytes instead of collapsing to ``<unk>``, so encoding is
+#: LOSSLESS (oov_rate ≡ 0) on any input. Layout contract: they sit
+#: immediately after the specials block, in byte order, so
+#: ``byte b ↦ id n_specials + b``.
+BYTE_PIECES = tuple(f"<0x{i:02X}>" for i in range(256))
+
 
 @dataclass
 class Vocab:
@@ -90,10 +102,20 @@ class Vocab:
     ``n_specials`` entries are special tokens (``<unk>`` required —
     the OOV fallback). Exact JSON round-trip (the geometry-model
     persistence convention); rebuilding from the same model yields the
-    identical artifact (deterministic order, test-pinned)."""
+    identical artifact (deterministic order, test-pinned).
+
+    ``byte_fallback`` (r12): the vocab carries the 256
+    :data:`BYTE_PIECES` immediately after the specials (layout
+    enforced here — the id assignment is the compatibility contract)
+    and the id encoders decompose out-of-vocabulary symbols to their
+    UTF-8 bytes instead of ``<unk>``: encoding becomes LOSSLESS on any
+    input (``oov_rate ≡ 0``, the SentencePiece ``byte_fallback`` /
+    GPT-2 byte-level convention). ``<unk>`` stays declared (ids from a
+    non-fallback encoder remain decodable) but is never emitted."""
 
     pieces: list[str]
     n_specials: int = 1
+    byte_fallback: bool = False
     _ids: dict = field(init=False, repr=False, compare=False)
 
     def __post_init__(self) -> None:
@@ -101,6 +123,14 @@ class Vocab:
             raise ValueError("vocab pieces must be unique")
         if UNK not in self.pieces[: self.n_specials]:
             raise ValueError(f"specials must include {UNK!r}")
+        if self.byte_fallback and tuple(
+            self.pieces[self.n_specials : self.n_specials + 256]
+        ) != BYTE_PIECES:
+            raise ValueError(
+                "byte_fallback vocab must carry the 256 byte pieces "
+                "immediately after the specials block (build with "
+                "bpe_vocab/unigram_vocab byte_fallback=True)"
+            )
         self._ids = {p: i for i, p in enumerate(self.pieces)}
 
     def __len__(self) -> int:
@@ -109,6 +139,12 @@ class Vocab:
     @property
     def unk_id(self) -> int:
         return self._ids[UNK]
+
+    @property
+    def byte_id_base(self) -> int:
+        """Id of ``<0x00>`` — byte ``b`` has id ``byte_id_base + b``
+        (the enforced layout). Only meaningful when ``byte_fallback``."""
+        return self.n_specials
 
     def id_of(self, piece: str) -> int:
         """The piece's id, or ``unk_id`` when out-of-vocabulary."""
@@ -120,14 +156,24 @@ class Vocab:
     def to_json(self) -> str:
         import json
 
-        return json.dumps({"pieces": self.pieces, "n_specials": self.n_specials})
+        return json.dumps(
+            {
+                "pieces": self.pieces,
+                "n_specials": self.n_specials,
+                "byte_fallback": self.byte_fallback,
+            }
+        )
 
     @staticmethod
     def from_json(s: str) -> "Vocab":
         import json
 
         d = json.loads(s)
-        return Vocab(pieces=list(d["pieces"]), n_specials=int(d["n_specials"]))
+        return Vocab(
+            pieces=list(d["pieces"]),
+            n_specials=int(d["n_specials"]),
+            byte_fallback=bool(d.get("byte_fallback", False)),
+        )
 
 
 def alphabet_frame(
@@ -161,18 +207,36 @@ def alphabet_of(df: DataFrame, text_col: str = "text", lowercase: bool = True) -
 
 
 def bpe_vocab(
-    model: BPEModel, alphabet: list[str], specials: tuple[str, ...] = (UNK,)
+    model: BPEModel,
+    alphabet: list[str],
+    specials: tuple[str, ...] = (UNK,),
+    byte_fallback: bool = False,
 ) -> Vocab:
-    """The deterministic BPE piece list: specials, then the plain base
-    characters (sorted), then the ``</w>``-suffixed base characters
-    (sorted — every character can end a word), then one merged symbol
-    per merge in RANK order (the order the model learned them — the
-    convention public BPE vocab files use), first occurrence kept on
-    the rare duplicate (a merge can re-derive a base symbol)."""
+    """The deterministic BPE piece list: specials, then the base
+    characters in sorted order INTERLEAVED with their ``</w>``-suffixed
+    forms — ``c0, c0</w>, c1, c1</w>, …`` (every character can end a
+    word; ADVICE r11 pinned this layout description to what the code
+    has always emitted, since the id assignment is the compatibility
+    contract a consumer may reconstruct from this docstring) — then one
+    merged symbol per merge in RANK order (the order the model learned
+    them — the convention public BPE vocab files use), first occurrence
+    kept on the rare duplicate (a merge can re-derive a base symbol).
+
+    ``byte_fallback`` (r12): insert the 256 :data:`BYTE_PIECES` plus
+    the bare ``</w>`` piece right after the specials — the bare marker
+    lets an out-of-vocabulary WORD-FINAL character decompose to bytes
+    WITHOUT losing its word boundary (``'c</w>' → bytes(c), '</w>'``),
+    so decode round-trips exactly."""
     pieces: list[str] = list(specials)
     seen = set(pieces)
     if len(seen) != len(pieces):
         raise ValueError("duplicate special tokens")
+    if byte_fallback:
+        for p in (*BYTE_PIECES, EOW):
+            if p in seen:
+                raise ValueError(f"byte-fallback piece {p!r} collides with a special")
+            seen.add(p)
+            pieces.append(p)
     for c in sorted(alphabet):
         for p in (c, c + EOW):
             if p not in seen:
@@ -183,17 +247,33 @@ def bpe_vocab(
         if p not in seen:
             seen.add(p)
             pieces.append(p)
-    return Vocab(pieces=pieces, n_specials=len(specials))
+    return Vocab(
+        pieces=pieces, n_specials=len(specials), byte_fallback=byte_fallback
+    )
 
 
 def unigram_vocab(
-    model: UnigramModel, specials: tuple[str, ...] = (UNK,)
+    model: UnigramModel,
+    specials: tuple[str, ...] = (UNK,),
+    byte_fallback: bool = False,
 ) -> Vocab:
-    """The unigram piece list: specials, then the model's pieces in
-    lexicographic order (the model's own JSON ordering — rebuilds are
-    identical)."""
-    pieces = list(specials) + sorted(model.logp)
-    return Vocab(pieces=pieces, n_specials=len(specials))
+    """The unigram piece list: specials, then (with ``byte_fallback``)
+    the 256 byte pieces, then the model's pieces in lexicographic
+    order (the model's own JSON ordering — rebuilds are identical).
+    Unigram OOV pieces are single characters (Viterbi's documented
+    floor path), so no boundary-marker piece is needed: the ``▁``
+    word marker is part of the piece string and byte-decomposes with
+    it."""
+    pieces = list(specials)
+    if byte_fallback:
+        for p in BYTE_PIECES:
+            if p in pieces or p in model.logp:
+                raise ValueError(f"byte piece {p!r} collides with a special/model piece")
+        pieces += list(BYTE_PIECES)
+    pieces += sorted(model.logp)
+    return Vocab(
+        pieces=pieces, n_specials=len(specials), byte_fallback=byte_fallback
+    )
 
 
 def _boundary_ids(
@@ -261,14 +341,44 @@ def encode_bpe_ids(
     ``bos``/``eos``: names of DECLARED special tokens (build the vocab
     with ``specials=(UNK, BOS, EOS)``) prepended/appended per document
     — the sequence boundaries a packed training run separates documents
-    with; undeclared names raise rather than encode as ``<unk>``."""
+    with; undeclared names raise rather than encode as ``<unk>``.
+
+    With a ``byte_fallback`` vocab (r12), an OOV symbol — always a
+    single character, plain or ``</w>``-suffixed, since every merge
+    output is in the vocab by construction — decomposes to its UTF-8
+    byte pieces (word-final: bytes then the bare ``</w>`` piece, so
+    the boundary survives): no ``<unk>`` is ever emitted and
+    encode→decode round-trips exactly."""
     ranks = model.ranks
     ids = dict(vocab._ids)
     unk = vocab.unk_id
     prefix, suffix = _boundary_ids(vocab, bos, eos)
+    if vocab.byte_fallback:
+        base = vocab.byte_id_base
+        eow_id = ids.get(EOW)
+        if eow_id is None:
+            raise ValueError(
+                "byte-fallback BPE vocab must carry the bare '</w>' piece "
+                "(build it with bpe_vocab(byte_fallback=True))"
+            )
+        n_eow = len(EOW)
 
-    def word_to_ids(w: str) -> list[int]:
-        return [ids.get(s, unk) for s in encode_word(w, ranks)]
+        def word_to_ids(w: str) -> list[int]:
+            out: list[int] = []
+            for s in encode_word(w, ranks):
+                i = ids.get(s)
+                if i is not None:
+                    out.append(i)
+                elif s.endswith(EOW) and len(s) > n_eow:
+                    out.extend(base + b for b in s[:-n_eow].encode("utf-8"))
+                    out.append(eow_id)
+                else:
+                    out.extend(base + b for b in s.encode("utf-8"))
+            return out
+    else:
+
+        def word_to_ids(w: str) -> list[int]:
+            return [ids.get(s, unk) for s in encode_word(w, ranks)]
 
     col = F.col(text_col)
     if lowercase:
@@ -288,15 +398,31 @@ def encode_unigram_ids(
 ) -> DataFrame:
     """Adds ``out_col: array<int>`` — the Viterbi piece-id sequence
     (== ``encode_unigram`` mapped through the vocab, test-pinned).
-    OOV pieces → ``vocab.unk_id``. ``bos``/``eos`` as in
-    :func:`encode_bpe_ids`."""
+    OOV pieces → ``vocab.unk_id``, or their UTF-8 byte pieces with a
+    ``byte_fallback`` vocab (r12 — OOV Viterbi pieces are single
+    characters by the floor-path contract, the ``▁`` marker included,
+    so byte decomposition loses nothing and round-trips exactly).
+    ``bos``/``eos`` as in :func:`encode_bpe_ids`."""
     logp, max_len = model.logp, model.max_piece_len
     ids = dict(vocab._ids)
     unk = vocab.unk_id
     prefix, suffix = _boundary_ids(vocab, bos, eos)
+    if vocab.byte_fallback:
+        base = vocab.byte_id_base
 
-    def word_to_ids(w: str) -> list[int]:
-        return [ids.get(s, unk) for s in viterbi_word(WB + w, logp, max_len)]
+        def word_to_ids(w: str) -> list[int]:
+            out: list[int] = []
+            for s in viterbi_word(WB + w, logp, max_len):
+                i = ids.get(s)
+                if i is not None:
+                    out.append(i)
+                else:
+                    out.extend(base + b for b in s.encode("utf-8"))
+            return out
+    else:
+
+        def word_to_ids(w: str) -> list[int]:
+            return [ids.get(s, unk) for s in viterbi_word(WB + w, logp, max_len)]
 
     col = F.col(text_col)
     if lowercase:
@@ -315,11 +441,32 @@ def decode_ids(
     ``'bpe'``, ``▁`` for ``'unigram'``). An ``unk_id`` decodes to the
     literal ``<unk>`` string — lossy by construction, exactly like the
     public tokenizers. ``skip_specials`` drops boundary specials
-    (bos/eos etc.) but NEVER ``<unk>`` — lost content stays visible."""
+    (bos/eos etc.) but NEVER ``<unk>`` — lost content stays visible.
+
+    With a ``byte_fallback`` vocab (r12), maximal runs of byte-piece
+    ids refold to their UTF-8 string first (``errors='replace'`` — the
+    engine's encoders only emit whole-character byte runs, so the
+    replacement char can only appear for hand-built id sequences), so
+    encode→decode round-trips exactly with no ``<unk>`` loss."""
     if skip_specials:
         unk = vocab.unk_id
         ids = [i for i in ids if i >= vocab.n_specials or i == unk]
-    pieces = [vocab.piece_of(i) for i in ids]
+    if vocab.byte_fallback:
+        base = vocab.byte_id_base
+        pieces: list[str] = []
+        buf = bytearray()
+        for i in ids:
+            if base <= i < base + 256:
+                buf.append(i - base)
+                continue
+            if buf:
+                pieces.append(buf.decode("utf-8", errors="replace"))
+                buf = bytearray()
+            pieces.append(vocab.piece_of(i))
+        if buf:
+            pieces.append(buf.decode("utf-8", errors="replace"))
+    else:
+        pieces = [vocab.piece_of(i) for i in ids]
     if family == "bpe":
         return decode_symbols(pieces)
     if family == "unigram":
