@@ -320,6 +320,65 @@ class TestCurateCorpus:
         with _pytest.raises(ValueError, match="blocklist"):
             curate_corpus(df, url_filter={"url_col": "url"})
 
+    def test_classifier_gate_stage(self, spark):
+        """r12 (VERDICT r11 item 5): the trained-classifier gate —
+        train LR on a labeled slice, pick the operating point with
+        pr_sweep, gate the corpus; survivors pinned, funnel audited."""
+        from waterdata_spark.operators.classify import lr_score, lr_train, pr_sweep
+        from waterdata_spark.pipelines.curate import curate_corpus
+
+        def good(i):
+            return (
+                i,
+                f"measured river discharge and lake hydrology report {i} "
+                "with calibrated sensors and documented methodology",
+            )
+
+        def bad(i):
+            return (
+                100 + i,
+                f"click here {i} buy cheap pills now amazing offer "
+                "winner prize claim free money casino",
+            )
+
+        labeled = spark.createDataFrame(
+            [(d, t, 1) for d, t in (good(i) for i in range(8))]
+            + [(d, t, 0) for d, t in (bad(i) for i in range(8))],
+            "doc_id long, text string, y int",
+        )
+        model = lr_train(
+            labeled.select("doc_id", "y", "text"),
+            n_buckets=1024,
+            n_iter=8,
+            learning_rate=0.5,
+        )
+        scored = lr_score(labeled, model)
+        sweep = {
+            r["threshold"]: r
+            for r in pr_sweep(
+                scored, "lr_prob", "y", [0.3, 0.5, 0.7]
+            ).collect()
+        }
+        # pick the threshold with the fewest errors (the documented
+        # operating-point selection step)
+        thr = min(sweep, key=lambda t: sweep[t]["fp"] + sweep[t]["fn"])
+        assert sweep[thr]["fp"] + sweep[thr]["fn"] == 0  # separable here
+        corpus = spark.createDataFrame(
+            [good(i) for i in range(20, 26)] + [bad(i) for i in range(20, 26)],
+            "doc_id long, text string",
+        )
+        res = curate_corpus(
+            corpus,
+            exact_dedup=False,
+            classifier_gate={"model": model, "threshold": thr},
+        )
+        got = {r["doc_id"] for r in res.df.collect()}
+        assert got == {i for i in range(20, 26)}
+        funnel = dict(res.report())
+        assert funnel["input"] == 12 and funnel["classifier_gate"] == 6
+        # the gate's score columns do not leak into the output
+        assert "lr_prob" not in res.df.columns
+
     def test_host_cap_stage(self, spark):
         """r11 (VERDICT r10 item 6): the per-registered-domain
         frequency cap composes into the cascade — survivors pinned,

@@ -557,6 +557,11 @@ def pr_sweep(
     step on the integer counts — shipped as counts so the row is
     engine-exact (floats would hash-differ).
 
+    Output grain (ADVICE r11): one row per DISTINCT threshold, in
+    ASCENDING threshold order — duplicates in the input list collapse
+    and caller order is not preserved, so join results back on the
+    ``threshold`` column rather than zipping against the input list.
+
     Scale shape: ONE narrow scan bucketizes each row by how many
     thresholds its score clears (the rule is monotone in t, so a row's
     entire sweep membership is one integer) into a

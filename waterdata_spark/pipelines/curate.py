@@ -88,6 +88,7 @@ def curate_corpus(
     line_dedup: bool = False,
     span_dedup: dict | None = None,
     quality_gate: dict | bool = False,
+    classifier_gate: dict | None = None,
     near_dup: dict | bool = False,
     host_cap: dict | None = None,
     decontaminate_eval: DataFrame | None = None,
@@ -117,6 +118,12 @@ def curate_corpus(
     ``min_stopword_frac``, plus ``html_col``/``drop_empty``).
     ``drop_empty`` (default True) drops documents whose page yields no
     content block — audited as part of the stage's funnel row.
+
+    ``classifier_gate`` (r12, VERDICT r11 item 5): ``{"model": a
+    trained ``classify.LRModel``, "threshold": t}`` — keep documents
+    the TRAINED quality classifier scores ``lr_prob >= t``, after the
+    heuristic gate and before near-dup/cap; pick ``t`` with
+    ``classify.pr_sweep`` (the GPT-3-appendix-A operating-point step).
 
     ``host_cap`` (r11, VERDICT r10 item 6) runs the C4/RefinedWeb
     per-registered-domain frequency cap (``operators/sampling.
@@ -214,6 +221,34 @@ def curate_corpus(
     if isinstance(quality_gate, dict) or quality_gate:
         kwargs = quality_gate if isinstance(quality_gate, dict) else {}
         cur = mark(gopher_gate(cur, text_col, **kwargs), "quality_gate")
+
+    if classifier_gate is not None:
+        # r12 (VERDICT r11 item 5): gate on a TRAINED quality classifier
+        # at a chosen operating point — the published-pipeline step the
+        # heuristic gate approximates (GPT-3 appendix A trains an LR
+        # quality classifier and keeps documents by score; CCNet/LLaMA
+        # gate on a fastText-style model). ``{"model": LRModel,
+        # "threshold": t}`` keeps rows with ``lr_prob >= t`` — pick t
+        # with ``classify.pr_sweep`` over a labeled slice (the
+        # documented threshold-selection step; the sweep returns exact
+        # confusion counts per candidate threshold). Runs AFTER the
+        # heuristic gate (cheap bands first, model score on the
+        # survivors) and BEFORE near-dup/cap (the same
+        # count-the-survivors rationale as host_cap). Scoring is one
+        # broadcast join + map-side margin sum (lr_score's documented
+        # shape) — no extra shuffle of the corpus. Extra kwargs pass
+        # through to ``lr_score`` (e.g. ``prob_dp``).
+        from waterdata_spark.operators.classify import lr_score
+
+        kwargs = dict(classifier_gate)
+        model = kwargs.pop("model")
+        thr = kwargs.pop("threshold")
+        scored = lr_score(cur, model, id_col=id_col, text_col=text_col, **kwargs)
+        cur = mark(
+            scored.filter(F.col("lr_prob") >= F.lit(float(thr)))
+            .drop("lr_prob", "lr_pred"),
+            "classifier_gate",
+        )
 
     if isinstance(near_dup, dict) or near_dup:
         # internal bounded convergence actions — the operator's

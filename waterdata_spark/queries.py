@@ -1127,12 +1127,21 @@ def q18_asof_join(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_table(spark, sf, "events").withColumn("ts_us", F.expr("ts div 1000"))
     errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts_us")
-    clicks = priority_dedup(
-        e.filter(F.col("event_type") == "click").select("user_id", "ts_us", "event_id", "value"),
-        ["user_id", "ts_us"],
-        [F.col("event_id").desc()],
+    # r12 (VERDICT r11 item 8): the per-(user, ts) click dedup — keep
+    # the max event_id — is FUSED into the as-of window via
+    # right_order instead of a separate priority_dedup window: one
+    # shuffle+sort of the clicks table eliminated (the q18 plan
+    # audit's tall pole; measured in tools/q18_scale_probe.py).
+    # Result identical (oracle-hashed): among equal-(user, ts) clicks
+    # the carry takes the LAST under event_id ASC == the max, exactly
+    # the row the dedup window elected.
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id", "value"
     )
-    out = asof_join(errors, clicks, on=["user_id"], ts="ts_us", payload=["event_id", "value"])
+    out = asof_join(
+        errors, clicks, on=["user_id"], ts="ts_us",
+        payload=["event_id", "value"], right_order=["event_id"],
+    )
     return out.select(
         "event_id",
         "user_id",
@@ -4105,6 +4114,24 @@ def x27_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     SELECT t.doc_id, t.lang, b.label AS predicted, b.nb_log_prob,
            l.lr_prob, CAST(l.lr_prob >= 0.5 AS INT) AS lr_pred
     FROM test t JOIN best b USING (doc_id) JOIN lprob l USING (doc_id)
+    UNION ALL
+    SELECT CAST(-ROW_NUMBER() OVER (ORDER BY s.threshold) AS BIGINT) AS doc_id,
+           'sweep' AS lang,
+           CAST(s.tp AS VARCHAR) || '|' || CAST(s.fp AS VARCHAR) || '|'
+             || CAST(s.fn AS VARCHAR) || '|' || CAST(s.tn AS VARCHAR) AS predicted,
+           s.threshold AS nb_log_prob,
+           CAST(NULL AS DOUBLE) AS lr_prob,
+           CAST(NULL AS INT) AS lr_pred
+    FROM (
+      SELECT th.threshold,
+             SUM(CASE WHEN l.lr_prob >= th.threshold AND t.lang = 'en' THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN l.lr_prob >= th.threshold AND t.lang <> 'en' THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN l.lr_prob < th.threshold AND t.lang = 'en' THEN 1 ELSE 0 END) AS fn,
+             SUM(CASE WHEN l.lr_prob < th.threshold AND t.lang <> 'en' THEN 1 ELSE 0 END) AS tn
+      FROM test t JOIN lprob l USING (doc_id)
+      CROSS JOIN (SELECT CAST(unnest([0.48, 0.4875, 0.48808, 0.49]) AS DOUBLE) AS threshold) th
+      GROUP BY 1
+    ) s
     """,
     doc="Hashed-token multinomial Naive Bayes classification (NEW r8, "
     "operators/classify.py) — the supervised corpus labeler of public "
@@ -4126,7 +4153,15 @@ def x27_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     "12dp-decimal (order-independent) with 9dp HALF_UP driver weight "
     "updates; the twin unrolls BOTH epochs in SQL from zero init "
     "(epoch 1 collapses to p=0.5) and reproduces every held-out "
-    "document's 7dp probability and decision, value-for-value.",
+    "document's 7dp probability and decision, value-for-value. r12 "
+    "'sweep' leg (VERDICT r11 item 6): classify.pr_sweep's operating-"
+    "point selection over the same 7dp probabilities — per-threshold "
+    "EXACT confusion counts (packed tp|fp|fn|tn) at four thresholds "
+    "straddling the real score mass (all four rows fire "
+    "non-vacuously at sf0.01), reproduced by the twin as a plain "
+    "grouped count over the identical lprob CTE while the engine "
+    "side computes them via the one-scan bucketize + suffix-sum "
+    "plan — integer-for-integer agreement.",
     tags=["classify", "llm"],
 )
 def x28_nb_classify(spark: SparkSession, sf: str) -> DataFrame:
@@ -4150,7 +4185,31 @@ def x28_nb_classify(spark: SparkSession, sf: str) -> DataFrame:
         train_lr, n_buckets=4096, hash_fn="md5", n_iter=2, learning_rate=0.5
     )
     lrs = lr_score(test, lrm).select("doc_id", "lr_prob", "lr_pred")
-    return nb.join(lrs, "doc_id")
+    main = nb.join(lrs, "doc_id")
+    # 'sweep' leg (r12, VERDICT r11 item 6): the operating-point sweep
+    # over the SAME 7dp probabilities — pr_sweep's one-scan bucketize +
+    # suffix-sum confusion counts, rendered into the row shape
+    # (negative doc_id keys, counts packed 'tp|fp|fn|tn' in the
+    # predicted column, threshold in nb_log_prob). Thresholds chosen to
+    # straddle the real sf0.01 score mass (0.4873-0.4888) so every row
+    # fires non-vacuously.
+    from waterdata_spark.operators.classify import pr_sweep
+
+    scored = test.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("__y")
+    ).join(lrs, "doc_id")
+    sweep = pr_sweep(scored, "lr_prob", "__y", [0.48, 0.4875, 0.48808, 0.49])
+    sweep_leg = sweep.select(
+        (-F.row_number().over(Window.orderBy("threshold")))
+        .cast("long")
+        .alias("doc_id"),
+        F.lit("sweep").alias("lang"),
+        F.concat_ws("|", "tp", "fp", "fn", "tn").alias("predicted"),
+        F.col("threshold").alias("nb_log_prob"),
+        F.lit(None).cast("double").alias("lr_prob"),
+        F.lit(None).cast("int").alias("lr_pred"),
+    )
+    return main.unionByName(sweep_leg)
 
 
 @query(
