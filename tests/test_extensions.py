@@ -49,6 +49,53 @@ class TestAsofJoin:
         out = asof_join(left, right, on=["k"], ts="t", payload=["p"], direction="forward")
         assert out.collect()[0]["p_right"] == "future"
 
+    def test_right_order_fuses_tie_dedup(self, spark):
+        """r12 (VERDICT r11 item 8): right_order elects the MAX right
+        row among equal-(key, ts) ties inside the as-of window itself —
+        identical to a priority_dedup(keys=(k, t), order=desc) window
+        run first, without that window's extra shuffle+sort."""
+        import pytest
+
+        from waterdata_spark.operators.dedup import priority_dedup
+
+        left = spark.createDataFrame(
+            [(1, 100), (1, 160), (2, 100)], "k long, t long"
+        )
+        right = spark.createDataFrame(
+            [(1, 100, 5, "e5"), (1, 100, 9, "e9"), (1, 100, 7, "e7"),
+             (1, 150, 1, "x1"), (1, 150, 2, "x2"), (2, 90, 3, "y3")],
+            "k long, t long, eid long, v string",
+        )
+        fused = asof_join(
+            left, right, on=["k"], ts="t", payload=["eid", "v"],
+            right_order=["eid"],
+        )
+        got = {(r["k"], r["t"]): (r["eid_right"], r["v_right"])
+               for r in fused.collect()}
+        assert got[(1, 100)] == (9, "e9")   # max eid at the exact tie
+        assert got[(1, 160)] == (2, "x2")   # max eid at t=150
+        assert got[(2, 100)] == (3, "y3")
+        # equivalence with the dedup-first plan, row for row
+        dd = asof_join(
+            left,
+            priority_dedup(right, ["k", "t"], [F.col("eid").desc()]),
+            on=["k"], ts="t", payload=["eid", "v"],
+        )
+        want = {(r["k"], r["t"]): (r["eid_right"], r["v_right"])
+                for r in dd.collect()}
+        assert got == want
+        # exact-match exclusion composes: ties at t=100 are invisible
+        exc = asof_join(
+            left, right, on=["k"], ts="t", payload=["eid", "v"],
+            right_order=["eid"], allow_exact_match=False,
+        )
+        got2 = {(r["k"], r["t"]): r["eid_right"] for r in exc.collect()}
+        assert got2[(1, 100)] is None and got2[(1, 160)] == 2
+        # a non-payload right_order column is rejected
+        with pytest.raises(ValueError, match="payload"):
+            asof_join(left, right, on=["k"], ts="t", payload=["v"],
+                      right_order=["eid"])
+
     def test_row_count_preserved(self, spark):
         left = spark.range(100).select(F.lit(1).alias("k"), F.col("id").alias("t"))
         right = spark.createDataFrame([(1, 5, "x")], "k long, t long, p string")

@@ -29,6 +29,7 @@ def asof_join(
     direction: str = "backward",
     allow_exact_match: bool = True,
     suffix: str = "_right",
+    right_order: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach ``payload`` from the right row with
     the greatest right.ts <= left.ts (direction='backward'; 'forward'
@@ -37,9 +38,23 @@ def asof_join(
     Left rows with no qualifying right row keep NULL payload (left
     semantics). ``ts`` must be a totally ordered column (numeric or
     timestamp) present in both sides under the same name.
-    """
+
+    ``right_order`` (r12, VERDICT r11 item 8): payload column names
+    appended ASCENDING to the window sort among right rows sharing
+    (key, ts) — the MAXIMUM under ``right_order`` wins (it sorts last,
+    and the carry takes the last non-null). This FUSES the usual
+    pre-dedup into the as-of window itself: without it, callers with
+    duplicate right timestamps must run a ``priority_dedup`` window
+    first — a whole extra shuffle+sort of the right table (q18's plan
+    audit measured that as the tall pole of its decade ratio). For a
+    descending winner negate a numeric column upstream (the
+    ``priority_dedup_agg`` convention). Without ``right_order``,
+    equal-(key, ts) right rows carry an unspecified winner — pre-dedup
+    the right side or pass a total order when ties are possible."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if right_order is not None and not set(right_order) <= set(payload):
+        raise ValueError("right_order columns must be payload columns")
 
     pay_cols = [f"{c}{suffix}" for c in payload]
     # Carry ONE struct of all payload columns (not per-column last()):
@@ -62,16 +77,22 @@ def asof_join(
     # within equal ts: exact match allowed → right rows sort BEFORE left
     # rows so the window already sees them; disallowed → after.
     tie = F.col("__is_left").asc() if allow_exact_match else F.col("__is_left").desc()
+    # right_order tiebreaks sort right rows within equal (key, ts)
+    # ascending — nulls (left rows) FIRST so a left row still follows
+    # every right row it may match under the __is_left tie above
+    order_tail = [
+        F.col(f"__pay.{c}{suffix}").asc_nulls_first() for c in (right_order or [])
+    ]
     if direction == "backward":
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col(ts).asc(), tie)
+            .orderBy(F.col(ts).asc(), tie, *order_tail)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col(ts).desc(), tie)
+            .orderBy(F.col(ts).desc(), tie, *order_tail)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     carried = F.last("__pay", ignorenulls=True).over(w).alias("__pay")
