@@ -390,13 +390,18 @@ def main() -> None:
         names=names_env.split(",") if names_env else None,
         partitions=SHUFFLE_PARTITIONS.get(sf),
     )
-    # same retry-until-clean rule as the child scale blocks (r10, cap 3)
+    # same retry-until-clean rule as the child scale blocks. r12
+    # (VERDICT r11 item 4): the raised cap (6) and the per-attempt
+    # (drift, load1) trace now apply to the PRIMARY (sf0.1) suite too —
+    # r11 shipped clean sf1/sf10 blocks but a contended sf0.1 with no
+    # committed evidence that no clean window existed.
     _retries = 0
-    while suite["contended"] and _retries < 3:
+    _trace = [[suite["sentinel"]["drift"], suite["sentinel"].get("load1")]]
+    while suite["contended"] and _retries < 6:
         _retries += 1
         print(
             f"# primary suite contended (drift {suite['sentinel']['drift']}), "
-            f"retry {_retries}/3",
+            f"retry {_retries}/6",
             file=sys.stderr,
         )
         retry = _run_suite(
@@ -405,10 +410,13 @@ def main() -> None:
             names=names_env.split(",") if names_env else None,
             partitions=SHUFFLE_PARTITIONS.get(sf),
         )
+        _trace.append([retry["sentinel"]["drift"], retry["sentinel"].get("load1")])
         if retry["sentinel"]["drift"] < suite["sentinel"]["drift"]:
             suite = retry
     if _retries:
         suite["retried"] = _retries
+        if suite["contended"]:
+            suite["load_trace"] = _trace  # the no-clean-window evidence
     out = {
         "metric": "headline_suite_total",
         "value": suite["value"],
@@ -419,6 +427,7 @@ def main() -> None:
         "sentinel": suite["sentinel"],
         "contended": suite["contended"],
         "retried": suite.get("retried", False),
+        **({"load_trace": suite["load_trace"]} if "load_trace" in suite else {}),
         "x07_build_sec": suite["x07_build_sec"],
         "shuffle_partitions": suite["shuffle_partitions"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

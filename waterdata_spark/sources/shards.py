@@ -88,7 +88,13 @@ def write_training_shards(
     Mutually exclusive with ``shuffle_seed`` (an order is either
     curricular or shuffled). Same zero-extra-shuffle mechanics: the
     sort leads with the shard column and rides the existing exchange;
-    the manifest digest again certifies content, not order."""
+    the manifest digest again certifies content, not order.
+
+    ``df``'s plan is evaluated twice (data write + stats aggregate) —
+    it must be DETERMINISTIC across evaluations or the manifest will
+    disagree with the data files; persist/checkpoint nondeterministic
+    upstreams first (ADVICE r11; full rationale on
+    :func:`append_training_shards`)."""
     if order_by is not None and shuffle_seed is not None:
         raise ValueError("order_by and shuffle_seed are mutually exclusive")
     sharded = with_shard(df, id_col, n_shards, salt)
@@ -167,7 +173,7 @@ def _write_manifest(path: str, manifest: dict) -> None:
 
 
 def append_training_shards(
-    df: DataFrame, path: str, batch_id: int | None = None
+    df: DataFrame, path: str, batch_id: int | None = None, force: bool = False
 ) -> dict:
     """Incrementally APPEND a batch to an existing release (r11): the
     100 TB ingest path — a new crawl shard lands in the same layout
@@ -195,13 +201,37 @@ def append_training_shards(
 
     Without ``batch_id`` the write is a plain append (no staging, no
     guard) — fine for interactive batch use; a replayed/duplicate call
-    then duplicates rows. Either way, appending rows whose ids already
-    exist in the release duplicates them — dedup against the stored
-    corpus first (``dedup_against_exact`` with a maintained
-    ``streaming/gates`` store; ``streaming/ingest`` composes exactly
-    this). Within-shard ORDER applies per write (appended files carry
-    their own order; the digest certifies content, not order)."""
+    then duplicates rows. A release whose manifest carries
+    ``last_append_batch`` is STREAM-MANAGED — a bare append would
+    interleave an unguarded write with the guarded ones and a
+    duplicate call could silently double rows, so it RAISES unless
+    ``force=True`` (r12, VERDICT r11 item 7). Either way, appending
+    rows whose ids already exist in the release duplicates them —
+    dedup against the stored corpus first (``dedup_against_exact``
+    with a maintained ``streaming/gates`` store; ``streaming/ingest``
+    composes exactly this). Within-shard ORDER applies per write
+    (appended files carry their own order; the digest certifies
+    content, not order).
+
+    **Determinism requirement (ADVICE r11)**: the batch plan is
+    evaluated twice — once for the data write and once for the
+    per-shard stats/digest aggregate. A nondeterministic input
+    (``rand()``, an unseeded ``sample``, a source mutating mid-job)
+    would silently write manifest rows/bytes/digest that disagree with
+    the data files, breaking the append==one-shot manifest-comparison
+    contract. Persist/checkpoint such a frame first (the
+    ``cap_per_group``/``dedup_against_exact``/``pack_sequences_bfd``
+    split-plan contract; ``streaming/ingest.ingest_batch`` persists
+    its survivor frame for exactly this reason). The same applies to
+    :func:`write_training_shards`."""
     man = json.load(open(os.path.join(path, MANIFEST)))
+    if batch_id is None and "last_append_batch" in man and not force:
+        raise ValueError(
+            f"release at {path} is stream-managed (manifest carries "
+            f"last_append_batch={man['last_append_batch']}): a bare append "
+            "has no replay guard and a duplicate call would silently "
+            "double rows — pass batch_id (the guarded path) or force=True"
+        )
     # JSON round-trips shard keys as strings; normalize to ints so the
     # no-op replay branch and the applied branch return identical dicts
     man["shards"] = {int(k): dict(v) for k, v in man["shards"].items()}
