@@ -53,6 +53,20 @@ def test_priority_dedup_single_shuffle(spark):
     )
 
 
+def test_asof_fused_tie_dedup_single_shuffle(spark):
+    """q18 (r12, VERDICT r11 item 8): the clicks tie-dedup is fused
+    into the as-of window via right_order — pin ONE exchange and ONE
+    Window over the union (the pre-fusion plan carried 2 exchanges and
+    a second window for priority_dedup; plan counts measured 1/1/1 vs
+    2/3/4 exchange/sort/window)."""
+    df = QUERIES["q18_asof_join"].fn(spark, SF_ORACLE)
+    s = assert_plan(df, max_exchanges=1)
+    # the formatted plan prints each node twice (tree + detail), so one
+    # physical Window == two textual mentions
+    assert s.text.count("Window") == 2
+    assert "row_number" not in s.text  # no separate dedup window
+
+
 def test_pricing_summary_partial_agg(spark):
     df = QUERIES["q01_pricing_summary"].fn(spark, SF_ORACLE)
     s = assert_plan(df, max_exchanges=1)
