@@ -203,6 +203,38 @@ class TestBucketedDigestStore:
             results[tag] = sorted(r["text"] for r in back.collect())
         assert results["bc"] == results["fb"]
 
+    def test_bloom_gate_kind_agrees_with_cms(self, spark, tmp_path):
+        """r12: gate_kind='bloom' serves the base gate as one Arrow
+        bit-gather (corpus-independent closure) — same exact survivor
+        semantics as the cms gate, rebuilt by the same compaction."""
+        from waterdata_spark.streaming.gates import _read_params
+        from waterdata_spark.streaming.ingest import compact_digests
+
+        results = {}
+        for kind in ("cms", "bloom"):
+            rel, dig, gate = _dirs(tmp_path, f"gk-{kind}")
+            init_ingest(
+                spark, rel, dig, gate, n_shards=4,
+                gate_kind=kind, cms_width=4096, bloom_bits=1 << 14,
+            )
+            assert _read_params(gate)["kind"] == kind
+            ingest_batch(_docs(spark, 0, 30), 0, rel, dig, gate)
+            compact_digests(spark, dig, n_buckets=4)  # rebuilds the gate
+            n = ingest_batch(
+                _docs(spark, 30, 40, dup_of=[2, 11, 29]), 1, rel, dig, gate
+            )
+            assert n == 10
+            back = read_training_shards(
+                spark, rel, schema="doc_id long, text string"
+            )
+            results[kind] = sorted(r["text"] for r in back.collect())
+        assert results["cms"] == results["bloom"]
+        with pytest.raises(ValueError, match="gate_kind"):
+            init_ingest(
+                spark, str(tmp_path / "bad-rel"), str(tmp_path / "bad-dig"),
+                str(tmp_path / "bad-gate"), gate_kind="nope",
+            )
+
     def test_replay_after_compaction_skips_digest_overwrite(self, spark, tmp_path):
         """ADVICE r11: crash between the digest/gate commit and the
         streaming checkpoint commit, maintenance compaction, restart —

@@ -226,6 +226,28 @@ class TestByteFallback:
         for r in encode_bpe_ids(adversarial, model, v).collect():
             assert r["input_ids"] == py_encode(r["text"])
 
+    def test_byte_rate_signal(self, adversarial, docs, bpe):
+        """byte_rate is the fallback-mode retrain signal (oov_rate is
+        identically zero): it must equal the exact byte-token fraction
+        and be zero on in-vocab text."""
+        from waterdata_spark.operators.vocab import token_id_stats
+
+        model, _ = bpe
+        v = bpe_vocab(model, alphabet_of(docs), byte_fallback=True)
+        base = v.byte_id_base
+        enc = encode_bpe_ids(adversarial, model, v)
+        [stats] = token_id_stats(enc, v).collect()
+        rows = enc.select("input_ids").collect()
+        n_bytes = sum(
+            sum(1 for i in r["input_ids"] if base <= i < base + 256)
+            for r in rows
+        )
+        n_tok = sum(len(r["input_ids"]) for r in rows)
+        assert stats["n_byte_tokens"] == n_bytes > 0
+        assert stats["byte_rate"] == pytest.approx(n_bytes / n_tok)
+        [clean] = token_id_stats(encode_bpe_ids(docs, model, v), v).collect()
+        assert clean["n_byte_tokens"] == 0 and clean["byte_rate"] == 0.0
+
     def test_in_vocab_text_uses_no_byte_pieces(self, docs, bpe):
         """Corpus text (the vocab's own alphabet) must encode without
         any byte decomposition — fallback touches only true OOV."""

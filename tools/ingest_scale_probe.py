@@ -31,6 +31,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 REPEATS = int(os.environ.get("INGEST_PROBE_REPEATS", "3"))
 CMS_W = 1 << 20
+#: base-gate form: cms (counter table) or bloom (bit-packed, r12)
+GATE_KIND = os.environ.get("INGEST_PROBE_GATE", "cms")
 
 
 def _block(spark, sf_dir: str, work: str, bucketed: bool = True) -> dict:
@@ -66,7 +68,10 @@ def _block(spark, sf_dir: str, work: str, bucketed: bool = True) -> dict:
             os.path.join(base, "digests"),
             os.path.join(base, "gate"),
         )
-        init_ingest(spark, rel, dig, gate, n_shards=16, cms_width=CMS_W)
+        init_ingest(
+            spark, rel, dig, gate, n_shards=16, cms_width=CMS_W,
+            gate_kind=GATE_KIND, bloom_bits=1 << 23,
+        )
         # untimed: seed the stored corpus in one bulk batch
         ingest_batch(docs, 0, rel, dig, gate)
         if bucketed:
@@ -117,6 +122,7 @@ def main() -> None:
         "metric": "ingest_scale_probe",
         "repeats": REPEATS,
         "bucketed": bucketed,
+        "gate": GATE_KIND,
     }
     out["sf0.1"] = _block(spark, sf01, os.path.join(work, "a"), bucketed)
     assert ensure_scaled(spark, sf01, sf1, factor=10)

@@ -489,7 +489,15 @@ def token_id_stats(
     ``by`` adds a grouping column (per-language/per-source grain —
     output bounded by group cardinality). A rising ``oov_rate`` is the
     operational signal that the shipped vocab no longer covers the
-    corpus (new script/domain) and the tokenizer needs retraining."""
+    corpus (new script/domain) and the tokenizer needs retraining.
+
+    With a ``byte_fallback`` vocab (r12) ``oov_rate`` is zero by
+    construction, so the datasheet adds ``n_byte_tokens`` /
+    ``byte_rate`` — ids in the byte-piece block. That is the SAME
+    retrain signal in fallback form: unknown characters now cost
+    multiple byte tokens instead of one ``<unk>``, so a rising
+    byte_rate means the vocab is spending sequence length spelling out
+    content it has no pieces for."""
     unk = vocab.unk_id
     toks = F.size(F.col(ids_col)).cast("long")
     unks = F.size(
@@ -500,6 +508,15 @@ def token_id_stats(
         F.sum(toks).alias("n_tokens"),
         F.sum(unks).alias("n_unk"),
     ]
+    if vocab.byte_fallback:
+        base = vocab.byte_id_base
+        bytes_ = F.size(
+            F.filter(
+                F.col(ids_col),
+                lambda x: (x >= F.lit(base)) & (x < F.lit(base + 256)),
+            )
+        ).cast("long")
+        aggs.append(F.sum(bytes_).alias("n_byte_tokens"))
     if text_col is not None:
         aggs.append(
             F.sum(F.coalesce(F.octet_length(F.col(text_col)), F.lit(0))).alias(
@@ -513,6 +530,14 @@ def token_id_stats(
             F.lit(0.0)
         ),
     )
+    if vocab.byte_fallback:
+        out = out.withColumn(
+            "byte_rate",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_byte_tokens") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+        )
     if text_col is not None:
         out = out.withColumn(
             "tokens_per_100_bytes",

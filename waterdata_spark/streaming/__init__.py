@@ -1,5 +1,6 @@
 from waterdata_spark.streaming.gates import (
     bloom_batch,
+    bloom_rebuild,
     bloom_stream_sink,
     cms_batch,
     cms_rebuild,
@@ -39,6 +40,7 @@ from waterdata_spark.streaming.ops import (
 __all__ = [
     "PreparedEvalGrams",
     "bloom_batch",
+    "bloom_rebuild",
     "bloom_stream_sink",
     "cms_batch",
     "cms_rebuild",

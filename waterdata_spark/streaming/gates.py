@@ -55,6 +55,7 @@ __all__ = [
     "init_bloom_store",
     "read_bloom",
     "bloom_batch",
+    "bloom_rebuild",
     "bloom_stream_sink",
 ]
 
@@ -314,6 +315,34 @@ def bloom_batch(
     with open(os.path.join(table_dir, next_version), "wb") as f:
         f.write(merged.to_bytes())
     _write_pointer(table_dir, next_version, batch_id)
+    _prune_versions(table_dir, keep=prune_keep, min_age_sec=prune_min_age_sec)
+    return next_version
+
+
+def bloom_rebuild(
+    df: DataFrame,
+    table_dir: str,
+    prune_keep: int = 2,
+    prune_min_age_sec: float = 600.0,
+) -> str:
+    """REPLACE the stored filter with a fresh build over ``df`` (stored
+    params) — :func:`cms_rebuild`'s Bloom twin, for stores serving as
+    compacted-base gates rebuilt at compaction time off the per-batch
+    hot path. Same superset-ordering contract: callers sequencing a
+    base swap must rebuild the gate first."""
+    state = _read_pointer(table_dir)
+    if state is None:
+        raise RuntimeError(
+            f"bloom store not initialized: {table_dir} (call init_bloom_store)"
+        )
+    version, last_batch = state
+    p = _read_params(table_dir)
+    bf = bloom_build(df, p["col"], n_bits=p["n_bits"], k=p["k"], seed=p["seed"])
+    n = int(version.split(".")[0].lstrip("v")) + 1
+    next_version = f"v{n}.bits"
+    with open(os.path.join(table_dir, next_version), "wb") as f:
+        f.write(bf.to_bytes())
+    _write_pointer(table_dir, next_version, last_batch)
     _prune_versions(table_dir, keep=prune_keep, min_age_sec=prune_min_age_sec)
     return next_version
 

@@ -117,7 +117,16 @@ class PreparedReferenceSignatures:
     that built them). Build once with :meth:`from_reference_df`; reuse
     across micro-batches and sessions. Bound: a reference that fits
     the batch operator's broadcast (the decision join broadcasts it
-    anyway) fits here; beyond that, run batch ``dedup_against``."""
+    anyway) fits here; beyond that, run batch ``dedup_against``.
+
+    Scope note (r12): this gate's reference is FROZEN at build time —
+    right for "never near-duplicate THIS fixed corpus" (an eval set, a
+    licensed collection). To near-dup a stream against EVERYTHING
+    ALREADY INGESTED — the reference grows with every batch — use the
+    stream-MAINTAINED band store (``streaming/neardup.py``, composed
+    into the live release by ``ingest_batch(neardup_dir=...)``), which
+    also runs the full exact-verify cascade instead of this gate's
+    signature-only decision."""
 
     def __init__(self, pdf, schema, n_hashes: int, n_bands: int, k: int, hash_fn: str):
         self.pdf = pdf

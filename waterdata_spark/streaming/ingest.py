@@ -84,12 +84,25 @@ def init_ingest(
     fmt: str = "json",
     cms_depth: int = 4,
     cms_width: int = 1 << 20,
+    gate_kind: str = "cms",
+    bloom_bits: int = 1 << 23,
+    bloom_k: int = 4,
 ) -> None:
     """Create the three stores empty: a zero-row release (manifest
     records the layout parameters every append reuses), an empty
-    digest store, an empty CMS gate. Schema for the release comes from
+    digest store, an empty base gate. Schema for the release comes from
     a caller-shaped empty frame on first append (JSONL/parquet are
-    schema-on-write per file), so init only needs the column NAMES."""
+    schema-on-write per file), so init only needs the column NAMES.
+
+    ``gate_kind`` (r12): ``'cms'`` (counter table — engine-reproducible
+    rows, served by broadcast joins that grow with the table until its
+    depth×width cap) or ``'bloom'`` (bit-packed filter ≤ 32 MB — served
+    as ONE Arrow bit-gather whose cost is corpus-independent from the
+    first batch; the stage profile showed the CMS broadcast as the last
+    corpus-correlated per-batch term). Both are exact gates (no false
+    negatives at any fill); a Bloom past ~n_bits/8 stored digests
+    saturates toward flagging everything — still correct, just
+    gate-less cost — so size ``bloom_bits`` to the corpus target."""
     from waterdata_spark.sources.shards import _write_manifest
 
     os.makedirs(release_dir, exist_ok=True)
@@ -116,13 +129,19 @@ def init_ingest(
         import json as _json
 
         _json.dump({"kind": "digests", "gate_dir": gate_dir}, f, sort_keys=True)
-    init_cms_store(
-        spark.createDataFrame([], f"{_DIGEST_COL} string"),
-        gate_dir,
-        _DIGEST_COL,
-        depth=cms_depth,
-        width=cms_width,
-    )
+    empty = spark.createDataFrame([], f"{_DIGEST_COL} string")
+    if gate_kind == "cms":
+        init_cms_store(
+            empty, gate_dir, _DIGEST_COL, depth=cms_depth, width=cms_width
+        )
+    elif gate_kind == "bloom":
+        from waterdata_spark.streaming.gates import init_bloom_store
+
+        init_bloom_store(
+            empty, gate_dir, _DIGEST_COL, n_bits=bloom_bits, k=bloom_k
+        )
+    else:
+        raise ValueError(f"gate_kind must be 'cms' or 'bloom', got {gate_kind!r}")
 
 
 def read_digests(
@@ -342,14 +361,16 @@ def compact_digests(
         # covering a superset (the folded batches are still L0), which
         # only costs false positives; the reverse order would leave a
         # gate missing base digests and silently duplicate the corpus.
-        from waterdata_spark.streaming.gates import cms_rebuild
+        from waterdata_spark.streaming.gates import _read_params as _gate_params
+        from waterdata_spark.streaming.gates import bloom_rebuild, cms_rebuild
 
-        cms_rebuild(
-            spark.read.parquet(os.path.join(digest_dir, new_base)).select(
-                _DIGEST_COL
-            ),
-            gate_dir,
-        )
+        base_digests = spark.read.parquet(
+            os.path.join(digest_dir, new_base)
+        ).select(_DIGEST_COL)
+        if _gate_params(gate_dir).get("kind") == "bloom":
+            bloom_rebuild(base_digests, gate_dir)
+        else:
+            cms_rebuild(base_digests, gate_dir)
     tmp = os.path.join(digest_dir, _COMPACT + ".tmp")
     with open(tmp, "w") as f:
         f.write(f"{new_base}|{n_buckets}")
@@ -480,12 +501,21 @@ def ingest_batch(
             # no compacted base yet — L0 was the whole stored set
             new = after_l0.persist()
         else:
-            gate = read_cms(spark, gate_dir)
-            flagged = count_min_might_contain(
-                gate, after_l0, _DIGEST_COL,
-                gate_params["depth"], gate_params["width"], seed="xgate",
-                out_col="__maybe",
-            )
+            if gate_params.get("kind") == "bloom":
+                from waterdata_spark.operators.bloom import with_bloom_contains
+                from waterdata_spark.streaming.gates import read_bloom
+
+                flagged = with_bloom_contains(
+                    after_l0, _DIGEST_COL, read_bloom(gate_dir),
+                    out_col="__maybe",
+                )
+            else:
+                gate = read_cms(spark, gate_dir)
+                flagged = count_min_might_contain(
+                    gate, after_l0, _DIGEST_COL,
+                    gate_params["depth"], gate_params["width"], seed="xgate",
+                    out_col="__maybe",
+                )
             passed = flagged.filter(~F.col("__maybe")).drop("__maybe")
             cands = flagged.filter(F.col("__maybe")).drop("__maybe").persist()
             n_cand = cands.count()
