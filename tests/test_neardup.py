@@ -196,6 +196,16 @@ class TestReplayAndStore:
             ).collect()
         }
         assert flagged == {900}
+        # exact_verify=False: band-collision-only decision, release
+        # never read (None) — flags a SUPERSET of the verified set
+        # that must still include the planted near-dup
+        est = {
+            r["doc_id"]
+            for r in flag_near_stored(
+                probe, nd, None, exact_verify=False
+            ).collect()
+        }
+        assert flagged <= est and 900 in est
         # store_batch is idempotent per batch dir
         neardup_store_batch(probe, 7, nd)
         neardup_store_batch(probe, 7, nd)

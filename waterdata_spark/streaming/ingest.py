@@ -489,7 +489,7 @@ def ingest_batch(
         id_col,
         digest_col=_DIGEST_COL,
     ).persist()
-    new = cands = None
+    new = cands = nd_sig = None
     try:
         # L0: exact anti-join against the recent per-batch directories
         l0 = _read_batch_digests(spark, digest_dir, exclude_batch=batch_id)
@@ -556,8 +556,19 @@ def ingest_batch(
             # candidate reference text comes from the release itself,
             # shard-pruned). `new` is persisted, so the cascade's
             # multiple evaluations see one deterministic frame.
-            from waterdata_spark.streaming.neardup import flag_near_stored
+            from waterdata_spark.streaming.neardup import (
+                _batch_signatures,
+                _read_params as _nd_params,
+                flag_near_stored,
+            )
 
+            # ONE minhash pass serves both the flagging cascade and the
+            # survivors' band-store update (the probe measured the
+            # signature pass as the largest batch-bounded term — paying
+            # it twice per batch was 25% of the stage)
+            nd_sig = _batch_signatures(
+                new, _nd_params(neardup_dir), id_col, text_col
+            ).persist()
             flagged = flag_near_stored(
                 new,
                 neardup_dir,
@@ -567,6 +578,7 @@ def ingest_batch(
                 exclude_batch=batch_id,
                 release_schema=release_schema,
                 broadcast_cap=broadcast_cap,
+                precomputed_sig=nd_sig,
             )
             exact_new = new
             new = new.join(flagged, id_col, "left_anti").persist()
@@ -601,15 +613,19 @@ def ingest_batch(
                 os.path.join(digest_dir, f"batch={batch_id}")
             )
             if neardup_dir is not None:
-                # band store: whole-directory overwrite + gate pointer —
-                # the same idempotence pair as the digest store
+                # band store: whole-directory overwrite — the same
+                # idempotence as the digest store (its gate is a
+                # compaction-time artifact too). Survivor signatures
+                # come from the shared pass above.
                 from waterdata_spark.streaming.neardup import neardup_store_batch
 
                 neardup_store_batch(
-                    new, batch_id, neardup_dir, id_col=id_col, text_col=text_col
+                    new, batch_id, neardup_dir,
+                    id_col=id_col, text_col=text_col,
+                    precomputed_sig=nd_sig,
                 )
     finally:
-        for frame in (new, cands, keyed):
+        for frame in (new, cands, keyed, nd_sig):
             if frame is not None:
                 frame.unpersist()
     return n_new

@@ -15,19 +15,23 @@ accumulated corpus, row for row — test-pinned):
    n_hashes minhash values, pairs below threshold - margin skipped;
 3. exact shingle Jaccard >= threshold on the survivors.
 
-Stage 3 needs the REFERENCE TEXT, which this store deliberately does
-not duplicate — the release already holds it, and the candidate set
-is collision-bounded, so the fetch is a SHARD-PRUNED release read
+Band rows CARRY the document's signature array, so stage 2 runs
+directly on the band-collision output — no text, no fetch (the probe's
+first run measured 1.3M collision pairs from hot band buckets at 500k
+stored docs; estimating BEFORE any text access is what makes hot
+buckets survivable, exactly as in the batch operator). Only stage 3
+needs the REFERENCE TEXT, which this store deliberately does not
+duplicate — the release already holds it, the estimate-surviving pair
+set is small, and the fetch is a SHARD-PRUNED release read
 (deterministic hash assignment -> the candidate ids' shards are
-computable driver-side) plus a semi-join. The reference signatures
-for stage 2 are recomputed from those few fetched documents (cheaper
-at any scale than storing n_hashes longs per corpus document twice).
+computable driver-side) plus a semi-join.
 
 Store layout — the r12 digest-store architecture transplanted:
 
-- per-batch directories ``batch=N/`` of flat band rows
-  ``(__rid, band_id, band_hash)`` (4 fixed-width rows/doc at the
-  default config), rewritten whole on replay (idempotent overwrite);
+- per-batch directories ``batch=N/`` of band rows
+  ``(__rid, band_id, band_hash, __sig)`` (4 fixed-width rows/doc at
+  the default config, each carrying the n_hashes-value signature),
+  rewritten whole on replay (idempotent overwrite);
 - :func:`compact_bands` folds them into a base BUCKETED on the band
   hash (``digest_bucket`` of ``band_hash``), bucket count on the
   atomic pointer, so the per-batch collision probe prunes its scan to
@@ -130,8 +134,8 @@ def read_bands(
     exclude_batch: int | None = None,
     buckets: list[int] | None = None,
 ) -> DataFrame:
-    """The stored band rows ``(__rid, band_id, band_hash)``: compacted
-    base plus per-batch directories. ``exclude_batch`` / ``buckets``
+    """The stored band rows ``(__rid, band_id, band_hash, __sig)``:
+    compacted base plus per-batch directories. ``exclude_batch`` / ``buckets``
     have exactly the ``ingest.read_digests`` semantics: the replay
     guard, and band-hash-bucket pruning of the compacted base (batch
     dirs always read whole — the LSM L0 discipline)."""
@@ -143,8 +147,10 @@ def read_bands(
     if base is not None:
         frames.append(base)
     if not frames:
+        sig_t = "bigint" if _read_params(store_dir)["hash_fn"] == "xx" else "string"
         return spark.createDataFrame(
-            [], "__rid long, band_id int, band_hash string"
+            [],
+            f"__rid long, band_id int, band_hash string, __sig array<{sig_t}>",
         )
     out = frames[0]
     for f_ in frames[1:]:
@@ -152,7 +158,7 @@ def read_bands(
     return out
 
 
-_COLS = ["__rid", "band_id", "band_hash"]
+_COLS = ["__rid", "band_id", "band_hash", "__sig"]
 
 
 def _read_batch_bands(
@@ -203,7 +209,7 @@ def compact_bands(
     parts = list(batches) + ([old_base] if old_base else [])
     if not parts:
         raise RuntimeError(f"nothing to compact in {store_dir}")
-    cols = ["__rid", "band_id", "band_hash"]
+    cols = _COLS
     frames = []
     if batches:
         frames.append(
@@ -273,12 +279,14 @@ def _batch_signatures(
 def flag_near_stored(
     batch_df: DataFrame,
     store_dir: str,
-    release_dir: str,
+    release_dir: str | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     exclude_batch: int | None = None,
     release_schema=None,
     broadcast_cap: int = 1_000_000,
+    exact_verify: bool = True,
+    precomputed_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Ids of ``batch_df`` documents that NEAR-duplicate any stored
     document — the full ``dedup_against`` cascade against the
@@ -296,7 +304,16 @@ def flag_near_stored(
 
     ``batch_df`` is evaluated multiple times across the cascade —
     the caller must pass a deterministic (persisted) frame (the
-    split-plan contract; ``ingest_batch`` does)."""
+    split-plan contract; ``ingest_batch`` does).
+
+    ``exact_verify=False`` (r12): decide from SIGNATURES alone — band
+    collision AND estimated Jaccard >= the FULL threshold (the
+    ``flag_near_reference`` / production trade: trust the sketch,
+    est-noise sigma = sqrt(j(1-j)/n_hashes)), so the release is never
+    read on the hot path (``release_dir`` may be None). Cheaper;
+    false drops bounded by the estimator's noise rather than raw band
+    collisions. Keep the default cascade when every document
+    matters."""
     from waterdata_spark.sources.shards import (
         MANIFEST,
         read_training_shards,
@@ -306,8 +323,13 @@ def flag_near_stored(
     spark = batch_df.sparkSession
     p = _read_params(store_dir)
     n_hashes, n_bands = p["n_hashes"], p["n_bands"]
-    csig = _batch_signatures(batch_df, p, id_col, text_col).persist()
-    cb = gb = cand = ref = None
+    own_sig = precomputed_sig is None
+    csig = (
+        _batch_signatures(batch_df, p, id_col, text_col).persist()
+        if own_sig
+        else precomputed_sig
+    )
+    cb = gb = pairs = ref = None
     try:
         cb = _bands_from_signature(
             csig, id_col, n_hashes, n_bands, p["hash_fn"]
@@ -365,15 +387,58 @@ def flag_near_stored(
         cand = cand_frames[0]
         for f_ in cand_frames[1:]:
             cand = cand.unionByName(f_)
-        cand = cand.select(id_col, "__rid").distinct().persist()
-        n_cand = cand.count()  # collision-bounded
-        if n_cand == 0:
+        # stage 2 FIRST, from the signatures the band rows CARRY (r12
+        # probe finding: hot band buckets — boilerplate/templated docs
+        # sharing a band hash by the hundreds — produced 1.3M collision
+        # pairs at 500k stored docs, and fetching text for all of them
+        # before estimating was the probe's 117s/batch term; the batch
+        # operator estimates from signatures before any text access,
+        # and now so does this): compare the stored doc's signature
+        # array against the batch doc's signature, keep pairs whose
+        # estimated Jaccard clears threshold - margin. No text, no
+        # fetch — hot-bucket random collisions die here.
+        c_named = csig.select(
+            F.col(id_col),
+            *[F.col(f"__h{i}").alias(f"__ch{i}") for i in range(n_hashes)],
+        )
+        matches = sum(
+            (F.col(f"__ch{i}") == F.element_at("__sig", i + 1)).cast("int")
+            for i in range(n_hashes)
+        )
+        threshold, margin = p["threshold"], p["prefilter_margin"]
+        est_cut = threshold if not exact_verify else max(
+            0.0, threshold - (margin if margin is not None else 0.0)
+        )
+        # filter BEFORE deduplicating pairs: a hot band bucket emits
+        # up to n_bands copies of a pair, and deduplicating first would
+        # shuffle every collision row WITH its signature payload; the
+        # estimate is a map-side 16-comparison predicate, so evaluate
+        # it on the raw collision stream and distinct only the tiny
+        # survivor set
+        pairs = (
+            cand.select(id_col, "__rid", "__sig")
+            .join(c_named, id_col)
+            .filter(
+                matches.cast("double") / F.lit(float(n_hashes))
+                >= F.lit(float(est_cut))
+            )
+            .select(id_col, "__rid")
+            .distinct()
+            .persist()
+        )
+        n_pairs = pairs.count()  # estimate-surviving pairs only
+        if not exact_verify:
+            # signature-only decision at the FULL threshold (the
+            # flag_near_reference trade: trust the sketch, never read
+            # the release on the hot path — release_dir may be None)
+            flagged = pairs.select(id_col).distinct()
+            return flagged.localCheckpoint(eager=True)
+        if n_pairs == 0:
             return batch_df.select(id_col).limit(0)
-        # stage 2: estimate prefilter needs the candidate REFERENCE
-        # signatures — recompute them from the release text we must
-        # fetch for stage 3 anyway (shard-pruned point read)
+        # stage 3 fetch: text for the estimate-SURVIVING reference ids
+        # only (candidate-bounded, shard-pruned release point read)
         man = json.load(open(os.path.join(release_dir, MANIFEST)))
-        r_ids = cand.select(F.col("__rid").alias(man["id_col"])).distinct()
+        r_ids = pairs.select(F.col("__rid").alias(man["id_col"])).distinct()
         shards = [
             r["__shard"]
             for r in with_shard(
@@ -387,27 +452,6 @@ def flag_near_stored(
             F.col(man["id_col"]).alias("__rid"),
             F.col(man["text_col"]).alias("__rtext"),
         ).persist()
-        rsig = _batch_signatures(ref, p, "__rid", "__rtext")
-        matches = sum(
-            (F.col(f"__ch{i}") == F.col(f"__rh{i}")).cast("int")
-            for i in range(n_hashes)
-        )
-        c_named = csig.select(
-            F.col(id_col),
-            *[F.col(f"__h{i}").alias(f"__ch{i}") for i in range(n_hashes)],
-        )
-        r_named = rsig.select(
-            "__rid",
-            *[F.col(f"__h{i}").alias(f"__rh{i}") for i in range(n_hashes)],
-        )
-        threshold, margin = p["threshold"], p["prefilter_margin"]
-        pairs = cand.join(c_named, id_col).join(F.broadcast(r_named), "__rid")
-        if margin is not None:
-            pairs = pairs.filter(
-                matches.cast("double") / F.lit(float(n_hashes))
-                >= F.lit(max(0.0, threshold - margin))
-            )
-        pairs = pairs.select(id_col, "__rid")
         # stage 3: exact shingle Jaccard on the plausible pairs
         csh = batch_df.join(
             pairs.select(id_col).distinct(), id_col, "left_semi"
@@ -431,7 +475,7 @@ def flag_near_stored(
         # materialize before releasing the persisted intermediates
         return flagged.localCheckpoint(eager=True)
     finally:
-        for frame in (csig, cb, gb, cand, ref):
+        for frame in ((csig if own_sig else None), cb, gb, pairs, ref):
             if frame is not None:
                 try:
                     frame.unpersist()
@@ -445,19 +489,35 @@ def neardup_store_batch(
     store_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    precomputed_sig: DataFrame | None = None,
 ) -> None:
     """Append the batch SURVIVORS' band rows (whole-directory
     overwrite of ``batch=N`` — idempotent on replay). ``survivors``
     must be deterministic across evaluations (persisted upstream —
     the split-plan contract)."""
     p = _read_params(store_dir)
-    sig = _batch_signatures(survivors, p, id_col, text_col)
-    bands = _bands_from_signature(
-        sig, id_col, p["n_hashes"], p["n_bands"], p["hash_fn"]
-    ).select(F.col(id_col).alias("__rid"), "band_id", "band_hash")
-    bands.write.mode("overwrite").parquet(
-        os.path.join(store_dir, f"batch={batch_id}")
+    base_sig = (
+        _batch_signatures(survivors, p, id_col, text_col)
+        if precomputed_sig is None
+        else precomputed_sig.join(
+            survivors.select(id_col), id_col, "left_semi"
+        )
     )
+    sig = base_sig.withColumn(
+        "__sig", F.array(*[F.col(f"__h{i}") for i in range(p["n_hashes"])])
+    ).persist()  # feeds both the band pass and the __sig join — one
+    # signature computation, deterministic across the two branches
+    try:
+        bands = _bands_from_signature(
+            sig, id_col, p["n_hashes"], p["n_bands"], p["hash_fn"]
+        ).join(sig.select(id_col, "__sig"), id_col).select(
+            F.col(id_col).alias("__rid"), "band_id", "band_hash", "__sig"
+        )
+        bands.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch={batch_id}")
+        )
+    finally:
+        sig.unpersist()
     # NOTE (r12): the band gate is NOT updated here — it covers the
     # compacted base only and is rebuilt by compact_bands (the
     # hot-path sketch merge+rewrite was the largest profiled per-batch
