@@ -302,6 +302,11 @@ def _spawn_block(
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_SF1"] = "0"  # children never recurse
+    env["SPARK_GRAFT_CHILD"] = "1"  # r12: cap the child's IN-PROCESS
+    # retries at 1 — the spawn loop here retries the whole child in a
+    # FRESH JVM (strictly better than same-JVM retries), and letting
+    # both loops run at full cap multiplied a contended sf10 block into
+    # up to 7x4 suite passes per spawn attempt (observed: 40+ min)
     if names:
         env["SPARK_GRAFT_NAMES"] = ",".join(names)
         env.setdefault("SPARK_GRAFT_REPEATS", "4")  # scale-probe block:
@@ -394,14 +399,17 @@ def main() -> None:
     # (VERDICT r11 item 4): the raised cap (6) and the per-attempt
     # (drift, load1) trace now apply to the PRIMARY (sf0.1) suite too —
     # r11 shipped clean sf1/sf10 blocks but a contended sf0.1 with no
-    # committed evidence that no clean window existed.
+    # committed evidence that no clean window existed. Child blocks
+    # (spawned per scale factor) cap at 1 — their retry budget lives in
+    # the parent's spawn loop, which restarts a FRESH JVM each time.
+    _cap = 1 if os.environ.get("SPARK_GRAFT_CHILD") == "1" else 6
     _retries = 0
     _trace = [[suite["sentinel"]["drift"], suite["sentinel"].get("load1")]]
-    while suite["contended"] and _retries < 6:
+    while suite["contended"] and _retries < _cap:
         _retries += 1
         print(
             f"# primary suite contended (drift {suite['sentinel']['drift']}), "
-            f"retry {_retries}/6",
+            f"retry {_retries}/{_cap}",
             file=sys.stderr,
         )
         retry = _run_suite(
