@@ -119,16 +119,25 @@ class TestCmsStore:
         # ADVICE r11: the default 10-min age grace protects versions a
         # concurrent lazy reader may still reference — nothing this
         # young prunes under the default knobs
-        assert sorted(
-            d for d in os.listdir(table) if d.startswith("v")
-        ) == ["v0", "v1", "v2"]
+        def _vers():
+            return sorted(
+                d
+                for d in os.listdir(table)
+                if d.startswith("v") and not d.endswith(".params.json")
+            )
+
+        assert _vers() == ["v0", "v1", "v2"]
         for b in range(2, 4):
             cms_batch(
                 ref.limit(100 * (b + 1)), table, batch_id=b,
                 prune_min_age_sec=0.0,
             )
-        vers = [d for d in os.listdir(table) if d.startswith("v")]
-        assert sorted(vers) == ["v3", "v4"]
+        assert _vers() == ["v3", "v4"]
+        # r12: pruned versions take their params sidecars with them
+        side = sorted(
+            d for d in os.listdir(table) if d.endswith(".params.json")
+        )
+        assert side == ["v3.params.json", "v4.params.json"]
         assert read_cms(spark, table).count() > 0  # pointer still serves
 
     def test_store_serves_dedup_gate_exactly(self, spark, tmp_path):
@@ -228,4 +237,73 @@ class TestBloomStore:
         plain = dedup_against_exact(keyed, ref_keyed, content_cols=[], digest_col="__d")
         assert sorted(r["doc_id"] for r in gated.collect()) == sorted(
             r["doc_id"] for r in plain.collect()
+        )
+
+
+class TestGateAutoSize:
+    """r12: rebuild-time auto-sizing + per-version params + the
+    saturated-gate bypass signal (est_fp)."""
+
+    def test_cms_rebuild_auto_size_grows_width(self, spark, tmp_path):
+        from waterdata_spark.operators.sketches import count_min_might_contain
+        from waterdata_spark.streaming.gates import (
+            _params_for,
+            cms_rebuild,
+            read_gate,
+        )
+
+        ref = _ref(spark)  # 2000 distinct digests
+        table = str(tmp_path / "cms_as")
+        init_cms_store(ref.limit(0), table, "h", depth=DEPTH, width=64)
+        v = cms_rebuild(ref, table, auto_size=True)
+        kind, gate_df, p = read_gate(spark, table)
+        assert kind == "cms"
+        # 2000 keys at target_fill 0.3 need width >= 6667 -> 64 * 2^7
+        assert p["width"] == 8192 and p["n_keys"] == 2000
+        assert p["est_fp"] < 0.9  # healthy again after the resize
+        # v0's sidecar still resolves the ORIGINAL width — a lazy
+        # reader of the old version can never pair it with the new one
+        assert _params_for(table, "v0")["width"] == 64
+        # no false negatives at the new width: every sketched key flags
+        flagged = count_min_might_contain(
+            gate_df, ref, "h", p["depth"], p["width"], seed=p["seed"],
+            out_col="m",
+        )
+        assert flagged.filter(~F.col("m")).count() == 0
+        # a subsequent batch merge builds at the RESIZED width (the
+        # pointed version's sidecar, not the init-time store file)
+        assert cms_batch(ref.limit(100), table, batch_id=7) == f"v{int(v[1:]) + 1}"
+        _, _, p2 = read_gate(spark, table)
+        assert p2["width"] == 8192
+
+    def test_cms_rebuild_saturation_recorded(self, spark, tmp_path):
+        from waterdata_spark.streaming.gates import cms_rebuild, read_gate
+
+        ref = _ref(spark)
+        table = str(tmp_path / "cms_sat")
+        init_cms_store(ref.limit(0), table, "h", depth=DEPTH, width=16)
+        cms_rebuild(ref, table)  # no auto_size: 2000 keys into 16 buckets
+        _, _, p = read_gate(spark, table)
+        assert p["width"] == 16  # unchanged without auto_size
+        assert p["est_fp"] >= 0.9  # the bypass signal
+
+    def test_bloom_rebuild_auto_size_grows_bits(self, spark, tmp_path):
+        from waterdata_spark.streaming.gates import bloom_rebuild
+
+        ref = _ref(spark)
+        table = str(tmp_path / "bloom_as")
+        init_bloom_store(ref.limit(0), table, "h", n_bits=1 << 10, k=K)
+        bloom_rebuild(ref, table, auto_size=True)
+        bf = read_bloom(table)  # serves at the resized n_bits — a
+        # params/bits length mismatch would raise in from_bytes
+        assert bf.n_bits > (1 << 10)
+        assert bf.fill_fraction**K <= 0.02  # ~target_fp after resize
+        # no false negatives
+        from waterdata_spark.operators.bloom import with_bloom_contains
+
+        assert (
+            with_bloom_contains(ref, "h", bf, out_col="m")
+            .filter(~F.col("m"))
+            .count()
+            == 0
         )

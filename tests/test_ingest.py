@@ -405,3 +405,41 @@ class TestStagedAppend:
         }
         assert not os.path.isdir(staging)
         shutil.rmtree(out, ignore_errors=True)
+
+
+class TestGateAutoSizeIngest:
+    """r12: a saturated gate is bypassed (not probed) with semantics
+    unchanged, and the default compaction re-sizes the gate to the
+    base so it becomes useful again."""
+
+    def test_saturated_gate_bypass_and_autosize(self, spark, tmp_path):
+        from waterdata_spark.streaming.gates import read_gate
+        from waterdata_spark.streaming.ingest import compact_digests
+
+        rel, dig, gate = _dirs(tmp_path, "as")
+        # pathologically tiny gate: saturates on the first compaction
+        init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=8)
+        for b in range(2):
+            assert (
+                ingest_batch(_docs(spark, 30 * b, 30 * (b + 1)), b, rel, dig, gate)
+                == 30
+            )
+        compact_digests(spark, dig, n_buckets=4, gate_auto_size=False)
+        _, _, p = read_gate(spark, gate)
+        assert p["width"] == 8 and p["est_fp"] >= 0.9
+        # the bypass carries the batch: dups still dropped, new lands
+        assert (
+            ingest_batch(_docs(spark, 60, 70, dup_of=[5, 35]), 2, rel, dig, gate)
+            == 10
+        )
+        assert read_digests(spark, dig).count() == 70
+        # default compaction auto-sizes the gate to the base
+        compact_digests(spark, dig, n_buckets=4)
+        _, _, p2 = read_gate(spark, gate)
+        assert p2["width"] > 8 and p2["n_keys"] == 70 and p2["est_fp"] < 0.9
+        # and the healthy gate agrees with the bypassed semantics
+        assert (
+            ingest_batch(_docs(spark, 70, 75, dup_of=[61]), 3, rel, dig, gate)
+            == 5
+        )
+        assert read_digests(spark, dig).count() == 75

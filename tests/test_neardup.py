@@ -212,3 +212,34 @@ class TestReplayAndStore:
         assert read_bands(spark, nd).filter(
             F.col("__rid") >= 900
         ).count() == 8  # 2 docs x 4 bands, once
+
+
+class TestBandGateAutoSize:
+    """r12: saturated band-gate bypass keeps the cascade decision
+    exact; the default compaction auto-sizes the gate back to useful."""
+
+    def test_saturated_band_gate_bypass_and_autosize(self, spark, tmp_path):
+        from waterdata_spark.streaming.gates import read_gate
+
+        rel, dig, gt, nd, bg = _dirs(tmp_path, "sat")
+        init_ingest(spark, rel, dig, gt, n_shards=4, cms_width=4096)
+        init_neardup(spark, nd, gate_dir=bg, cms_width=4)  # tiny gate
+        bs = _batches(spark)
+        landed = [
+            ingest_batch(bs[0], 0, rel, dig, gt, neardup_dir=nd, release_schema=SCHEMA)
+        ]
+        compact_bands(spark, nd, n_buckets=8, gate_auto_size=False)
+        _, _, p = read_gate(spark, bg)
+        assert p["width"] == 4 and p["est_fp"] >= 0.9  # saturated
+        # bypassed gate: decision identical to the healthy-gate run
+        landed.append(
+            ingest_batch(bs[1], 1, rel, dig, gt, neardup_dir=nd, release_schema=SCHEMA)
+        )
+        assert landed == [20, 10]
+        compact_bands(spark, nd, n_buckets=8)  # default auto-sizes
+        _, _, p2 = read_gate(spark, bg)
+        assert p2["width"] > 4 and p2["est_fp"] < 0.9
+        landed.append(
+            ingest_batch(bs[2], 2, rel, dig, gt, neardup_dir=nd, release_schema=SCHEMA)
+        )
+        assert landed == [20, 10, 8]

@@ -49,6 +49,7 @@ from waterdata_spark.streaming.profile import _POINTER, _read_pointer
 __all__ = [
     "init_cms_store",
     "read_cms",
+    "read_gate",
     "cms_batch",
     "cms_rebuild",
     "cms_stream_sink",
@@ -70,13 +71,42 @@ def _write_pointer(table_dir: str, version: str, batch_id: int) -> None:
 
 
 def _write_params(table_dir: str, params: dict) -> None:
-    with open(os.path.join(table_dir, _PARAMS), "w") as f:
+    tmp = os.path.join(table_dir, _PARAMS + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(params, f, sort_keys=True)
+    os.replace(tmp, os.path.join(table_dir, _PARAMS))
 
 
 def _read_params(table_dir: str) -> dict:
     with open(os.path.join(table_dir, _PARAMS)) as f:
         return json.load(f)
+
+
+def _write_version_params(table_dir: str, version: str, params: dict) -> None:
+    """Per-VERSION params sidecar (r12 auto-size support): once the
+    rebuild path may change a gate's width/n_bits, the build parameters
+    must ride WITH the version the pointer names — a reader that took
+    params from the store-level file and the table from the pointer
+    could pair a resized width with an old table across the swap, and a
+    width mismatch produces false NEGATIVES (silent corpus
+    duplication). A version's sidecar is written BEFORE the pointer
+    ever names it and never mutated, so pointer → sidecar is always a
+    consistent pair."""
+    tmp = os.path.join(table_dir, f"{version}.params.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(params, f, sort_keys=True)
+    os.replace(tmp, os.path.join(table_dir, f"{version}.params.json"))
+
+
+def _params_for(table_dir: str, version: str) -> dict:
+    """The params the named version was BUILT with — its sidecar, or
+    the store-level file for pre-sidecar legacy versions (those all
+    share the init-time config: nothing could have resized them)."""
+    p = os.path.join(table_dir, f"{version}.params.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return _read_params(table_dir)
 
 
 def _prune_versions(
@@ -125,6 +155,10 @@ def _prune_versions(
                 os.remove(path)
             except FileNotFoundError:
                 pass
+        try:  # the pruned version's params sidecar goes with it
+            os.remove(os.path.join(table_dir, f"{name}.params.json"))
+        except FileNotFoundError:
+            pass
 
 
 # ---------------------------------------------------------------- CMS
@@ -144,11 +178,11 @@ def init_cms_store(
     ``dedup_against_exact``'s cms prefilter hashes with, so the stored
     gate serves it directly."""
     os.makedirs(table_dir, exist_ok=True)
-    _write_params(
-        table_dir, {"kind": "cms", "col": col, "depth": depth, "width": width, "seed": seed}
-    )
+    p = {"kind": "cms", "col": col, "depth": depth, "width": width, "seed": seed}
+    _write_params(table_dir, p)
     sk = count_min_build(df, col, depth=depth, width=width, seed=seed)
     sk.write.mode("overwrite").parquet(os.path.join(table_dir, "v0"))
+    _write_version_params(table_dir, "v0", p)
     _write_pointer(table_dir, "v0", -1)
 
 
@@ -166,6 +200,31 @@ def read_cms(spark: SparkSession, table_dir: str) -> DataFrame:
     if state is None:
         raise RuntimeError(f"cms store not initialized: {table_dir}")
     return spark.read.parquet(os.path.join(table_dir, state[0]))
+
+
+def read_gate(spark: SparkSession, table_dir: str):
+    """One-pointer-read serve of EITHER gate kind as a consistent
+    ``(kind, gate, params)`` triple: ``('cms', DataFrame, params)`` or
+    ``('bloom', BloomFilter, params)``, with ``params`` the exact
+    build config of the version served (its sidecar — see
+    :func:`_write_version_params`). This is the reader the hot ingest
+    paths use (r12): probing a counter table with a different width
+    than it was built with looks up absent buckets and silently
+    flags every stored digest "definitely new", so the table and its
+    params must come from ONE pointer read, not two racing file
+    reads. ``params`` may carry ``est_fp`` — the rebuild-time
+    estimated false-positive rate — which serving paths use to skip a
+    saturated gate's pure overhead."""
+    state = _read_pointer(table_dir)
+    if state is None:
+        raise RuntimeError(f"gate store not initialized: {table_dir}")
+    version = state[0]
+    p = _params_for(table_dir, version)
+    if p.get("kind") == "bloom":
+        with open(os.path.join(table_dir, version), "rb") as f:
+            raw = f.read()
+        return "bloom", BloomFilter.from_bytes(raw, p["n_bits"], p["k"], p["seed"]), p
+    return "cms", spark.read.parquet(os.path.join(table_dir, version)), p
 
 
 def cms_batch(
@@ -189,7 +248,10 @@ def cms_batch(
     version, last_batch = state
     if batch_id == last_batch:
         return None
-    p = _read_params(table_dir)
+    # the POINTED version's build params (r12): the batch sketch must
+    # be built at the stored table's width — merging mismatched widths
+    # would sum unrelated buckets silently
+    p = _params_for(table_dir, version)
     stored = spark.read.parquet(os.path.join(table_dir, version))
     fresh = count_min_build(
         batch_df, p["col"], depth=p["depth"], width=p["width"], seed=p["seed"]
@@ -197,6 +259,10 @@ def cms_batch(
     merged = count_min_merge(stored, fresh)
     next_version = f"v{int(version.lstrip('v')) + 1}"
     merged.write.mode("overwrite").parquet(os.path.join(table_dir, next_version))
+    # the merged table has MORE keys than the last rebuild measured —
+    # its est_fp/n_keys no longer hold, so don't carry them forward
+    p = {k: v for k, v in p.items() if k not in ("est_fp", "n_keys")}
+    _write_version_params(table_dir, next_version, p)
     _write_pointer(table_dir, next_version, batch_id)
     _prune_versions(table_dir, keep=prune_keep, min_age_sec=prune_min_age_sec)
     return next_version
@@ -207,9 +273,12 @@ def cms_rebuild(
     table_dir: str,
     prune_keep: int = 2,
     prune_min_age_sec: float = 600.0,
+    auto_size: bool = False,
+    target_fill: float = 0.3,
+    max_width: int = 1 << 24,
 ) -> str:
     """REPLACE the stored counter table with a fresh build over ``df``
-    (stored params — col/depth/width/seed are re-read, a caller cannot
+    (stored params — col/depth/seed are re-read, a caller cannot
     rebuild with a mismatched config). The maintenance-time companion
     to :func:`cms_batch` (r12): a store that serves as a
     COMPACTED-BASE gate is rebuilt here at compaction time, off the
@@ -219,16 +288,62 @@ def cms_rebuild(
     batch id is preserved (rebuilds are maintenance actions outside
     the batch lineage). Callers sequencing a base swap must rebuild
     the gate FIRST — a gate briefly covering a superset only costs
-    false positives; covering a subset would silently duplicate."""
+    false positives; covering a subset would silently duplicate.
+
+    ``auto_size`` (r12): a rebuild sees the WHOLE set it will gate, so
+    it is the natural place to keep the gate sized to the corpus
+    instead of making the operator guess at init time (the neardup
+    at-birth probe's saturated-gate lesson: a 1M-width gate over 2M
+    stored band hashes flags every probe "maybe" — pure overhead).
+    Counts distinct keys and GROWS ``width`` (powers of two, capped at
+    ``max_width``) until ``n_keys <= width * target_fill``; never
+    shrinks (a wider-than-needed gate only wastes the bounded
+    broadcast). The new width rides the new version's params sidecar
+    (see :func:`_write_version_params`), so every reader pairs it with
+    the resized table atomically; a probe BUILT at the old width
+    against the new table is impossible through :func:`read_gate`.
+
+    Every rebuild also records ``est_fp`` in the sidecar — the
+    estimated false-positive rate ``(nonzero_counters / (depth *
+    width)) ** depth`` — which serving paths use to BYPASS a saturated
+    gate (probing a gate that flags everything costs the probe and
+    saves nothing). At the ``max_width`` cap the gate saturates
+    honestly: est_fp → 1, the bypass disengages it, and the
+    bucket-pruned exact probe carries membership alone."""
     spark = df.sparkSession
     state = _read_pointer(table_dir)
     if state is None:
         raise RuntimeError(f"cms store not initialized: {table_dir} (call init_cms_store)")
     version, last_batch = state
-    p = _read_params(table_dir)
+    p = _params_for(table_dir, version)
+    if not os.path.exists(os.path.join(table_dir, f"{version}.params.json")):
+        # legacy pre-sidecar version: pin its build params before the
+        # store-level default below may move to a resized width — a
+        # concurrent lazy reader of this version must keep resolving
+        # the params it was built with
+        _write_version_params(table_dir, version, p)
+    p.pop("est_fp", None)
+    p.pop("n_keys", None)
+    if auto_size:
+        n_keys = df.select(p["col"]).distinct().count()
+        width = p["width"]
+        while n_keys > width * target_fill and width < max_width:
+            width *= 2
+        if width != p["width"]:
+            p = {**p, "width": width}
+        p["n_keys"] = n_keys
     sk = count_min_build(df, p["col"], depth=p["depth"], width=p["width"], seed=p["seed"])
     next_version = f"v{int(version.lstrip('v')) + 1}"
     sk.write.mode("overwrite").parquet(os.path.join(table_dir, next_version))
+    # fill from the WRITTEN table (one bounded count of <= depth*width
+    # rows, maintenance-time): the per-probe pass rate for an absent
+    # key is ~ the fraction of nonzero counters, independent per depth
+    # row under the pairwise-independent hash assumption
+    nz = spark.read.parquet(os.path.join(table_dir, next_version)).count()
+    fill = nz / float(p["depth"] * p["width"])
+    p["est_fp"] = round(min(1.0, fill) ** p["depth"], 6)
+    _write_version_params(table_dir, next_version, p)
+    _write_params(table_dir, p)  # keep the store-level default current
     _write_pointer(table_dir, next_version, last_batch)
     _prune_versions(table_dir, keep=prune_keep, min_age_sec=prune_min_age_sec)
     return next_version
@@ -265,21 +380,23 @@ def init_bloom_store(
     filter serves ``dedup_against_exact(prefilter='bloom',
     prefilter_bloom=read_bloom(...))`` directly."""
     os.makedirs(table_dir, exist_ok=True)
-    _write_params(
-        table_dir, {"kind": "bloom", "col": col, "n_bits": n_bits, "k": k, "seed": seed}
-    )
+    p = {"kind": "bloom", "col": col, "n_bits": n_bits, "k": k, "seed": seed}
+    _write_params(table_dir, p)
     bf = bloom_build(df, col, n_bits=n_bits, k=k, seed=seed)
     with open(os.path.join(table_dir, "v0.bits"), "wb") as f:
         f.write(bf.to_bytes())
+    _write_version_params(table_dir, "v0.bits", p)
     _write_pointer(table_dir, "v0.bits", -1)
 
 
 def read_bloom(table_dir: str) -> BloomFilter:
-    """The stored filter — pass as ``prefilter_bloom``."""
+    """The stored filter — pass as ``prefilter_bloom``. Parameters come
+    from the pointed VERSION's sidecar (r12), so a rebuild-time resize
+    can never pair old bits with a new n_bits."""
     state = _read_pointer(table_dir)
     if state is None:
         raise RuntimeError(f"bloom store not initialized: {table_dir}")
-    p = _read_params(table_dir)
+    p = _params_for(table_dir, state[0])
     with open(os.path.join(table_dir, state[0]), "rb") as f:
         raw = f.read()
     return BloomFilter.from_bytes(raw, p["n_bits"], p["k"], p["seed"])
@@ -304,7 +421,10 @@ def bloom_batch(
     version, last_batch = state
     if batch_id == last_batch:
         return None
-    p = _read_params(table_dir)
+    # pointed version's params: the OR-merge must match the stored
+    # filter's n_bits (mismatched lengths raise in from_bytes; this
+    # keeps the pair consistent by construction)
+    p = _params_for(table_dir, version)
     stored = read_bloom(table_dir)
     fresh = bloom_build(
         batch_df, p["col"], n_bits=p["n_bits"], k=p["k"], seed=p["seed"]
@@ -314,6 +434,9 @@ def bloom_batch(
     next_version = f"v{n}.bits"
     with open(os.path.join(table_dir, next_version), "wb") as f:
         f.write(merged.to_bytes())
+    # merged filter holds more keys than the last rebuild's estimate
+    p = {k: v for k, v in p.items() if k not in ("est_fp", "n_keys")}
+    _write_version_params(table_dir, next_version, p)
     _write_pointer(table_dir, next_version, batch_id)
     _prune_versions(table_dir, keep=prune_keep, min_age_sec=prune_min_age_sec)
     return next_version
@@ -324,24 +447,60 @@ def bloom_rebuild(
     table_dir: str,
     prune_keep: int = 2,
     prune_min_age_sec: float = 600.0,
+    auto_size: bool = False,
+    target_fp: float = 0.01,
 ) -> str:
     """REPLACE the stored filter with a fresh build over ``df`` (stored
     params) — :func:`cms_rebuild`'s Bloom twin, for stores serving as
     compacted-base gates rebuilt at compaction time off the per-batch
     hot path. Same superset-ordering contract: callers sequencing a
-    base swap must rebuild the gate first."""
+    base swap must rebuild the gate first.
+
+    ``auto_size`` (r12, :func:`cms_rebuild`'s contract): grow
+    ``n_bits`` (powers of two, capped at the bloom module's driver
+    ceiling) until the predicted rate ``(1 - e^(-k*n/m))^k`` meets
+    ``target_fp``; never shrinks. The new size rides the version's
+    params sidecar; ``est_fp`` (from the BUILT filter's fill fraction)
+    is recorded either way, and serving paths bypass a saturated gate.
+    At the bit ceiling (≤ 32 MB driver-side) the filter saturates
+    honestly around a few tens of millions of keys — past that the
+    bypass disengages it and the bucket-pruned exact probe carries
+    membership alone."""
+    import math
+
+    from waterdata_spark.operators.bloom import _MAX_BITS
+
     state = _read_pointer(table_dir)
     if state is None:
         raise RuntimeError(
             f"bloom store not initialized: {table_dir} (call init_bloom_store)"
         )
     version, last_batch = state
-    p = _read_params(table_dir)
+    p = _params_for(table_dir, version)
+    if not os.path.exists(os.path.join(table_dir, f"{version}.params.json")):
+        _write_version_params(table_dir, version, p)  # legacy pin (see cms_rebuild)
+    p.pop("est_fp", None)
+    p.pop("n_keys", None)
+    if auto_size:
+        n_keys = df.select(p["col"]).distinct().count()
+        n_bits = p["n_bits"]
+        while (
+            n_bits < _MAX_BITS
+            and n_keys
+            and (1.0 - math.exp(-p["k"] * n_keys / n_bits)) ** p["k"] > target_fp
+        ):
+            n_bits *= 2
+        if n_bits != p["n_bits"]:
+            p = {**p, "n_bits": n_bits}
+        p["n_keys"] = n_keys
     bf = bloom_build(df, p["col"], n_bits=p["n_bits"], k=p["k"], seed=p["seed"])
+    p["est_fp"] = round(bf.fill_fraction ** p["k"], 6)
     n = int(version.split(".")[0].lstrip("v")) + 1
     next_version = f"v{n}.bits"
     with open(os.path.join(table_dir, next_version), "wb") as f:
         f.write(bf.to_bytes())
+    _write_version_params(table_dir, next_version, p)
+    _write_params(table_dir, p)  # keep the store-level default current
     _write_pointer(table_dir, next_version, last_batch)
     _prune_versions(table_dir, keep=prune_keep, min_age_sec=prune_min_age_sec)
     return next_version

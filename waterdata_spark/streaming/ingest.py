@@ -21,7 +21,10 @@ redelivery of the uncommitted batch:
   (``batch=N/`` rewritten whole on replay — idempotent overwrite);
 - the CMS gate is a MAINTENANCE artifact (r12): rebuilt by
   :func:`compact_digests` to cover exactly the compacted base, never
-  written on the hot path — per-batch replay cannot touch it.
+  written on the hot path — per-batch replay cannot touch it. The
+  rebuild AUTO-SIZES the gate to the base (``gate_auto_size``,
+  default on) and records its estimated false-positive rate; a
+  saturated gate is bypassed by the serving path instead of probed.
 
 A replayed batch therefore re-runs only the sub-steps that had not
 completed, and each of those is idempotent. Single writer per release
@@ -49,7 +52,7 @@ from pyspark.sql import functions as F
 
 from waterdata_spark.operators.dedup import content_digest, exact_dedup
 from waterdata_spark.sources.shards import append_training_shards
-from waterdata_spark.streaming.gates import init_cms_store, read_cms
+from waterdata_spark.streaming.gates import init_cms_store
 
 __all__ = [
     "compact_digests",
@@ -251,6 +254,7 @@ def compact_digests(
     n_buckets: int | None = None,
     target_rows_per_bucket: int | None = None,
     gate_dir: str | None = None,
+    gate_auto_size: bool = True,
 ) -> str:
     """Fold the per-batch digest directories into one compacted base
     (r11): a live ingest accumulates one directory (with one-or-more
@@ -367,10 +371,14 @@ def compact_digests(
         base_digests = spark.read.parquet(
             os.path.join(digest_dir, new_base)
         ).select(_DIGEST_COL)
+        # gate_auto_size (r12): the rebuild sees the whole base, so it
+        # re-sizes the gate to it (growing width/n_bits as the corpus
+        # outgrows the init-time guess) and records est_fp — the
+        # serving path bypasses a gate that saturates anyway
         if _gate_params(gate_dir).get("kind") == "bloom":
-            bloom_rebuild(base_digests, gate_dir)
+            bloom_rebuild(base_digests, gate_dir, auto_size=gate_auto_size)
         else:
-            cms_rebuild(base_digests, gate_dir)
+            cms_rebuild(base_digests, gate_dir, auto_size=gate_auto_size)
     tmp = os.path.join(digest_dir, _COMPACT + ".tmp")
     with open(tmp, "w") as f:
         f.write(f"{new_base}|{n_buckets}")
@@ -463,10 +471,14 @@ def ingest_batch(
     instant gate-coverage ⊇ base; digests newer than the base live in
     L0, which is probed exactly."""
     from waterdata_spark.operators.sketches import count_min_might_contain
-    from waterdata_spark.streaming.gates import _read_params
+    from waterdata_spark.streaming.gates import read_gate
 
     spark = batch_df.sparkSession
-    gate_params = _read_params(gate_dir)
+    # ONE pointer read serves the gate table/filter AND the params it
+    # was built with (r12 auto-size support: a compaction may RESIZE
+    # the gate between batches; a params/table pair from two racing
+    # reads could mix widths and produce false negatives)
+    gate_kind, gate_obj, gate_params = read_gate(spark, gate_dir)
     if gate_params.get("seed") != "xgate":
         # the cms prefilter hashes with the fixed 'xgate' seed; a store
         # built under another seed cannot serve it
@@ -474,6 +486,11 @@ def ingest_batch(
             f"gate store seed {gate_params.get('seed')!r} != 'xgate' — "
             "init the ingest gate with the default seed"
         )
+    # a saturated gate flags (nearly) everything "maybe" — probing it
+    # costs the broadcast + hash evaluations and prunes nothing. Skip
+    # it and let every L0 survivor be a candidate for the (bucket-
+    # pruned, exact) base probe; membership semantics are unchanged.
+    gate_useful = gate_params.get("est_fp", 0.0) < 0.9
     if prepare is not None:
         batch_df = prepare(batch_df)
     # the digest column ONCE, then within-batch dedup ON it — every
@@ -501,18 +518,17 @@ def ingest_batch(
             # no compacted base yet — L0 was the whole stored set
             new = after_l0.persist()
         else:
-            if gate_params.get("kind") == "bloom":
+            if not gate_useful:
+                flagged = after_l0.withColumn("__maybe", F.lit(True))
+            elif gate_kind == "bloom":
                 from waterdata_spark.operators.bloom import with_bloom_contains
-                from waterdata_spark.streaming.gates import read_bloom
 
                 flagged = with_bloom_contains(
-                    after_l0, _DIGEST_COL, read_bloom(gate_dir),
-                    out_col="__maybe",
+                    after_l0, _DIGEST_COL, gate_obj, out_col="__maybe"
                 )
             else:
-                gate = read_cms(spark, gate_dir)
                 flagged = count_min_might_contain(
-                    gate, after_l0, _DIGEST_COL,
+                    gate_obj, after_l0, _DIGEST_COL,
                     gate_params["depth"], gate_params["width"], seed="xgate",
                     out_col="__maybe",
                 )

@@ -196,11 +196,17 @@ def compact_bands(
     store_dir: str,
     n_buckets: int | None = None,
     target_rows_per_bucket: int | None = None,
+    gate_auto_size: bool = True,
 ) -> str:
     """Fold per-batch band directories into a base bucketed on the
     band hash — same pointer/crash/rebucketing contract as
     ``ingest.compact_digests`` (run single-writer, never between a
-    crash and the stream's restart)."""
+    crash and the stream's restart). ``gate_auto_size`` (r12): the
+    gate rebuild re-sizes the CMS to the base's distinct band hashes
+    and records ``est_fp`` — the at-birth probe's saturated-gate term
+    (a 1M-width gate over 2M stored band hashes flagged every batch
+    band "maybe") self-heals at the next compaction instead of
+    requiring the operator to re-init with a bigger width."""
     import shutil
 
     old = _read_compact_pointer(store_dir)
@@ -252,6 +258,7 @@ def compact_bands(
                 "band_hash"
             ),
             gate_dir,
+            auto_size=gate_auto_size,
         )
     tmp = os.path.join(store_dir, _COMPACT + ".tmp")
     with open(tmp, "w") as f:
@@ -354,19 +361,27 @@ def flag_near_stored(
                 from waterdata_spark.operators.sketches import (
                     count_min_might_contain,
                 )
-                from waterdata_spark.streaming.gates import _read_params as _gp
-                from waterdata_spark.streaming.gates import read_cms
+                from waterdata_spark.streaming.gates import read_gate
 
-                gp = _gp(gate_dir)
-                gb = count_min_might_contain(
-                    read_cms(spark, gate_dir),
-                    cb,
-                    "band_hash",
-                    gp["depth"],
-                    gp["width"],
-                    seed=gp["seed"],
-                    out_col="__maybe",
-                ).filter(F.col("__maybe")).drop("__maybe").persist()
+                # one pointer read -> (table, params) pair (r12: the
+                # compaction may have auto-RESIZED the gate; mixing a
+                # resized width with an old table would false-negative)
+                _, gate_df, gp = read_gate(spark, gate_dir)
+                if gp.get("est_fp", 0.0) >= 0.9:
+                    # saturated gate flags everything — probing it is
+                    # pure overhead; fall through with gb = cb (every
+                    # batch band consults the bucket-pruned base)
+                    pass
+                else:
+                    gb = count_min_might_contain(
+                        gate_df,
+                        cb,
+                        "band_hash",
+                        gp["depth"],
+                        gp["width"],
+                        seed=gp["seed"],
+                        out_col="__maybe",
+                    ).filter(F.col("__maybe")).drop("__maybe").persist()
             n_gb = gb.count()
             buckets = None
             if n_gb and state[1] is not None:
