@@ -105,8 +105,12 @@ class TestCompaction:
             _docs(spark, 60, 70, dup_of=[1, 25, 45]), 3, rel, dig, gate
         )
         assert n == 10
-        # second compaction folds base + the new batch dir
-        assert compact_digests(spark, dig) == "base_v1"
+        # second PLAIN compaction folds the new batch dir as a delta
+        # layer (r12 leveled default — O(new), not O(corpus))
+        assert compact_digests(spark, dig) == "delta_v1"
+        assert read_digests(spark, dig).count() == 70
+        # an explicit full fold collapses the layers
+        assert compact_digests(spark, dig, mode="full") == "base_v2"
         assert read_digests(spark, dig).count() == 70
         empty = tmp_path / "empty-nothing"
         empty.mkdir()
@@ -443,3 +447,93 @@ class TestGateAutoSizeIngest:
             == 5
         )
         assert read_digests(spark, dig).count() == 75
+
+
+class TestLeveledCompaction:
+    """r12: delta compaction folds only the new batch dirs into a
+    bucketed layer (gate grown by the additive merge) — O(new) instead
+    of the full fold's O(corpus) — with membership and ingest
+    semantics identical, and auto mode escalating to a full fold."""
+
+    def test_delta_layers_preserve_membership(self, spark, tmp_path):
+        from waterdata_spark.streaming.gates import read_gate
+        from waterdata_spark.streaming.ingest import (
+            _read_compact_pointer,
+            compact_digests,
+        )
+
+        rel, dig, gate = _dirs(tmp_path, "lv")
+        init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
+        ingest_batch(_docs(spark, 0, 30), 0, rel, dig, gate)
+        compact_digests(spark, dig, n_buckets=8)  # full fold (args)
+        assert _read_compact_pointer(dig) == ("base_v0", 8)
+        # two more batches, then a PLAIN compaction: auto picks delta
+        for b in (1, 2):
+            ingest_batch(_docs(spark, 30 * b, 30 * (b + 1)), b, rel, dig, gate)
+        compact_digests(spark, dig)
+        assert _read_compact_pointer(dig) == ("base_v0+delta_v1", 8)
+        # delta layer is FLAT (cadence-bounded, read whole — bucketing
+        # it would cost O(bucket count) files for O(cadence) rows)
+        assert not [
+            d
+            for d in os.listdir(os.path.join(dig, "delta_v1"))
+            if d.startswith("__bkt=")
+        ]
+        # batch dirs folded away; membership complete across layers
+        assert not [d for d in os.listdir(dig) if d.startswith("batch=")]
+        assert read_digests(spark, dig).count() == 90
+        # the gate grew by the delta: every stored digest still flags
+        _, _, p = read_gate(spark, gate)
+        assert p["est_fp"] < 0.9
+        from waterdata_spark.operators.sketches import count_min_might_contain
+        from waterdata_spark.streaming.gates import read_cms
+
+        flagged = count_min_might_contain(
+            read_cms(spark, gate),
+            read_digests(spark, dig),
+            "__ingest_digest",
+            p["depth"],
+            p["width"],
+            seed=p["seed"],
+            out_col="m",
+        )
+        assert flagged.filter(~F.col("m")).count() == 0
+        # ingest against the layered store: dups of BOTH layers drop
+        n = ingest_batch(
+            _docs(spark, 90, 100, dup_of=[5, 65]), 3, rel, dig, gate
+        )
+        assert n == 10
+        assert read_digests(spark, dig).count() == 100
+
+    def test_auto_escalates_to_full_fold(self, spark, tmp_path):
+        from waterdata_spark.streaming.ingest import (
+            _read_compact_pointer,
+            compact_digests,
+        )
+
+        rel, dig, gate = _dirs(tmp_path, "lv2")
+        init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
+        ingest_batch(_docs(spark, 0, 10), 0, rel, dig, gate)
+        compact_digests(spark, dig, n_buckets=4)
+        for b in range(1, 4):
+            ingest_batch(_docs(spark, 10 * b, 10 * (b + 1)), b, rel, dig, gate)
+            compact_digests(spark, dig, max_layers=3)
+        # layers: base_v0 + delta_v1 + delta_v2, then the 3rd plain
+        # compaction hits max_layers and folds everything
+        assert _read_compact_pointer(dig) == ("base_v3", 4)
+        assert not [d for d in os.listdir(dig) if d.startswith("delta_")]
+        assert read_digests(spark, dig).count() == 40
+        # explicit re-bucketing always escalates
+        ingest_batch(_docs(spark, 40, 50), 4, rel, dig, gate)
+        compact_digests(spark, dig, n_buckets=8)
+        assert _read_compact_pointer(dig) == ("base_v4", 8)
+        assert read_digests(spark, dig).count() == 50
+
+    def test_delta_requires_base(self, spark, tmp_path):
+        from waterdata_spark.streaming.ingest import compact_digests
+
+        rel, dig, gate = _dirs(tmp_path, "lv3")
+        init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
+        ingest_batch(_docs(spark, 0, 10), 0, rel, dig, gate)
+        with pytest.raises(RuntimeError, match="full fold first"):
+            compact_digests(spark, dig, mode="delta")

@@ -243,3 +243,34 @@ class TestBandGateAutoSize:
             ingest_batch(bs[2], 2, rel, dig, gt, neardup_dir=nd, release_schema=SCHEMA)
         )
         assert landed == [20, 10, 8]
+
+
+class TestLeveledBandCompaction:
+    """r12: delta compaction of the band store — near-dup decisions
+    against a layered base equal the single-base semantics."""
+
+    def test_delta_layers_keep_decisions(self, spark, tmp_path):
+        from waterdata_spark.streaming.ingest import _read_compact_pointer
+
+        rel, dig, gt, nd, bg = _dirs(tmp_path, "lvl")
+        init_ingest(spark, rel, dig, gt, n_shards=4, cms_width=4096)
+        init_neardup(spark, nd, gate_dir=bg, cms_width=4096)
+        bs = _batches(spark)
+        landed = [
+            ingest_batch(bs[0], 0, rel, dig, gt, neardup_dir=nd, release_schema=SCHEMA)
+        ]
+        compact_bands(spark, nd, n_buckets=8)  # full fold
+        landed.append(
+            ingest_batch(bs[1], 1, rel, dig, gt, neardup_dir=nd, release_schema=SCHEMA)
+        )
+        compact_bands(spark, nd)  # plain: auto picks delta
+        assert _read_compact_pointer(nd) == ("base_v0+delta_v1", 8)
+        landed.append(
+            ingest_batch(bs[2], 2, rel, dig, gt, neardup_dir=nd, release_schema=SCHEMA)
+        )
+        # identical decisions to the single-base runs elsewhere in this
+        # file: 20 seeds, 10 new (2 near-dups dropped), 8 new (2 near +
+        # 1 exact dropped)
+        assert landed == [20, 10, 8]
+        # band rows complete across layers + fresh batch dir
+        assert read_bands(spark, nd).count() == 4 * sum(landed)

@@ -50,11 +50,13 @@ __all__ = [
     "init_cms_store",
     "read_cms",
     "read_gate",
+    "cms_accumulate",
     "cms_batch",
     "cms_rebuild",
     "cms_stream_sink",
     "init_bloom_store",
     "read_bloom",
+    "bloom_accumulate",
     "bloom_batch",
     "bloom_rebuild",
     "bloom_stream_sink",
@@ -349,6 +351,50 @@ def cms_rebuild(
     return next_version
 
 
+def cms_accumulate(
+    df: DataFrame,
+    table_dir: str,
+    prune_keep: int = 2,
+    prune_min_age_sec: float = 600.0,
+) -> str:
+    """MERGE ``df``'s sketch into the stored table (maintenance-time,
+    r12 leveled compaction): when a compaction folds only the NEW batch
+    directories into a delta layer, the gate must grow by exactly that
+    delta — counters are additive, so the merge is O(delta), not
+    O(corpus) like :func:`cms_rebuild`. Built at the POINTED version's
+    params (a delta can never resize — only a full rebuild can).
+    ``est_fp`` is re-measured from the merged table's row count.
+
+    No batch-id guard: this is a single-writer maintenance action (the
+    compaction lock). A crash between this merge and the compaction's
+    pointer swap, then a re-run, double-counts the delta's keys — the
+    membership reading (counter >= 1) is unaffected (still no false
+    negatives, coverage stays a superset), which is the same
+    duplicate-set-rows tolerance the compaction's data path has."""
+    spark = df.sparkSession
+    state = _read_pointer(table_dir)
+    if state is None:
+        raise RuntimeError(f"cms store not initialized: {table_dir} (call init_cms_store)")
+    version, last_batch = state
+    p = _params_for(table_dir, version)
+    p.pop("est_fp", None)
+    p.pop("n_keys", None)
+    stored = spark.read.parquet(os.path.join(table_dir, version))
+    fresh = count_min_build(
+        df, p["col"], depth=p["depth"], width=p["width"], seed=p["seed"]
+    )
+    merged = count_min_merge(stored, fresh)
+    next_version = f"v{int(version.lstrip('v')) + 1}"
+    merged.write.mode("overwrite").parquet(os.path.join(table_dir, next_version))
+    nz = spark.read.parquet(os.path.join(table_dir, next_version)).count()
+    fill = nz / float(p["depth"] * p["width"])
+    p["est_fp"] = round(min(1.0, fill) ** p["depth"], 6)
+    _write_version_params(table_dir, next_version, p)
+    _write_pointer(table_dir, next_version, last_batch)
+    _prune_versions(table_dir, keep=prune_keep, min_age_sec=prune_min_age_sec)
+    return next_version
+
+
 def cms_stream_sink(stream: DataFrame, table_dir: str, checkpoint_dir: str):
     """Start an ``availableNow`` foreachBatch query maintaining the
     stored CMS gate from an ingest stream (the stream's rows carry the
@@ -501,6 +547,41 @@ def bloom_rebuild(
         f.write(bf.to_bytes())
     _write_version_params(table_dir, next_version, p)
     _write_params(table_dir, p)  # keep the store-level default current
+    _write_pointer(table_dir, next_version, last_batch)
+    _prune_versions(table_dir, keep=prune_keep, min_age_sec=prune_min_age_sec)
+    return next_version
+
+
+def bloom_accumulate(
+    df: DataFrame,
+    table_dir: str,
+    prune_keep: int = 2,
+    prune_min_age_sec: float = 600.0,
+) -> str:
+    """OR-merge ``df``'s filter into the stored one —
+    :func:`cms_accumulate`'s Bloom twin for delta compactions (the OR
+    is idempotent, so the crash-rerun window is trivially safe).
+    ``est_fp`` re-measured from the merged filter's fill."""
+    state = _read_pointer(table_dir)
+    if state is None:
+        raise RuntimeError(
+            f"bloom store not initialized: {table_dir} (call init_bloom_store)"
+        )
+    version, last_batch = state
+    p = _params_for(table_dir, version)
+    p.pop("est_fp", None)
+    p.pop("n_keys", None)
+    stored = read_bloom(table_dir)
+    fresh = bloom_build(
+        df, p["col"], n_bits=p["n_bits"], k=p["k"], seed=p["seed"]
+    )
+    merged = bloom_merge(stored, fresh)
+    p["est_fp"] = round(merged.fill_fraction ** p["k"], 6)
+    n = int(version.split(".")[0].lstrip("v")) + 1
+    next_version = f"v{n}.bits"
+    with open(os.path.join(table_dir, next_version), "wb") as f:
+        f.write(merged.to_bytes())
+    _write_version_params(table_dir, next_version, p)
     _write_pointer(table_dir, next_version, last_batch)
     _prune_versions(table_dir, keep=prune_keep, min_age_sec=prune_min_age_sec)
     return next_version

@@ -211,32 +211,49 @@ def _read_batch_digests(
 def _read_base_digests(
     spark: SparkSession, digest_dir: str, buckets: list[int] | None = None
 ) -> DataFrame | None:
-    """The compacted-base component, bucket-pruned when ``buckets`` is
-    given (None when no base exists or every bucket is pruned)."""
+    """The compacted-base component — the union of the pointer's LAYERS
+    (r12 leveled compaction: ``base_vN`` plus any ``delta_vM`` layers a
+    delta compaction appended, every layer bucketed the same way) —
+    bucket-pruned per layer when ``buckets`` is given. None when no
+    base exists or every bucket is pruned."""
     state = _read_compact_pointer(digest_dir)
     if state is None:
         return None
-    base, n_buckets = state
-    if n_buckets is None or buckets is None:
-        # unbucketed legacy base, or caller wants the whole set
-        bdf = spark.read.parquet(os.path.join(digest_dir, base))
-    elif not buckets:
-        return None  # nothing to probe — the base contributes nothing
-    else:
-        # partition pruning: the filter on the partition column prunes
-        # unlisted bucket directories from the scan
-        bdf = spark.read.parquet(os.path.join(digest_dir, base)).filter(
-            F.col(_BKT).isin([int(b) for b in buckets])
-        )
-    return bdf.select(_DIGEST_COL)
+    names, n_buckets = state
+    frames = []
+    for name in names.split("+"):
+        if name.startswith("delta_") or n_buckets is None or buckets is None:
+            # delta layers are FLAT and cadence-bounded — read whole,
+            # like the batch dirs they fold (the L0 argument); also the
+            # unbucketed legacy base, or a caller wanting the whole set
+            bdf = spark.read.parquet(os.path.join(digest_dir, name))
+        elif not buckets:
+            continue  # nothing to probe — this layer contributes nothing
+        else:
+            # partition pruning: the filter on the partition column
+            # prunes unlisted bucket directories from the scan
+            bdf = spark.read.parquet(os.path.join(digest_dir, name)).filter(
+                F.col(_BKT).isin([int(b) for b in buckets])
+            )
+        frames.append(bdf.select(_DIGEST_COL))
+    if not frames:
+        return None
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
 
 
 _COMPACT = "_COMPACT"
 
 
 def _read_compact_pointer(digest_dir: str) -> tuple[str, int | None] | None:
-    """(base dir name, bucket count) — bucket count None for a legacy
-    unbucketed base (pre-r12 pointer carried the name only)."""
+    """(layer names, bucket count) — bucket count None for a legacy
+    unbucketed base (pre-r12 pointer carried the name only). The name
+    field is ``+``-joined when delta layers exist (r12 leveled
+    compaction): ``base_v0+delta_v1+delta_v2``; a single full fold is
+    just ``base_vN``. One atomic line carries data layout AND layer
+    list together."""
     ptr = os.path.join(digest_dir, _COMPACT)
     if not os.path.exists(ptr):
         return None
@@ -255,6 +272,8 @@ def compact_digests(
     target_rows_per_bucket: int | None = None,
     gate_dir: str | None = None,
     gate_auto_size: bool = True,
+    mode: str = "auto",
+    max_layers: int = 4,
 ) -> str:
     """Fold the per-batch digest directories into one compacted base
     (r11): a live ingest accumulates one directory (with one-or-more
@@ -288,6 +307,33 @@ def compact_digests(
     passing neither on a store that has a gate would leave the gate
     under-covering and silently duplicate the corpus.
 
+    ``mode`` (r12 — LEVELED compaction): a full fold rewrites the
+    WHOLE stored set every time — O(corpus) maintenance per compaction
+    forever, which at billions of stored digests makes the compaction
+    cadence itself the scale ceiling. ``'delta'`` folds ONLY the batch
+    directories into a new FLAT ``delta_vN`` layer appended to the
+    pointer's layer list (``base_v0+delta_v1+…|B``, one atomic line)
+    and grows the gate by the additive merge
+    (:func:`~waterdata_spark.streaming.gates.cms_accumulate` /
+    ``bloom_accumulate``). Readers bucket-prune the ``base_*`` layers
+    and read ``delta_*`` layers whole — a delta is cadence-bounded
+    like the batch dirs it folds (the L0 argument), and bucketing it
+    would cost O(bucket count) file creations for O(cadence) rows.
+    The only corpus-coupled delta term is the CMS gate merge's
+    counter-table rewrite, bounded by the CONFIGURED depth × width
+    ceiling, not the corpus (the Bloom form's OR is flat 32 MB). ``'auto'`` (default)
+    picks delta whenever it can — an existing bucketed base, no
+    re-bucketing arguments, fewer than ``max_layers`` layers — and
+    escalates to a full fold otherwise, so the amortized cost is
+    O(new) with a periodic O(corpus) fold that also re-buckets and
+    re-sizes the gate. Delta cannot re-bucket or resize the gate (a
+    merge must match the stored layout); pass re-bucketing args or
+    ``mode='full'`` for that. Crash windows: a written-but-unpointed
+    delta is overwritten by the re-run (same name — version numbers
+    come from the pointer); a gate merged twice before the pointer
+    swap double-counts counters, which the membership reading
+    (counter >= 1) tolerates.
+
     Crash-safe in the direction that matters: the pointer swap is an
     atomic rename, and a crash BEFORE the old directories are removed
     leaves some digests present in both the new base and a batch
@@ -314,14 +360,79 @@ def compact_digests(
             with open(params_path) as f:
                 gate_dir = _json.load(f).get("gate_dir")
     old = _read_compact_pointer(digest_dir)
-    old_base, old_nb = old if old else (None, None)
+    old_names, old_nb = old if old else (None, None)
+    layers = old_names.split("+") if old_names else []
     batches = sorted(
         d for d in os.listdir(digest_dir) if d.startswith("batch=")
     )
-    parts = list(batches) + ([old_base] if old_base else [])
+    if mode not in ("auto", "full", "delta"):
+        raise ValueError(f"mode must be 'auto', 'full' or 'delta', got {mode!r}")
+    do_delta = mode == "delta" or (
+        mode == "auto"
+        and bool(layers)
+        and old_nb is not None
+        and n_buckets is None
+        and target_rows_per_bucket is None
+        and len(layers) < max_layers
+    )
+    if do_delta:
+        if not layers or old_nb is None:
+            raise RuntimeError(
+                "delta compaction needs an existing bucketed base — "
+                "run a full fold first"
+            )
+        if n_buckets is not None or target_rows_per_bucket is not None:
+            raise ValueError("re-bucketing requires mode='full'")
+        if not batches:
+            raise RuntimeError(f"nothing to compact in {digest_dir}")
+        maxv = max(int(L.rsplit("_v", 1)[1]) for L in layers)
+        delta = f"delta_v{maxv + 1}"
+        # the delta layer is FLAT (no bucket partitioning): its size is
+        # bounded by the compaction cadence — the L0 argument — while a
+        # bucketed write would create one directory per bucket
+        # (O(bucket count) file creations, and bucket count tracks the
+        # CORPUS under target_rows_per_bucket: the first probe run
+        # measured delta cost growing 4.8x across the stored decades
+        # from exactly this). Readers bucket-prune base_* layers only
+        # and read delta_* layers whole, like the batch dirs they fold.
+        (
+            spark.read.parquet(*[os.path.join(digest_dir, b) for b in batches])
+            .select(_DIGEST_COL)
+            .write.mode("overwrite")
+            .parquet(os.path.join(digest_dir, delta))
+        )
+        if gate_dir is not None:
+            # grow the gate by exactly the delta BEFORE the pointer
+            # swap — additive counter merge / bit OR, O(delta) where
+            # the full-fold rebuild is O(corpus); same superset-only
+            # crash window as the rebuild ordering
+            from waterdata_spark.streaming.gates import (
+                _read_params as _gate_params,
+            )
+            from waterdata_spark.streaming.gates import (
+                bloom_accumulate,
+                cms_accumulate,
+            )
+
+            delta_digests = spark.read.parquet(
+                os.path.join(digest_dir, delta)
+            ).select(_DIGEST_COL)
+            if _gate_params(gate_dir).get("kind") == "bloom":
+                bloom_accumulate(delta_digests, gate_dir)
+            else:
+                cms_accumulate(delta_digests, gate_dir)
+        tmp = os.path.join(digest_dir, _COMPACT + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(f"{'+'.join(layers + [delta])}|{old_nb}")
+        os.replace(tmp, os.path.join(digest_dir, _COMPACT))
+        for b in batches:
+            shutil.rmtree(os.path.join(digest_dir, b), ignore_errors=True)
+        return delta
+    # ---- full fold: batches + every layer into one new base
+    parts = list(batches) + layers
     if not parts:
         raise RuntimeError(f"nothing to compact in {digest_dir}")
-    # the (bucketed) old base and the (flat) batch directories have
+    # the (bucketed) layers and the (flat) batch directories have
     # conflicting partition structures — read them separately and union
     frames = []
     if batches:
@@ -329,9 +440,9 @@ def compact_digests(
             spark.read.parquet(*[os.path.join(digest_dir, b) for b in batches])
             .select(_DIGEST_COL)
         )
-    if old_base:
+    for layer in layers:
         frames.append(
-            spark.read.parquet(os.path.join(digest_dir, old_base)).select(_DIGEST_COL)
+            spark.read.parquet(os.path.join(digest_dir, layer)).select(_DIGEST_COL)
         )
     merged = frames[0]
     for f_ in frames[1:]:
@@ -345,7 +456,9 @@ def compact_digests(
             n_buckets = nb
         else:
             n_buckets = old_nb or 64
-    n = int(old_base.split("_v")[1]) + 1 if old_base else 0
+    n = (
+        max(int(L.rsplit("_v", 1)[1]) for L in layers) + 1 if layers else 0
+    )
     new_base = f"base_v{n}"
     (
         merged.withColumn(_BKT, digest_bucket(_DIGEST_COL, n_buckets))

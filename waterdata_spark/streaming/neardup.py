@@ -179,16 +179,31 @@ def _read_batch_bands(
 def _read_base_bands(
     spark: SparkSession, store_dir: str, buckets: list[int] | None = None
 ) -> DataFrame | None:
+    """Union of the pointer's layers (base + any delta layers — the
+    r12 leveled-compaction layout, see ``ingest.compact_digests``),
+    bucket-pruned per layer."""
     state = _read_compact_pointer(store_dir)
     if state is None:
         return None
-    base, n_buckets = state
-    bdf = spark.read.parquet(os.path.join(store_dir, base))
-    if n_buckets is not None and buckets is not None:
-        if not buckets:
-            return None
-        bdf = bdf.filter(F.col(_BKT).isin([int(b) for b in buckets]))
-    return bdf.select(*_COLS)
+    names, n_buckets = state
+    frames = []
+    for name in names.split("+"):
+        bdf = spark.read.parquet(os.path.join(store_dir, name))
+        if (
+            not name.startswith("delta_")  # flat deltas read whole
+            and n_buckets is not None
+            and buckets is not None
+        ):
+            if not buckets:
+                continue
+            bdf = bdf.filter(F.col(_BKT).isin([int(b) for b in buckets]))
+        frames.append(bdf.select(*_COLS))
+    if not frames:
+        return None
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
 
 
 def compact_bands(
@@ -197,6 +212,8 @@ def compact_bands(
     n_buckets: int | None = None,
     target_rows_per_bucket: int | None = None,
     gate_auto_size: bool = True,
+    mode: str = "auto",
+    max_layers: int = 4,
 ) -> str:
     """Fold per-batch band directories into a base bucketed on the
     band hash — same pointer/crash/rebucketing contract as
@@ -206,25 +223,83 @@ def compact_bands(
     and records ``est_fp`` — the at-birth probe's saturated-gate term
     (a 1M-width gate over 2M stored band hashes flagged every batch
     band "maybe") self-heals at the next compaction instead of
-    requiring the operator to re-init with a bigger width."""
+    requiring the operator to re-init with a bigger width.
+
+    ``mode``/``max_layers`` (r12): ``compact_digests``'s LEVELED
+    contract — ``'auto'`` folds only the batch directories into a new
+    ``delta_vN`` layer (gate grown by the additive ``cms_accumulate``
+    merge; O(newly ingested)) while an existing bucketed base has
+    fewer than ``max_layers`` layers and no re-bucketing argument is
+    given, escalating to the full O(corpus) fold (which also
+    auto-sizes the gate) otherwise."""
     import shutil
 
     old = _read_compact_pointer(store_dir)
-    old_base, old_nb = old if old else (None, None)
+    old_names, old_nb = old if old else (None, None)
+    layers = old_names.split("+") if old_names else []
     batches = sorted(d for d in os.listdir(store_dir) if d.startswith("batch="))
-    parts = list(batches) + ([old_base] if old_base else [])
+    if mode not in ("auto", "full", "delta"):
+        raise ValueError(f"mode must be 'auto', 'full' or 'delta', got {mode!r}")
+    do_delta = mode == "delta" or (
+        mode == "auto"
+        and bool(layers)
+        and old_nb is not None
+        and n_buckets is None
+        and target_rows_per_bucket is None
+        and len(layers) < max_layers
+    )
+    cols = _COLS
+    if do_delta:
+        if not layers or old_nb is None:
+            raise RuntimeError(
+                "delta compaction needs an existing bucketed base — "
+                "run a full fold first"
+            )
+        if n_buckets is not None or target_rows_per_bucket is not None:
+            raise ValueError("re-bucketing requires mode='full'")
+        if not batches:
+            raise RuntimeError(f"nothing to compact in {store_dir}")
+        maxv = max(int(L.rsplit("_v", 1)[1]) for L in layers)
+        delta = f"delta_v{maxv + 1}"
+        # FLAT delta layer (no bucket partitioning) — cadence-bounded,
+        # read whole by the probe; see ingest.compact_digests (a
+        # bucketed delta write costs O(bucket count) file creations,
+        # and bucket count tracks the corpus)
+        (
+            spark.read.parquet(*[os.path.join(store_dir, b) for b in batches])
+            .select(*cols)
+            .write.mode("overwrite")
+            .parquet(os.path.join(store_dir, delta))
+        )
+        gate_dir = _read_params(store_dir).get("gate_dir")
+        if gate_dir is not None:
+            from waterdata_spark.streaming.gates import cms_accumulate
+
+            cms_accumulate(
+                spark.read.parquet(os.path.join(store_dir, delta)).select(
+                    "band_hash"
+                ),
+                gate_dir,
+            )
+        tmp = os.path.join(store_dir, _COMPACT + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(f"{'+'.join(layers + [delta])}|{old_nb}")
+        os.replace(tmp, os.path.join(store_dir, _COMPACT))
+        for b in batches:
+            shutil.rmtree(os.path.join(store_dir, b), ignore_errors=True)
+        return delta
+    parts = list(batches) + layers
     if not parts:
         raise RuntimeError(f"nothing to compact in {store_dir}")
-    cols = _COLS
     frames = []
     if batches:
         frames.append(
             spark.read.parquet(*[os.path.join(store_dir, b) for b in batches])
             .select(*cols)
         )
-    if old_base:
+    for layer in layers:
         frames.append(
-            spark.read.parquet(os.path.join(store_dir, old_base)).select(*cols)
+            spark.read.parquet(os.path.join(store_dir, layer)).select(*cols)
         )
     merged = frames[0]
     for f_ in frames[1:]:
@@ -238,7 +313,9 @@ def compact_bands(
             n_buckets = nb
         else:
             n_buckets = old_nb or 64
-    n = int(old_base.split("_v")[1]) + 1 if old_base else 0
+    n = (
+        max(int(L.rsplit("_v", 1)[1]) for L in layers) + 1 if layers else 0
+    )
     new_base = f"base_v{n}"
     (
         merged.withColumn(_BKT, digest_bucket("band_hash", n_buckets))
