@@ -537,3 +537,59 @@ class TestLeveledCompaction:
         ingest_batch(_docs(spark, 0, 10), 0, rel, dig, gate)
         with pytest.raises(RuntimeError, match="full fold first"):
             compact_digests(spark, dig, mode="delta")
+
+
+class TestReviewFixesR12:
+    """Regression pins for the r12 self-review findings."""
+
+    def test_auto_compaction_with_no_batches_refolds(self, spark, tmp_path):
+        from waterdata_spark.streaming.ingest import (
+            _read_compact_pointer,
+            compact_digests,
+        )
+
+        rel, dig, gate = _dirs(tmp_path, "nb")
+        init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
+        ingest_batch(_docs(spark, 0, 20), 0, rel, dig, gate)
+        compact_digests(spark, dig, n_buckets=4)
+        # idle-period maintenance call with ZERO new batches: pre-r12
+        # semantics (a successful no-op re-fold), not a RuntimeError
+        assert compact_digests(spark, dig) == "base_v1"
+        assert _read_compact_pointer(dig) == ("base_v1", 4)
+        assert read_digests(spark, dig).count() == 20
+
+    def test_legacy_store_without_params_must_name_gate(self, spark, tmp_path):
+        from waterdata_spark.streaming.ingest import compact_digests
+        from waterdata_spark.streaming.gates import init_cms_store
+
+        rel, dig, gate = _dirs(tmp_path, "lg")
+        init_ingest(spark, rel, dig, gate, n_shards=4, cms_width=4096)
+        ingest_batch(_docs(spark, 0, 10), 0, rel, dig, gate)
+        os.remove(os.path.join(dig, "_PARAMS.json"))  # simulate pre-r12
+        # silent gate skip would under-cover the base (duplication):
+        # the caller must name the gate or explicitly opt out
+        with pytest.raises(RuntimeError, match="gate"):
+            compact_digests(spark, dig)
+        assert compact_digests(spark, dig, gate_dir=gate) == "base_v0"
+        # explicit opt-out for a store that truly has no gate
+        ingest_batch(_docs(spark, 10, 20), 1, rel, dig, gate)
+        assert compact_digests(spark, dig, gate_dir=False, mode="full") == "base_v1"
+
+    def test_bloom_autosize_clamps_at_ceiling(self, spark, tmp_path, monkeypatch):
+        import waterdata_spark.operators.bloom as bloom_mod
+        from waterdata_spark.streaming.gates import (
+            bloom_rebuild,
+            init_bloom_store,
+            read_bloom,
+        )
+
+        monkeypatch.setattr(bloom_mod, "_MAX_BITS", 2048)
+        ref = spark.range(0, 2000).select(
+            F.sha2(F.col("id").cast("string"), 256).alias("h")
+        )
+        table = str(tmp_path / "bcl")
+        # non-power-of-two-divisor start: doubling from 768 overshoots
+        # 2048 (1536 -> 3072) unless clamped
+        init_bloom_store(ref.limit(0), table, "h", n_bits=768, k=4)
+        bloom_rebuild(ref, table, auto_size=True)
+        assert read_bloom(table).n_bits == 2048  # clamped, not raised

@@ -274,3 +274,54 @@ class TestLeveledBandCompaction:
         assert landed == [20, 10, 8]
         # band rows complete across layers + fresh batch dir
         assert read_bands(spark, nd).count() == 4 * sum(landed)
+
+
+class TestReviewFixesR12:
+    """Regression pins for the r12 self-review findings."""
+
+    def test_margin_none_parity_with_dedup_against(self, spark, tmp_path):
+        # prefilter_margin=None must DISABLE stage 2 (dedup_against's
+        # contract) — not filter at the raw threshold, which drops true
+        # near-dups whose 16-hash estimate dips below it by noise.
+        # Pinned as a parity law on the full three-batch stream, with
+        # broadcast_cap=0 so the non-broadcast r_ids path runs too.
+        from waterdata_spark.operators.dedup import dedup_against_exact
+
+        rel, dig, gt, nd, bg = _dirs(tmp_path, "mn")
+        init_ingest(spark, rel, dig, gt, n_shards=4, cms_width=4096)
+        init_neardup(spark, nd, gate_dir=None, prefilter_margin=None)
+        landed = []
+        for i, b in enumerate(_batches(spark)):
+            kw = dict(neardup_dir=nd, release_schema=SCHEMA)
+            landed.append(ingest_batch(b, i, rel, dig, gt, **kw))
+        back = read_training_shards(spark, rel, schema=SCHEMA)
+        # iterated batch operator with the SAME margin=None config
+        acc = None
+        for b in _batches(spark):
+            keyed = exact_dedup(
+                b.withColumn("__d", content_digest(["text"])), [], "doc_id",
+                digest_col="__d",
+            )
+            if acc is None:
+                new = keyed
+            else:
+                ref_d = acc.withColumn("__d", content_digest(["text"]))
+                exact_new = dedup_against_exact(keyed, ref_d, [], digest_col="__d")
+                new = dedup_against(
+                    exact_new.drop("__d"), acc,
+                    id_col="doc_id", text_col="text",
+                    n_hashes=16, n_bands=4, k=8,
+                    threshold=0.7, prefilter_margin=None, hash_fn="xx",
+                ).withColumn("__d", content_digest(["text"]))
+            acc = (
+                new.drop("__d") if acc is None else acc.unionByName(new.drop("__d"))
+            ).localCheckpoint(eager=True)
+        want = {(r["doc_id"], r["text"]) for r in acc.collect()}
+        have = {(r["doc_id"], r["text"]) for r in back.collect()}
+        assert have == want
+
+    def test_empty_store_rid_type_follows_params(self, spark, tmp_path):
+        nd = str(tmp_path / "ridt")
+        init_neardup(spark, nd, id_type="string")
+        schema = read_bands(spark, nd).schema
+        assert schema["__rid"].dataType.simpleString() == "string"

@@ -395,13 +395,32 @@ def cms_accumulate(
     return next_version
 
 
-def cms_stream_sink(stream: DataFrame, table_dir: str, checkpoint_dir: str):
+def cms_stream_sink(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    prune_keep: int = 2,
+    prune_min_age_sec: float = 600.0,
+):
     """Start an ``availableNow`` foreachBatch query maintaining the
     stored CMS gate from an ingest stream (the stream's rows carry the
-    stored ``col``). Returns the StreamingQuery (caller awaits)."""
+    stored ``col``). Returns the StreamingQuery (caller awaits).
+
+    Prune knobs pass through to :func:`_prune_versions` (r12 review):
+    at a fast trigger cadence the default 10-minute age grace retains
+    ~``min_age / trigger_interval`` full counter-table copies — a
+    5-second trigger keeps ~120. Lower ``prune_min_age_sec`` when no
+    long-running lazy reader serves from this store, or accept the
+    retention as the price of concurrent serving jobs."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        cms_batch(batch_df, table_dir, batch_id)
+        cms_batch(
+            batch_df,
+            table_dir,
+            batch_id,
+            prune_keep=prune_keep,
+            prune_min_age_sec=prune_min_age_sec,
+        )
 
     return (
         stream.writeStream.foreachBatch(_apply)
@@ -535,7 +554,10 @@ def bloom_rebuild(
             and n_keys
             and (1.0 - math.exp(-p["k"] * n_keys / n_bits)) ** p["k"] > target_fp
         ):
-            n_bits *= 2
+            # clamp: a non-power-of-two start (e.g. 3<<26) would double
+            # past the ceiling and bloom_build would raise, failing
+            # every subsequent compaction (r12 review catch)
+            n_bits = min(n_bits * 2, _MAX_BITS)
         if n_bits != p["n_bits"]:
             p = {**p, "n_bits": n_bits}
         p["n_keys"] = n_keys
@@ -587,12 +609,27 @@ def bloom_accumulate(
     return next_version
 
 
-def bloom_stream_sink(stream: DataFrame, table_dir: str, checkpoint_dir: str):
+def bloom_stream_sink(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    prune_keep: int = 2,
+    prune_min_age_sec: float = 600.0,
+):
     """Start an ``availableNow`` foreachBatch query maintaining the
-    stored Bloom gate from an ingest stream."""
+    stored Bloom gate from an ingest stream. Prune knobs as in
+    :func:`cms_stream_sink` (a fast trigger cadence retains
+    ~``min_age / trigger_interval`` full bit-file copies under the
+    default age grace)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        bloom_batch(batch_df, table_dir, batch_id)
+        bloom_batch(
+            batch_df,
+            table_dir,
+            batch_id,
+            prune_keep=prune_keep,
+            prune_min_age_sec=prune_min_age_sec,
+        )
 
     return (
         stream.writeStream.foreachBatch(_apply)

@@ -350,8 +350,6 @@ def compact_digests(
     count (the replay guard in :func:`ingest_batch` skips the
     digest-directory overwrite in exactly this state, so the digests
     themselves are never lost)."""
-    import shutil
-
     if gate_dir is None:
         params_path = os.path.join(digest_dir, "_PARAMS.json")
         if os.path.exists(params_path):
@@ -359,16 +357,100 @@ def compact_digests(
 
             with open(params_path) as f:
                 gate_dir = _json.load(f).get("gate_dir")
-    old = _read_compact_pointer(digest_dir)
+        else:
+            # a pre-r12 store records no gate location: silently
+            # compacting WITHOUT the gate rebuild would leave the gate
+            # under-covering the new base — the false-negative /
+            # silent-duplication direction (r12 review catch). Make the
+            # caller decide explicitly.
+            raise RuntimeError(
+                f"{digest_dir} has no _PARAMS.json recording its gate "
+                "location (pre-r12 store): pass gate_dir= explicitly so "
+                "the gate is rebuilt with the base, or gate_dir=False "
+                "for a store that truly has no gate"
+            )
+    if gate_dir is False:
+        gate_dir = None
+    rebuild_fn, accum_fn = _gate_fns(gate_dir, gate_auto_size)
+    return _compact_layered_store(
+        spark,
+        digest_dir,
+        select_cols=[_DIGEST_COL],
+        bucket_col=_DIGEST_COL,
+        n_buckets=n_buckets,
+        target_rows_per_bucket=target_rows_per_bucket,
+        mode=mode,
+        max_layers=max_layers,
+        gate_rebuild=rebuild_fn,
+        gate_accumulate=accum_fn,
+    )
+
+
+def _gate_fns(gate_dir: str | None, gate_auto_size: bool):
+    """(full-fold rebuild, delta accumulate) callbacks for the store's
+    gate — kind-dispatched from the gate store's own params (so the
+    band store gets the bloom branch for free if it ever records one).
+    (None, None) when the store has no gate."""
+    if gate_dir is None:
+        return None, None
+    from waterdata_spark.streaming.gates import _read_params as _gate_params
+    from waterdata_spark.streaming.gates import (
+        bloom_accumulate,
+        bloom_rebuild,
+        cms_accumulate,
+        cms_rebuild,
+    )
+
+    if _gate_params(gate_dir).get("kind") == "bloom":
+        return (
+            lambda df: bloom_rebuild(df, gate_dir, auto_size=gate_auto_size),
+            lambda df: bloom_accumulate(df, gate_dir),
+        )
+    return (
+        lambda df: cms_rebuild(df, gate_dir, auto_size=gate_auto_size),
+        lambda df: cms_accumulate(df, gate_dir),
+    )
+
+
+def _compact_layered_store(
+    spark: SparkSession,
+    store_dir: str,
+    select_cols: list[str],
+    bucket_col: str,
+    n_buckets: int | None,
+    target_rows_per_bucket: int | None,
+    mode: str,
+    max_layers: int,
+    gate_rebuild,
+    gate_accumulate,
+) -> str:
+    """The ONE leveled-compaction state machine both stores run
+    (digest store and band store — r12 review: two hand-synced copies
+    of pointer parsing / delta-vs-full arbitration / gate ordering /
+    crash-window handling is how the copies diverge). ``select_cols``
+    are the store's row columns; ``bucket_col`` is both the bucketing
+    key and the gate key; the gate callbacks receive a one-column
+    frame of it read back from the just-written layer (deterministic
+    input, and always BEFORE the pointer swap — the superset-only
+    crash-window ordering)."""
+    import shutil
+
+    old = _read_compact_pointer(store_dir)
     old_names, old_nb = old if old else (None, None)
     layers = old_names.split("+") if old_names else []
     batches = sorted(
-        d for d in os.listdir(digest_dir) if d.startswith("batch=")
+        d for d in os.listdir(store_dir) if d.startswith("batch=")
     )
     if mode not in ("auto", "full", "delta"):
         raise ValueError(f"mode must be 'auto', 'full' or 'delta', got {mode!r}")
+    # auto picks delta only when there is something to fold AND the
+    # fold cannot need a re-bucket/resize; with no batches it falls
+    # through to the full fold (pre-r12 semantics: an idle-period
+    # maintenance call re-folds the base as a no-op rewrite instead of
+    # raising — r12 review catch)
     do_delta = mode == "delta" or (
         mode == "auto"
+        and bool(batches)
         and bool(layers)
         and old_nb is not None
         and n_buckets is None
@@ -384,7 +466,7 @@ def compact_digests(
         if n_buckets is not None or target_rows_per_bucket is not None:
             raise ValueError("re-bucketing requires mode='full'")
         if not batches:
-            raise RuntimeError(f"nothing to compact in {digest_dir}")
+            raise RuntimeError(f"nothing to compact in {store_dir}")
         maxv = max(int(L.rsplit("_v", 1)[1]) for L in layers)
         delta = f"delta_v{maxv + 1}"
         # the delta layer is FLAT (no bucket partitioning): its size is
@@ -396,53 +478,42 @@ def compact_digests(
         # from exactly this). Readers bucket-prune base_* layers only
         # and read delta_* layers whole, like the batch dirs they fold.
         (
-            spark.read.parquet(*[os.path.join(digest_dir, b) for b in batches])
-            .select(_DIGEST_COL)
+            spark.read.parquet(*[os.path.join(store_dir, b) for b in batches])
+            .select(*select_cols)
             .write.mode("overwrite")
-            .parquet(os.path.join(digest_dir, delta))
+            .parquet(os.path.join(store_dir, delta))
         )
-        if gate_dir is not None:
+        if gate_accumulate is not None:
             # grow the gate by exactly the delta BEFORE the pointer
             # swap — additive counter merge / bit OR, O(delta) where
-            # the full-fold rebuild is O(corpus); same superset-only
-            # crash window as the rebuild ordering
-            from waterdata_spark.streaming.gates import (
-                _read_params as _gate_params,
+            # the full-fold rebuild is O(corpus)
+            gate_accumulate(
+                spark.read.parquet(os.path.join(store_dir, delta)).select(
+                    bucket_col
+                )
             )
-            from waterdata_spark.streaming.gates import (
-                bloom_accumulate,
-                cms_accumulate,
-            )
-
-            delta_digests = spark.read.parquet(
-                os.path.join(digest_dir, delta)
-            ).select(_DIGEST_COL)
-            if _gate_params(gate_dir).get("kind") == "bloom":
-                bloom_accumulate(delta_digests, gate_dir)
-            else:
-                cms_accumulate(delta_digests, gate_dir)
-        tmp = os.path.join(digest_dir, _COMPACT + ".tmp")
+        tmp = os.path.join(store_dir, _COMPACT + ".tmp")
         with open(tmp, "w") as f:
             f.write(f"{'+'.join(layers + [delta])}|{old_nb}")
-        os.replace(tmp, os.path.join(digest_dir, _COMPACT))
+        os.replace(tmp, os.path.join(store_dir, _COMPACT))
         for b in batches:
-            shutil.rmtree(os.path.join(digest_dir, b), ignore_errors=True)
+            shutil.rmtree(os.path.join(store_dir, b), ignore_errors=True)
         return delta
     # ---- full fold: batches + every layer into one new base
     parts = list(batches) + layers
     if not parts:
-        raise RuntimeError(f"nothing to compact in {digest_dir}")
+        raise RuntimeError(f"nothing to compact in {store_dir}")
     # the (bucketed) layers and the (flat) batch directories have
     # conflicting partition structures — read them separately and union
     frames = []
     if batches:
         frames.append(
-            spark.read.parquet(*[os.path.join(digest_dir, b) for b in batches])
-            .select(_DIGEST_COL)
+            spark.read.parquet(*[os.path.join(store_dir, b) for b in batches])
+            .select(*select_cols)
         )
     for layer in layers:
         frames.append(
-            spark.read.parquet(os.path.join(digest_dir, layer)).select(_DIGEST_COL)
+            spark.read.parquet(os.path.join(store_dir, layer)).select(*select_cols)
         )
     merged = frames[0]
     for f_ in frames[1:]:
@@ -461,7 +532,7 @@ def compact_digests(
     )
     new_base = f"base_v{n}"
     (
-        merged.withColumn(_BKT, digest_bucket(_DIGEST_COL, n_buckets))
+        merged.withColumn(_BKT, digest_bucket(bucket_col, n_buckets))
         # one exchange on the bucket id -> one file per bucket directory
         # (the sources/bucketed.py file-explosion lesson); task count is
         # capped — a task holding several buckets still writes one file
@@ -469,36 +540,27 @@ def compact_digests(
         .repartition(min(n_buckets, 256), _BKT)
         .write.partitionBy(_BKT)
         .mode("overwrite")
-        .parquet(os.path.join(digest_dir, new_base))
+        .parquet(os.path.join(store_dir, new_base))
     )
-    if gate_dir is not None:
-        # rebuild the base gate BEFORE swapping the base pointer (r12):
-        # the gate must cover AT LEAST the base it serves — a crash
-        # between this rebuild and the pointer swap leaves the gate
-        # covering a superset (the folded batches are still L0), which
-        # only costs false positives; the reverse order would leave a
-        # gate missing base digests and silently duplicate the corpus.
-        from waterdata_spark.streaming.gates import _read_params as _gate_params
-        from waterdata_spark.streaming.gates import bloom_rebuild, cms_rebuild
-
-        base_digests = spark.read.parquet(
-            os.path.join(digest_dir, new_base)
-        ).select(_DIGEST_COL)
-        # gate_auto_size (r12): the rebuild sees the whole base, so it
-        # re-sizes the gate to it (growing width/n_bits as the corpus
-        # outgrows the init-time guess) and records est_fp — the
-        # serving path bypasses a gate that saturates anyway
-        if _gate_params(gate_dir).get("kind") == "bloom":
-            bloom_rebuild(base_digests, gate_dir, auto_size=gate_auto_size)
-        else:
-            cms_rebuild(base_digests, gate_dir, auto_size=gate_auto_size)
-    tmp = os.path.join(digest_dir, _COMPACT + ".tmp")
+    if gate_rebuild is not None:
+        # rebuild the base gate BEFORE swapping the base pointer: the
+        # gate must cover AT LEAST the base it serves — a crash between
+        # rebuild and swap leaves the gate covering a superset (the
+        # folded inputs are still readable), which only costs false
+        # positives; the reverse order would leave a gate missing base
+        # keys and silently duplicate the corpus.
+        gate_rebuild(
+            spark.read.parquet(os.path.join(store_dir, new_base)).select(
+                bucket_col
+            )
+        )
+    tmp = os.path.join(store_dir, _COMPACT + ".tmp")
     with open(tmp, "w") as f:
         f.write(f"{new_base}|{n_buckets}")
-    os.replace(tmp, os.path.join(digest_dir, _COMPACT))
+    os.replace(tmp, os.path.join(store_dir, _COMPACT))
     for p in parts:
         if p != new_base:
-            shutil.rmtree(os.path.join(digest_dir, p), ignore_errors=True)
+            shutil.rmtree(os.path.join(store_dir, p), ignore_errors=True)
     return new_base
 
 
@@ -619,7 +681,7 @@ def ingest_batch(
         id_col,
         digest_col=_DIGEST_COL,
     ).persist()
-    new = cands = nd_sig = None
+    new = cands = nd_sig = exact_new = None
     try:
         # L0: exact anti-join against the recent per-batch directories
         l0 = _read_batch_digests(spark, digest_dir, exclude_batch=batch_id)
@@ -712,6 +774,9 @@ def ingest_batch(
             exact_new = new
             new = new.join(flagged, id_col, "left_anti").persist()
             new.count()  # materialize off the persisted parent first
+            # (exact_new also rides the finally cleanup — if the count
+            # above throws, the rebound frame must not leak its cached
+            # partitions in the long-lived streaming JVM; r12 review)
             exact_new.unpersist()
         n_new = new.count()
         # replay-after-compaction guard (ADVICE r11): if a maintenance
@@ -754,7 +819,7 @@ def ingest_batch(
                     precomputed_sig=nd_sig,
                 )
     finally:
-        for frame in (new, cands, keyed, nd_sig):
+        for frame in (new, cands, keyed, nd_sig, exact_new):
             if frame is not None:
                 frame.unpersist()
     return n_new

@@ -90,11 +90,16 @@ def init_neardup(
     prefilter_margin: float = 0.25,
     cms_depth: int = 4,
     cms_width: int = 1 << 20,
+    id_type: str = "long",
 ) -> None:
     """Create an empty band store; parameters are RECORDED here and
     re-read per batch (the gates.py discipline — a caller cannot
     silently band with a mismatched config). ``gate_dir`` additionally
-    seeds an empty CMS gate over the band hashes."""
+    seeds an empty CMS gate over the band hashes. ``id_type`` is the
+    release id column's Spark type name — ``__rid`` stores the raw id
+    value, and :func:`read_bands` must shape its EMPTY-store frame
+    with the same type or a union/join against later reads
+    type-mismatches (r12 review catch for string-id releases)."""
     os.makedirs(store_dir, exist_ok=True)
     with open(os.path.join(store_dir, _PARAMS), "w") as f:
         json.dump(
@@ -107,6 +112,7 @@ def init_neardup(
                 "threshold": threshold,
                 "prefilter_margin": prefilter_margin,
                 "gate_dir": gate_dir,
+                "id_type": id_type,
             },
             f,
             sort_keys=True,
@@ -147,10 +153,12 @@ def read_bands(
     if base is not None:
         frames.append(base)
     if not frames:
-        sig_t = "bigint" if _read_params(store_dir)["hash_fn"] == "xx" else "string"
+        p = _read_params(store_dir)
+        sig_t = "bigint" if p["hash_fn"] == "xx" else "string"
+        rid_t = p.get("id_type", "long")
         return spark.createDataFrame(
             [],
-            f"__rid long, band_id int, band_hash string, __sig array<{sig_t}>",
+            f"__rid {rid_t}, band_id int, band_hash string, __sig array<{sig_t}>",
         )
     out = frames[0]
     for f_ in frames[1:]:
@@ -216,135 +224,43 @@ def compact_bands(
     max_layers: int = 4,
 ) -> str:
     """Fold per-batch band directories into a base bucketed on the
-    band hash — same pointer/crash/rebucketing contract as
-    ``ingest.compact_digests`` (run single-writer, never between a
-    crash and the stream's restart). ``gate_auto_size`` (r12): the
-    gate rebuild re-sizes the CMS to the base's distinct band hashes
-    and records ``est_fp`` — the at-birth probe's saturated-gate term
-    (a 1M-width gate over 2M stored band hashes flagged every batch
-    band "maybe") self-heals at the next compaction instead of
-    requiring the operator to re-init with a bigger width.
+    band hash — a thin wrapper over ``ingest._compact_layered_store``
+    (ONE leveled-compaction state machine for both stores; r12 review:
+    two hand-synced copies is how they diverge), with this store's
+    columns and its CMS gate over ``band_hash``. Same pointer/crash/
+    re-bucketing contract as ``ingest.compact_digests`` (run
+    single-writer, never between a crash and the stream's restart).
 
-    ``mode``/``max_layers`` (r12): ``compact_digests``'s LEVELED
-    contract — ``'auto'`` folds only the batch directories into a new
-    ``delta_vN`` layer (gate grown by the additive ``cms_accumulate``
-    merge; O(newly ingested)) while an existing bucketed base has
-    fewer than ``max_layers`` layers and no re-bucketing argument is
-    given, escalating to the full O(corpus) fold (which also
-    auto-sizes the gate) otherwise."""
-    import shutil
+    ``gate_auto_size`` (r12): the full fold's gate rebuild re-sizes
+    the CMS to the base's distinct band hashes and records ``est_fp``
+    — the at-birth probe's saturated-gate term (a 1M-width gate over
+    2M stored band hashes flagged every batch band "maybe")
+    self-heals at the next full fold instead of requiring the
+    operator to re-init with a bigger width; ``mode='auto'`` folds
+    only the batch directories into a FLAT ``delta_vN`` layer (gate
+    grown by the additive ``cms_accumulate`` merge; O(newly
+    ingested)) while an existing bucketed base has fewer than
+    ``max_layers`` layers and no re-bucketing argument is given,
+    escalating to the full O(corpus) fold otherwise."""
+    from waterdata_spark.streaming.ingest import (
+        _compact_layered_store,
+        _gate_fns,
+    )
 
-    old = _read_compact_pointer(store_dir)
-    old_names, old_nb = old if old else (None, None)
-    layers = old_names.split("+") if old_names else []
-    batches = sorted(d for d in os.listdir(store_dir) if d.startswith("batch="))
-    if mode not in ("auto", "full", "delta"):
-        raise ValueError(f"mode must be 'auto', 'full' or 'delta', got {mode!r}")
-    do_delta = mode == "delta" or (
-        mode == "auto"
-        and bool(layers)
-        and old_nb is not None
-        and n_buckets is None
-        and target_rows_per_bucket is None
-        and len(layers) < max_layers
-    )
-    cols = _COLS
-    if do_delta:
-        if not layers or old_nb is None:
-            raise RuntimeError(
-                "delta compaction needs an existing bucketed base — "
-                "run a full fold first"
-            )
-        if n_buckets is not None or target_rows_per_bucket is not None:
-            raise ValueError("re-bucketing requires mode='full'")
-        if not batches:
-            raise RuntimeError(f"nothing to compact in {store_dir}")
-        maxv = max(int(L.rsplit("_v", 1)[1]) for L in layers)
-        delta = f"delta_v{maxv + 1}"
-        # FLAT delta layer (no bucket partitioning) — cadence-bounded,
-        # read whole by the probe; see ingest.compact_digests (a
-        # bucketed delta write costs O(bucket count) file creations,
-        # and bucket count tracks the corpus)
-        (
-            spark.read.parquet(*[os.path.join(store_dir, b) for b in batches])
-            .select(*cols)
-            .write.mode("overwrite")
-            .parquet(os.path.join(store_dir, delta))
-        )
-        gate_dir = _read_params(store_dir).get("gate_dir")
-        if gate_dir is not None:
-            from waterdata_spark.streaming.gates import cms_accumulate
-
-            cms_accumulate(
-                spark.read.parquet(os.path.join(store_dir, delta)).select(
-                    "band_hash"
-                ),
-                gate_dir,
-            )
-        tmp = os.path.join(store_dir, _COMPACT + ".tmp")
-        with open(tmp, "w") as f:
-            f.write(f"{'+'.join(layers + [delta])}|{old_nb}")
-        os.replace(tmp, os.path.join(store_dir, _COMPACT))
-        for b in batches:
-            shutil.rmtree(os.path.join(store_dir, b), ignore_errors=True)
-        return delta
-    parts = list(batches) + layers
-    if not parts:
-        raise RuntimeError(f"nothing to compact in {store_dir}")
-    frames = []
-    if batches:
-        frames.append(
-            spark.read.parquet(*[os.path.join(store_dir, b) for b in batches])
-            .select(*cols)
-        )
-    for layer in layers:
-        frames.append(
-            spark.read.parquet(os.path.join(store_dir, layer)).select(*cols)
-        )
-    merged = frames[0]
-    for f_ in frames[1:]:
-        merged = merged.unionByName(f_)
-    if n_buckets is None:
-        if target_rows_per_bucket is not None:
-            total = merged.count()
-            nb = 1
-            while nb * target_rows_per_bucket < total:
-                nb *= 2
-            n_buckets = nb
-        else:
-            n_buckets = old_nb or 64
-    n = (
-        max(int(L.rsplit("_v", 1)[1]) for L in layers) + 1 if layers else 0
-    )
-    new_base = f"base_v{n}"
-    (
-        merged.withColumn(_BKT, digest_bucket("band_hash", n_buckets))
-        .repartition(min(n_buckets, 256), _BKT)
-        .write.partitionBy(_BKT)
-        .mode("overwrite")
-        .parquet(os.path.join(store_dir, new_base))
-    )
     gate_dir = _read_params(store_dir).get("gate_dir")
-    if gate_dir is not None:
-        # rebuild the base gate BEFORE the base pointer swap — same
-        # superset-only crash window as compact_digests
-        from waterdata_spark.streaming.gates import cms_rebuild
-
-        cms_rebuild(
-            spark.read.parquet(os.path.join(store_dir, new_base)).select(
-                "band_hash"
-            ),
-            gate_dir,
-            auto_size=gate_auto_size,
-        )
-    tmp = os.path.join(store_dir, _COMPACT + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(f"{new_base}|{n_buckets}")
-    os.replace(tmp, os.path.join(store_dir, _COMPACT))
-    for p in parts:
-        if p != new_base:
-            shutil.rmtree(os.path.join(store_dir, p), ignore_errors=True)
-    return new_base
+    rebuild_fn, accum_fn = _gate_fns(gate_dir, gate_auto_size)
+    return _compact_layered_store(
+        spark,
+        store_dir,
+        select_cols=_COLS,
+        bucket_col="band_hash",
+        n_buckets=n_buckets,
+        target_rows_per_bucket=target_rows_per_bucket,
+        mode=mode,
+        max_layers=max_layers,
+        gate_rebuild=rebuild_fn,
+        gate_accumulate=accum_fn,
+    )
 
 
 def _batch_signatures(
@@ -498,26 +414,30 @@ def flag_near_stored(
             for i in range(n_hashes)
         )
         threshold, margin = p["threshold"], p["prefilter_margin"]
-        est_cut = threshold if not exact_verify else max(
-            0.0, threshold - (margin if margin is not None else 0.0)
-        )
+        if not exact_verify:
+            est_cut = threshold  # the estimate IS the decision
+        elif margin is None:
+            # dedup_against parity (r12 review catch): margin None
+            # DISABLES stage 2 — every band-colliding pair goes to
+            # exact verification. Filtering at the raw threshold here
+            # would drop true near-dups whose estimate dips below it
+            # by estimator noise (sigma ~ sqrt(j(1-j)/n_hashes)).
+            est_cut = None
+        else:
+            est_cut = max(0.0, threshold - margin)
         # filter BEFORE deduplicating pairs: a hot band bucket emits
         # up to n_bands copies of a pair, and deduplicating first would
         # shuffle every collision row WITH its signature payload; the
         # estimate is a map-side 16-comparison predicate, so evaluate
         # it on the raw collision stream and distinct only the tiny
         # survivor set
-        pairs = (
-            cand.select(id_col, "__rid", "__sig")
-            .join(c_named, id_col)
-            .filter(
+        joined = cand.select(id_col, "__rid", "__sig").join(c_named, id_col)
+        if est_cut is not None:
+            joined = joined.filter(
                 matches.cast("double") / F.lit(float(n_hashes))
                 >= F.lit(float(est_cut))
             )
-            .select(id_col, "__rid")
-            .distinct()
-            .persist()
-        )
+        pairs = joined.select(id_col, "__rid").distinct().persist()
         n_pairs = pairs.count()  # estimate-surviving pairs only
         if not exact_verify:
             # signature-only decision at the FULL threshold (the
@@ -528,21 +448,30 @@ def flag_near_stored(
         if n_pairs == 0:
             return batch_df.select(id_col).limit(0)
         # stage 3 fetch: text for the estimate-SURVIVING reference ids
-        # only (candidate-bounded, shard-pruned release point read)
+        # only (candidate-bounded, shard-pruned release point read).
+        # Legacy-manifest defaults mirror append_training_shards'
+        # (r12 review: a pre-field manifest must not KeyError here).
         man = json.load(open(os.path.join(release_dir, MANIFEST)))
-        r_ids = pairs.select(F.col("__rid").alias(man["id_col"])).distinct()
+        m_id = man.get("id_col", "doc_id")
+        m_text = man.get("text_col", "text")
+        r_ids = pairs.select(F.col("__rid").alias(m_id)).distinct()
         shards = [
             r["__shard"]
             for r in with_shard(
-                r_ids, man["id_col"], int(man["n_shards"]), man["salt"]
+                r_ids, m_id, int(man["n_shards"]), man["salt"]
             ).select("__shard").distinct().collect()
         ]  # bounded: <= n_shards
+        # n_pairs bounds the distinct reference ids — honor the same
+        # broadcast_cap every other frame in the cascade honors (r12
+        # review: a mostly-duplicate batch replay can make this set
+        # batch-sized)
+        join_rids = F.broadcast(r_ids) if n_pairs <= broadcast_cap else r_ids
         ref = read_training_shards(
             spark, release_dir, schema=release_schema, shards=shards
-        ).join(F.broadcast(r_ids), man["id_col"], "left_semi")
+        ).join(join_rids, m_id, "left_semi")
         ref = ref.select(
-            F.col(man["id_col"]).alias("__rid"),
-            F.col(man["text_col"]).alias("__rtext"),
+            F.col(m_id).alias("__rid"),
+            F.col(m_text).alias("__rtext"),
         ).persist()
         # stage 3: exact shingle Jaccard on the plausible pairs
         csh = batch_df.join(
