@@ -69,32 +69,60 @@ def lang_id_score(c: Column | str, lang: str) -> Column:
 def sliding_windows(arr: Column, n: int, sep: str = " ") -> Column:
     """``sep``-joined sliding ``n``-element windows of an array —
     length ``size-n+1``, empty when the array has fewer than ``n``
-    elements (null in → null out).
+    elements (null in → null out; a window containing a null element
+    is dropped, matching the pre-r12 shifted-copy form).
 
-    Built as ``n-1`` shifted copies of the array folded together with
-    ``zip_with``, so NO lambda body references an outer expression:
-    Catalyst's interpreted higher-order functions re-evaluate a
-    captured subtree once PER ELEMENT, which makes the natural
-    ``transform(sequence(1,m), i -> slice(arr, i, n))`` construction
-    O(m²) per row — measured 57s for one 20k-token document vs <1s for
-    this form. Cost here is O(n·m) per row (each shift slices the
-    array once); linear for the fixed small ``n`` of every caller.
+    Two HOF traps shape this construction (both measured):
+
+    - The natural ``transform(sequence(1,m), i -> slice(arr, i, n))``
+      re-evaluates the captured ``arr`` SUBTREE once per element
+      (interpreted HOFs do no caching), which is O(m²) per row when
+      ``arr`` is itself an O(m) expression — measured 57s for one
+      20k-token document (r6).
+    - The r6 fix (n-1 shifted copies folded with ``zip_with``)
+      references ``arr`` as a direct OPERAND ~2(n-1) times, and
+      Catalyst performs no common-subexpression elimination across
+      operands: the r12 plan audit found ``filter(split(text, ''))``
+      inlined ~15x into the x08 Generate node — every slice/size
+      re-split the text, and the allocation storm made the signature
+      pass wildly GC-sensitive (same-JVM repeats 8s-355s under memory
+      pressure).
+
+    The r12 form LET-BINDS the array once per row —
+    ``transform(array(arr), a -> windows(a))`` evaluates ``arr``
+    exactly once and exposes it as the O(1) lambda variable ``a`` —
+    then builds each window with ``n`` ``element_at`` lookups. Cost is
+    O(n·m) per row with ONE evaluation of ``arr`` and one output
+    allocation per window (probe: tools/shingle_probe.py — x08's
+    signature pass 8.3s → 1.8s min-of-4 at 50k docs, and the 355s GC
+    spikes gone; values bit-identical).
     """
     if n == 1:
         return arr
-    out = arr
-    join = (lambda a, b: F.concat_ws(sep, a, b)) if sep else (lambda a, b: F.concat(a, b))
-    for k in range(1, n):
-        shifted = F.slice(arr, k + 1, F.greatest(F.size(arr) - k, F.lit(0)))
-        out = F.zip_with(
-            out,
-            shifted,
-            # zip_with pads the shorter (shifted) side with null: a
-            # null partner marks an incomplete tail window, filtered
-            # below rather than half-joined
-            lambda a, b: F.when(a.isNotNull() & b.isNotNull(), join(a, b)),
+
+    if sep:
+        def join(elems):
+            guard = elems[0].isNotNull()
+            for e in elems[1:]:
+                guard = guard & e.isNotNull()
+            return F.when(guard, F.concat_ws(sep, *elems))
+    else:
+        # concat propagates null, matching the drop-window-on-null rule
+        def join(elems):
+            return F.concat(*elems)
+
+    def windows(a):
+        w = F.transform(
+            F.sequence(F.lit(1), F.size(a) - (n - 1)),
+            lambda i: join([F.element_at(a, i + j) for j in range(n)]),
         )
-    return F.filter(out, lambda g: g.isNotNull())
+        return (
+            F.when(a.isNull(), F.lit(None).cast("array<string>"))
+            .when(F.size(a) >= n, F.filter(w, lambda g: g.isNotNull()))
+            .otherwise(F.array().cast("array<string>"))
+        )
+
+    return F.element_at(F.transform(F.array(arr), windows), 1)
 
 
 def char_shingles(c: Column | str, k: int = 8) -> Column:
