@@ -53,6 +53,22 @@ def get_spark(
         # Auto-broadcast threshold: dims in this workload are KB-MB;
         # 64 MB keeps every dim join a broadcast-hash join.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r12: disable InferWindowGroupLimit (partial top-k below the
+        # window exchange). The rule pays a FULL extra local sort of
+        # the window input before the shuffle and only wins when a key
+        # has many rows per MAP TASK. Every rank-filtered window in
+        # this engine is high-cardinality (dedup keys ~ rows: q06
+        # ~4 rows/orderkey, x01 ~unique digests, q07 ~15 orders over
+        # hundreds of tasks), so per (task, key) there is ~1 row and
+        # the partial limit removes nothing. Interleaved A/B on the
+        # committed decades (plans/r12, OPTIMIZATION_r12.md): q06@sf10
+        # 11.35s -> 7.58s min-of-6 ("off" won all 6 rounds), q07@sf10
+        # 2.23 -> 1.91s (all 5 rounds), x01@sf1 a wash. The shape
+        # argument is scale-independent — more data means more map
+        # tasks at the same rows-per-key, so co-location never
+        # improves; a LOW-cardinality ranking (top-k per country)
+        # should re-enable via extra_conf.
+        .config("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
     )
     if extra_conf:
         for k, v in extra_conf.items():
