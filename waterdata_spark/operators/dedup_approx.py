@@ -307,22 +307,47 @@ def min_id_components(
     nodes: DataFrame,
     edges: DataFrame,
     max_rounds: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components as (node, label): label = the minimum node
     id in the component. ``nodes`` has one column ``node``; ``edges``
     has ``id_a``/``id_b`` (undirected, symmetrized here).
 
-    Min-id label propagation iterated TO CONVERGENCE. The fixpoint
-    witness is an exact changed-row count: the update pass itself emits
-    a ``__changed`` flag (new label strictly below the old one), and
-    one ``sum`` action per round on the checkpointed frame reads it.
-    Works for ANY orderable id type — integral, string, binary — where
-    the previous ``sum(label)`` witness silently cast string labels to
-    NULL and stopped after one round. ``max_rounds`` is a diameter
-    backstop. localCheckpoint per round truncates the lineage — without
-    it the plan doubles every iteration and the optimizer re-plans the
-    whole history each round (at scale: persist to a checkpoint table;
-    at trillion-edge scale: :func:`star_contraction_components`, the
+    Min-id label propagation WITH POINTER DOUBLING, iterated to
+    convergence. Each round does two things:
+
+    1. **propagate**: candidate label = min over the node's own label
+       and its neighbors' labels (one O(E) join + map-side-combinable
+       min — unchanged from the classic form);
+    2. **shortcut** (r13, guide §2.4 "fewer passes"): the candidate is
+       then re-pointed through the label table once more —
+       ``label <- min(label, label(label))`` — one O(V) self-join of
+       the fixed-width (node, label) frame. A label is always the id
+       of a node in the SAME component (labels start as own ids and
+       only ever adopt neighbor labels), so shortcutting preserves the
+       invariant while letting label chains HALVE per round: a path
+       that needed O(diameter) propagate-only rounds converges in
+       O(log diameter). Round/wall measurements on the x25/x31 oracle
+       graphs: tools/cc_rounds_probe.py (committed with this change).
+       Each round costs one extra small-frame join, repaid whenever it
+       saves even one O(E) round.
+
+    The fixpoint witness is an exact changed-row count: the update
+    pass itself emits a ``__changed`` flag (new label strictly below
+    the old one), and one ``sum`` action per round on the checkpointed
+    frame reads it. A no-change round under shortcutting is in
+    particular a no-change PROPAGATE round, so the classic fixpoint
+    argument applies unchanged: labels are edge-constant, hence
+    component-constant, hence the component minimum — the same output
+    as the propagate-only form for every graph (differentially tested
+    on random graphs and the pinned path/star cases). Works for ANY
+    orderable id type — integral, string, binary — where the previous
+    ``sum(label)`` witness silently cast string labels to NULL and
+    stopped after one round. ``max_rounds`` is a diameter backstop.
+    localCheckpoint per round truncates the lineage — without it the
+    plan doubles every iteration and the optimizer re-plans the whole
+    history each round (at scale: persist to a checkpoint table; at
+    trillion-edge scale: :func:`star_contraction_components`, the
     large-star/small-star form).
     """
     ckpt = nodes.select(F.col("node"), F.col("node").alias("label")).localCheckpoint(eager=True)
@@ -336,14 +361,26 @@ def min_id_components(
             .groupBy(F.col("id_b").alias("node2"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_label = F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label")))
+        cand_label = F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label")))
+        cand = labels.join(neighbor_min, labels.node == F.col("node2"), "left").select(
+            F.col("node"),
+            F.col("label").alias("__old"),
+            cand_label.alias("__cand"),
+        )
+        # pointer doubling: one hop through the CURRENT label table.
+        # Left join — a label is a known node id, but an edge endpoint
+        # absent from `nodes` would miss; coalesce keeps the candidate.
+        par = labels.select(F.col("node").alias("__pn"), F.col("label").alias("__pl"))
+        new_label = F.least(
+            F.col("__cand"), F.coalesce(F.col("__pl"), F.col("__cand"))
+        )
         prev_ckpt = ckpt
         ckpt = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            cand.join(par, cand.__cand == par.__pn, "left")
             .select(
                 F.col("node"),
                 new_label.alias("label"),
-                (new_label < F.col("label")).cast("long").alias("__changed"),
+                (new_label < F.col("__old")).cast("long").alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
@@ -355,6 +392,8 @@ def min_id_components(
         _release_checkpoint(prev_ckpt)
         n_changed = ckpt.agg(F.sum("__changed")).first()[0]
         labels = ckpt.select("node", "label")
+        if stats is not None:
+            stats["rounds"] = stats.get("rounds", 0) + 1
         if not n_changed:
             break
     # the result derives only from the final labels checkpoint; the

@@ -891,42 +891,53 @@ def x04_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     JOIN sizes sb ON p.doc_b = sb.doc_id
     WHERE p.inter_size >= 5
     """,
-    doc="X2 n-gram Jaccard near-dup candidates. Scalable shape: explode "
-    "distinct tokens and self-join on token (an inverted index) instead of "
-    "a quadratic crossJoin — at 100 TB the token join only pairs documents "
-    "that actually share a token. Tokens whose document frequency exceeds "
-    "X06_DF_CAP are dropped from the vocabulary BEFORE the self-join (on "
-    "both engines identically), bounding any single token's contribution "
-    "to cap^2 pairs — without it one stop-word token in N docs costs N^2. "
-    "The high-DF set is tiny (stop words), so it anti-joins as a "
-    "broadcast; the token stream is never re-shuffled for the cap. "
-    "Jaccard reported as exact integer intersection/union sizes over the "
-    "capped vocabulary (floats would hash-differ).",
+    doc="X2 n-gram Jaccard near-dup candidates via POSTING LISTS (r13, "
+    "guide §2.1/§3 — aggregate before you shuffle): explode distinct "
+    "tokens, aggregate one sorted doc-id posting list per (lang, token) "
+    "in a single shuffle, and generate ordered pairs INSIDE each list "
+    "(array combinatorics, map-side) instead of self-joining the token "
+    "stream — the r12 form shuffled the token stream twice more (both "
+    "self-join sides) to discover the same co-occurrences. Tokens whose "
+    "document frequency exceeds X06_DF_CAP are dropped by filtering the "
+    "list length in the SAME aggregation that builds the lists (the "
+    "separate high-DF aggregate + broadcast anti-join of the r12 plan "
+    "collapse into it), bounding any single token's contribution to "
+    "cap^2 pairs — without it one stop-word token in N docs costs N^2. "
+    "Per-doc sizes re-derive from the capped lists, so 'n' still counts "
+    "exactly the surviving vocabulary. Jaccard reported as exact integer "
+    "intersection/union sizes over the capped vocabulary (floats would "
+    "hash-differ).",
     tags=["dedup", "similarity", "llm"],
 )
 def x06_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 120)
     tok = d.select("doc_id", "lang", F.explode(F.array_distinct(tokens("text"))).alias("tok"))
-    # tokens are per-doc distinct, so count(*) per (lang, tok) IS the
-    # document frequency; the > cap survivors are a handful of stop words
-    hi = (
+    # tokens are per-doc distinct, so list length per (lang, tok) IS the
+    # document frequency; the > cap casualties are a handful of stop
+    # words. sort_array makes pair order (a < b) and the plan
+    # deterministic regardless of collect_list's arrival order.
+    plist = (
         tok.groupBy("lang", "tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > X06_DF_CAP)
-        .select("lang", "tok")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= X06_DF_CAP)
     )
-    tok = tok.join(F.broadcast(hi), ["lang", "tok"], "left_anti")
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    sizes = (
+        plist.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    pairs = (
+        plist.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter_size"))
     )
     sa = sizes.alias("sa")
