@@ -262,6 +262,41 @@ class TestCurateCorpus:
         vals = [v for _, v in res.report()]
         assert all(a >= b for a, b in zip(vals, vals[1:]))
 
+    def test_stage_barrier_frames(self, spark):
+        # r13: stage_barrier=True must (a) leave the final frame
+        # value-identical to the unbarriered run, (b) expose each
+        # stage's output in .frames equal to the matching PREFIX run
+        # (the w03 funnel contract), and (c) keep the observe() funnel
+        # firing exactly once per stage under audit=True.
+        from waterdata_spark.pipelines.curate import curate_corpus
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        kw = dict(exact_dedup=True, boilerplate_min_docs=2, redact=True)
+        plain = curate_corpus(df, audit=False, **kw)
+        res = curate_corpus(df, stage_barrier=True, **kw)
+
+        assert [n for n, _ in res.stages] == list(res.frames)
+        assert sorted(map(tuple, res.df.collect())) == sorted(
+            map(tuple, plain.df.collect())
+        )
+        # each captured frame == running only the prefix of stages
+        prefixes = {
+            "exact_dedup": dict(exact_dedup=True),
+            "boilerplate": dict(exact_dedup=True, boilerplate_min_docs=2),
+            "redact_pii": kw,
+        }
+        for name, pkw in prefixes.items():
+            want = sorted(
+                map(tuple, curate_corpus(df, audit=False, **pkw).df.collect())
+            )
+            assert sorted(map(tuple, res.frames[name].collect())) == want, name
+        # observations: one fire per stage, counts match the frames
+        res.df.count()
+        funnel = dict(res.report())
+        assert funnel["input"] == 6
+        for name, frame in res.frames.items():
+            assert funnel[name] == frame.count(), name
+
     def test_url_filter_stage_runs_first(self, spark):
         """r10: url_filter is RefinedWeb §3.1's stage 0 — rows drop by
         URL before any content work, the funnel shows it first, and

@@ -73,6 +73,19 @@ def test_pricing_summary_partial_agg(spark):
     assert s.text.count("HashAggregate") >= 2  # partial + final
 
 
+def test_shingle_let_binding_holds_x08(spark):
+    """r12 change 1 (ADVICE r12): sliding_windows let-binds its base
+    array as element_at(transform(array(arr), ...), 1) so the
+    char-shingle base expression `split(text, '')` evaluates ONCE per
+    row — Catalyst has no cross-operand CSE, and the inlined form
+    re-evaluated it ~15x in the x08 MinHash plan. The binding relies
+    on the optimizer NOT simplifying that wrapper back into an inlined
+    lambda; pin it so a Spark upgrade regression is caught here, not
+    by a bench decade."""
+    df = QUERIES["x08_minhash_bands"].fn(spark, SF_ORACLE)
+    assert plan_summary(df).text.count("split(text") == 1
+
+
 class TestSaltedJoin:
     def test_matches_unsalted(self, spark):
         from waterdata_spark.operators.skew import salted_join

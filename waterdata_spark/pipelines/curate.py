@@ -56,6 +56,10 @@ class CurationResult:
     df: DataFrame
     input_rows: Observation | None
     stages: list[tuple[str, Observation]] = field(default_factory=list)
+    #: stage-name -> that stage's OUTPUT frame; populated only under
+    #: ``stage_barrier=True`` (each frame is then a materialized
+    #: checkpoint, so counting/sampling one costs no cascade re-run).
+    frames: dict[str, DataFrame] = field(default_factory=dict)
 
     def report(self) -> list[tuple[str, int]]:
         """Per-stage output row counts, input first. Blocks until the
@@ -95,6 +99,7 @@ def curate_corpus(
     decontaminate_n: int = 13,
     redact: bool = False,
     audit: bool = True,
+    stage_barrier: bool = False,
 ) -> CurationResult:
     """Compose the curation cascade over ``(id_col, text_col, ...)``.
 
@@ -102,6 +107,20 @@ def curate_corpus(
     (``span_dedup={"min_chunk": 32}``, ``near_dup={"threshold":
     0.8}``, ``quality_gate={"thresholds": {...}}``). ``audit=False``
     skips the observations entirely (no overhead at all).
+
+    ``stage_barrier`` (r13, guide §3.3/§5 "materialise an intermediate
+    to truncate the plan"): eagerly ``localCheckpoint`` each stage's
+    output and expose it in ``result.frames[name]``. For a caller that
+    re-reads stage outputs — a per-stage funnel computed as ROWS of
+    one result frame (the w03 oracle contract, where observe() cannot
+    feed the output), stage sampling, per-stage audits — the barrier
+    makes each stage compute exactly ONCE; without it every re-read
+    re-runs the whole cascade prefix (w03's funnel paid the cascade
+    ~5x, a 118-Exchange plan). Single-action audit=True callers should
+    keep it OFF: the observe() funnel is already zero-cost and the
+    barrier spends memory/disk on materialization. At 100 TB the same
+    pattern is a checkpoint TABLE per stage (write+read-back), which
+    also gives cross-job restart points.
     ``url_filter`` (r10) runs RefinedWeb §3.1's stage 0 FIRST — drop
     rows by URL against a domain blocklist before any content work:
     ``{"blocklist": frame, "url_col": "url"}`` plus any
@@ -154,6 +173,7 @@ def curate_corpus(
     from waterdata_spark.operators import dedup as D
 
     stages: list[tuple[str, Observation]] = []
+    frames: dict[str, DataFrame] = {}
     input_obs = None
     cur = df
     if audit:
@@ -161,7 +181,15 @@ def curate_corpus(
         cur = cur.observe(input_obs, F.count(F.lit(1)).alias("rows"))
 
     def mark(frame: DataFrame, name: str) -> DataFrame:
-        return _observed(frame, name, stages) if audit else frame
+        out = _observed(frame, name, stages) if audit else frame
+        if stage_barrier:
+            # EAGER on purpose: a lazy fill would re-run the stage on
+            # the first downstream action anyway, and with audit=True
+            # it would skip upstream observe() nodes (the near_dup
+            # lesson below); eager fires each observation exactly once.
+            out = out.localCheckpoint(eager=True)
+            frames[name] = out
+        return out
 
     if url_filter is not None:
         # RefinedWeb §3.1's stage 0 (r10): drop documents by URL against
@@ -331,4 +359,4 @@ def curate_corpus(
     if redact:
         cur = mark(cur.withColumn(text_col, redact_pii(text_col)), "redact_pii")
 
-    return CurationResult(df=cur, input_rows=input_obs, stages=stages)
+    return CurationResult(df=cur, input_rows=input_obs, stages=stages, frames=frames)

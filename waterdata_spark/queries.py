@@ -2797,10 +2797,13 @@ _W03_THRESHOLDS = {
     "post-gate text — the published 'decontaminate last among "
     "deleters' rule), and the per-stage funnel. 'doc' leg = surviving "
     "(doc_id, final text) value-for-value; 'funnel' leg = row counts "
-    "after every stage (computed as prefix-cascade aggregates — the "
-    "observe()-based funnel is the production path, tested in "
-    "test_pipelines, but observations need a driver action and the "
-    "oracle contract is one lazy plan). Quality-gate config: "
+    "after every stage (r13: counted from the stage_barrier frames of "
+    "ONE cascade run — each checkpointed intermediate is exactly the "
+    "prefix-cascade result, so the counts are unchanged while the r12 "
+    "plan's 4 extra prefix cascades are gone; the observe()-based "
+    "funnel is the production path, tested in test_pipelines, but "
+    "observations need a driver action and the oracle contract's "
+    "funnel must be ROWS of the result). Quality-gate config: "
     "_W03_THRESHOLDS (4 SQL-expressible signals active, repetition "
     "signals neutralized — x11/x22 already prove those twins).",
     tags=["llm", "pipeline", "dedup", "text"],
@@ -2830,14 +2833,24 @@ def w03_curation_cascade(spark: SparkSession, sf: str) -> DataFrame:
     )
     evals = span13.unionByName(short5)
 
-    def stage(**kw):
-        return curate_corpus(src, audit=False, exact_dedup=True, **kw).df
-
-    full = stage(
+    # r13 (guide §3.3/§5 — materialise intermediates to truncate the
+    # plan): ONE cascade run under stage_barrier=True; the funnel legs
+    # count the checkpointed stage outputs instead of re-running the
+    # cascade prefix per leg (the r12 form built 4 extra prefix
+    # cascades — a 118-Exchange plan that paid exact-dedup 5x and
+    # boilerplate 3x). Counts over materialized frames are the same
+    # numbers the prefix runs produced (the cascade is sequential:
+    # the intermediate AFTER stage k == running only stages 1..k).
+    res = curate_corpus(
+        src,
+        audit=False,
+        exact_dedup=True,
         boilerplate_min_docs=2,
         quality_gate={"thresholds": _W03_THRESHOLDS},
         decontaminate_eval=evals,
+        stage_barrier=True,
     )
+    full = res.df
     docs = full.select(
         F.lit("doc").alias("mode"),
         F.col("doc_id").cast("string").alias("k"),
@@ -2853,18 +2866,10 @@ def w03_curation_cascade(spark: SparkSession, sf: str) -> DataFrame:
 
     funnel = (
         n_rows(src, "input")
-        .unionByName(n_rows(stage(), "exact_dedup"))
-        .unionByName(n_rows(stage(boilerplate_min_docs=2), "boilerplate"))
-        .unionByName(
-            n_rows(
-                stage(
-                    boilerplate_min_docs=2,
-                    quality_gate={"thresholds": _W03_THRESHOLDS},
-                ),
-                "quality_gate",
-            )
-        )
-        .unionByName(n_rows(full, "decontaminate"))
+        .unionByName(n_rows(res.frames["exact_dedup"], "exact_dedup"))
+        .unionByName(n_rows(res.frames["boilerplate"], "boilerplate"))
+        .unionByName(n_rows(res.frames["quality_gate"], "quality_gate"))
+        .unionByName(n_rows(res.frames["decontaminate"], "decontaminate"))
     )
     return docs.unionByName(funnel)
 
