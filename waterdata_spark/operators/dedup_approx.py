@@ -355,7 +355,7 @@ def min_id_components(
     sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))).localCheckpoint(
         eager=True
     )
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         neighbor_min = (
             sym.join(labels, sym.id_a == labels.node)
             .groupBy(F.col("id_b").alias("node2"))
@@ -367,23 +367,33 @@ def min_id_components(
             F.col("label").alias("__old"),
             cand_label.alias("__cand"),
         )
-        # pointer doubling: one hop through the CURRENT label table.
-        # Left join — a label is a known node id, but an edge endpoint
-        # absent from `nodes` would miss; coalesce keeps the candidate.
-        par = labels.select(F.col("node").alias("__pn"), F.col("label").alias("__pl"))
-        new_label = F.least(
-            F.col("__cand"), F.coalesce(F.col("__pl"), F.col("__cand"))
-        )
-        prev_ckpt = ckpt
-        ckpt = (
-            cand.join(par, cand.__cand == par.__pn, "left")
-            .select(
+        if rnd == 0:
+            # round 1's shortcut is a provable identity — the label
+            # table still maps every node to itself (candidates are
+            # always label-table VALUES, i.e. node ids), so
+            # label(label)=label and the hop join would be pure
+            # overhead (measured ~1 join/round on graphs that converge
+            # in 4-5 rounds, tools/cc_rounds_probe.py). Skip it.
+            stepped = cand.select(
+                F.col("node"),
+                F.col("__cand").alias("label"),
+                (F.col("__cand") < F.col("__old")).cast("long").alias("__changed"),
+            )
+        else:
+            # pointer doubling: one hop through the CURRENT label table.
+            # Left join — a label is a known node id, but an edge endpoint
+            # absent from `nodes` would miss; coalesce keeps the candidate.
+            par = labels.select(F.col("node").alias("__pn"), F.col("label").alias("__pl"))
+            new_label = F.least(
+                F.col("__cand"), F.coalesce(F.col("__pl"), F.col("__cand"))
+            )
+            stepped = cand.join(par, cand.__cand == par.__pn, "left").select(
                 F.col("node"),
                 new_label.alias("label"),
                 (new_label < F.col("__old")).cast("long").alias("__changed"),
             )
-            .localCheckpoint(eager=True)
-        )
+        prev_ckpt = ckpt
+        ckpt = stepped.localCheckpoint(eager=True)
         # the new EAGER checkpoint is a root — the previous round's
         # blocks are unreachable from any live lineage, so free them
         # NOW instead of waiting for driver GC + ContextCleaner (in a
