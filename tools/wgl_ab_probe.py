@@ -86,9 +86,12 @@ def _child(variant: str, sf_dir: str, repeats: int) -> None:
             cols = [F.col(f.name) for f in df.schema.fields]
             r = df.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.xxhash64(*cols)).alias("h"),
+                # decimal(38,0) sum: 2^63-magnitude terms overflow a
+                # long sum under ANSI (Spark 4 default); decimal is
+                # exact to 38 digits, far above n*2^63 here
+                F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
             ).collect()[0]
-            return (r["n"], r["h"])
+            return (r["n"], str(r["h"]))
 
         hw = ohash(_q06_window(spark, sf_dir))
         ha = ohash(_q06_agg(spark, sf_dir))
