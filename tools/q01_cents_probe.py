@@ -70,6 +70,44 @@ def q01_cents(spark, sf_dir):
     )
 
 
+def q01_split(spark, sf_dir):
+    """The 100 TB-SAFE long form (r13): straight long cents/micros
+    overflow at the target scale (a 100 TB lineitem's per-group charge
+    sum is ~5.9e21 micro-units >> 2^63 ~ 9.2e18), so each money sum is
+    split into TWO long sums — the dollar part ``floor(x)`` and the
+    non-negative sub-dollar remainder in base units — recombined
+    exactly in decimal(38,0) after aggregation. Identity per row:
+    units == floor(x)*10^s + r with r in [0, 10^s), so the recombined
+    total equals the exact unit sum; headroom is now bounded by
+    sum(dollars) < 2^63 (~150 PB at TPC-H prices) and every overflow
+    beyond it raises under ANSI instead of wrapping."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+
+    def split_money(c, scale: int):
+        col = F.col(c) if isinstance(c, str) else c
+        m = 10 ** scale
+        dec = col.cast(f"decimal(18,{scale})")
+        units = (dec * F.lit(m)).cast("long")
+        hi = F.floor(dec).cast("long")
+        lo = units - hi * F.lit(m)
+        total = F.sum(hi).cast("decimal(38,0)") * F.lit(m) + F.sum(lo)
+        return (total / F.lit(m)).cast("double")
+
+    qty = split_money("l_quantity", 2)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        qty.alias("sum_qty"),
+        split_money("l_extendedprice", 2).alias("sum_base_price"),
+        split_money(disc_price, 6).alias("sum_disc_price"),
+        split_money(charge, 6).alias("sum_charge"),
+        (qty / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/waterdata_spark_sf10"
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 6
@@ -86,18 +124,16 @@ def main() -> None:
         ).collect()[0]
         return (r["n"], r["h"])
 
+    variants = [("decimal", dec_fn), ("cents", q01_cents), ("split", q01_split)]
     hd = ohash(dec_fn(spark, sf_dir))
-    hc = ohash(q01_cents(spark, sf_dir))
-    assert hd == hc, f"cents form differs: {hd} vs {hc}"
-    print(f"# equality OK: {hd}", file=sys.stderr)
+    for name, fn in variants[1:]:
+        hv = ohash(fn(spark, sf_dir))
+        assert hd == hv, f"{name} form differs: {hd} vs {hv}"
+    print(f"# equality OK (all variants): {hd}", file=sys.stderr)
 
-    res = {"decimal": [], "cents": []}
+    res = {name: [] for name, _ in variants}
     for r in range(rounds):
-        order = (
-            [("decimal", dec_fn), ("cents", q01_cents)]
-            if r % 2 == 0
-            else [("cents", q01_cents), ("decimal", dec_fn)]
-        )
+        order = variants[r % len(variants):] + variants[: r % len(variants)]
         for name, fn in order:
             t0 = time.time()
             bench._drain(fn(spark, sf_dir))
@@ -107,8 +143,10 @@ def main() -> None:
     print(json.dumps({
         "sf_dir": sf_dir,
         "rounds": rounds,
-        "decimal": {"min": min(res["decimal"]), "runs": res["decimal"]},
-        "cents": {"min": min(res["cents"]), "runs": res["cents"]},
+        **{
+            name: {"min": min(res[name]), "runs": res[name]}
+            for name, _ in variants
+        },
         "sentinel_after": sent,
         "load1": round(os.getloadavg()[0], 1),
     }))

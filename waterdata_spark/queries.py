@@ -70,8 +70,37 @@ def _dec(c: str, scale: int = 2) -> F.Column:
 
 
 def _sum_money(c, scale: int = 2, alias: str | None = None):
+    """Exact money sum, r13 SPLIT-LONG form (guide §2.3 narrower
+    types, measured: plans/r13/q01_cents_probe_sf10.json).
+
+    Value-identical to the pre-r13 ``sum(cast(x as decimal(18,s)))
+    .cast(double)``: per row, ``units == floor(dec)*10^s + lo`` with
+    ``lo`` in ``[0, 10^s)`` is an exact identity (both derived from
+    the same ``decimal(18,s)`` quantization), the two long sums are
+    exact, and the decimal(38,0) recombination + division restore the
+    exact unit total before the single final cast to double — so the
+    nearest-double result is bit-identical to the decimal form's
+    (probe equality + full oracle re-run on record).
+
+    Why two long sums instead of one: JVM primitive adds in the hash
+    aggregate beat 128-bit decimal adds — q01@sf10 interleaved A/B
+    measured decimal 4.56s / split 3.93s / single-long-cents 2.64s
+    (mins of 6). The single-long-cents form is fastest but its bound
+    is ~2^63 micro-units ≈ 9.2e12 dollars, which a 100 TB lineitem's
+    per-group charge sum exceeds 600x (it raises under ANSI — a
+    guaranteed failure at the target scale, so rejected). The split
+    form's bound is sum(dollars) < 2^63 (~150 PB at TPC-H prices),
+    and beyond it ANSI raises rather than corrupting. The decimal
+    form remains the documented fallback for wider-than-decimal(18)
+    inputs.
+    """
     col = F.col(c) if isinstance(c, str) else c
-    out = F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+    m = 10 ** scale
+    dec = col.cast(f"decimal(18,{scale})")
+    units = (dec * F.lit(m)).cast("long")
+    hi = F.floor(dec).cast("long")
+    total = F.sum(hi).cast("decimal(38,0)") * F.lit(m) + F.sum(units - hi * F.lit(m))
+    out = (total / F.lit(m)).cast("double")
     return out.alias(alias) if alias else out
 
 
